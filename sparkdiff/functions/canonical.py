@@ -1,0 +1,100 @@
+"""Canonical string rendering for cross-system value comparison.
+
+The reference compares every cell AS A STRING: its Snowflake stored proc
+reads both sides with ``getColumnValueAsString`` (reference
+``db-setup.sql:19,27``) and its change-detection workload hashes rows via
+``md5(concat(COALESCE(CAST(col AS STRING),'NULL'), ...))`` (reference
+``tools/script_converter_tool.py:169-170``).  Reproducing that faithfully
+in a *portable* way is the subtlest correctness problem in the engine
+(SURVEY.md §7.4): Spark's ``CAST(double AS STRING)``, Snowflake's and
+DuckDB's renderings all disagree on scientific notation thresholds and
+trailing digits.
+
+Policy (applied identically on both diff sides and in any ANSI oracle):
+
+- NULL            → the sentinel string ``'NULL'``
+- double/float    → ``CAST(CAST(x AS DECIMAL(18,4)) AS STRING)`` — fixed
+                    4-decimal rendering, engine-independent, and exactly the
+                    scale the reference pins for decimals (converter rule 27,
+                    ``tools/script_converter_tool.py:77-85``)
+- timestamp       → ``date_format(ts, 'yyyy-MM-dd HH:mm:ss')`` (second
+                    precision, UTC session)
+- date            → ISO ``yyyy-MM-dd``
+- boolean         → ``'true'`` / ``'false'``
+- integral/string → plain ``CAST(x AS STRING)``
+
+Rows are fingerprinted with md5 over the canonical columns joined by an
+ASCII unit separator — the reference's row-hash change-detection primitive
+(F6/P7 in SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NULL_SENTINEL = "NULL"
+#: Field separator for row fingerprints. \x1f (unit separator) cannot appear
+#: in the testdata and keeps ('ab','c') distinct from ('a','bc').
+SEP = "\x1f"
+
+DECIMAL_RENDER = "decimal(18,4)"
+TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
+
+
+def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
+    """Render one column to its canonical string (never NULL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(c_t := dtype, (T.DoubleType, T.FloatType)):
+        rendered = c.cast(DECIMAL_RENDER).cast("string")
+    elif isinstance(c_t, T.DecimalType):
+        rendered = c.cast(DECIMAL_RENDER).cast("string")
+    elif isinstance(c_t, T.TimestampType):
+        rendered = F.date_format(c, TS_FORMAT)
+    elif isinstance(c_t, T.DateType):
+        rendered = F.date_format(c, "yyyy-MM-dd")
+    else:
+        # integral, string, boolean: Spark casts bool -> 'true'/'false',
+        # matching ANSI engines.
+        rendered = c.cast("string")
+    return F.coalesce(rendered, F.lit(NULL_SENTINEL))
+
+
+def canonical_columns(df: DataFrame, cols: Iterable[str] | None = None) -> list[Column]:
+    """Canonical renderings (aliased to the source names) for ``cols``."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    names = list(cols) if cols is not None else list(df.columns)
+    return [canonical_col(n, by_name[n]).alias(n) for n in names]
+
+
+def row_fingerprint(df: DataFrame, cols: Iterable[str]) -> Column:
+    """md5 fingerprint over the canonical rendering of ``cols``.
+
+    This is the reference's change-detection primitive
+    (``md5(concat(...)) != md5(concat(...))``, converter example
+    ``tools/script_converter_tool.py:169-170``) and the key to diffing wide
+    tables at scale: rows whose fingerprints match are never unpivoted.
+    """
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    parts = [canonical_col(n, by_name[n]) for n in cols]
+    return F.md5(F.concat_ws(SEP, *parts))
+
+
+def oracle_canonical_sql(col: str, duck_type: str) -> str:
+    """The DuckDB-SQL expression equivalent to :func:`canonical_col`.
+
+    Used by oracle queries so both engines render identically.
+    """
+    t = duck_type.lower()
+    if t in ("double", "float", "real") or t.startswith("decimal"):
+        expr = f"CAST(CAST({col} AS DECIMAL(18,4)) AS VARCHAR)"
+    elif t.startswith("timestamp"):
+        expr = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    elif t == "date":
+        expr = f"strftime({col}, '%Y-%m-%d')"
+    else:
+        expr = f"CAST({col} AS VARCHAR)"
+    return f"COALESCE({expr}, '{NULL_SENTINEL}')"

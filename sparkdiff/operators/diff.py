@@ -1,0 +1,232 @@
+"""Table-parity diff — the reference's flagship capability, Spark-native.
+
+The reference computes this with (a) a pandas outer-merge presence diff
+(``tools/compare_tool.py:34-42``), (b) ONE Snowflake stored-proc RPC **per
+id** for the cell-level diff, hard-capped at 3 ids
+(``db-setup.sql:2-50``, ``tools/data_matrix_tool.py:43-65``), and (c) a
+metrics table maintained out-of-band (``db-setup.sql:76-102``).
+
+Here the whole thing is one lazy DataFrame lineage that diffs *every* row
+of both sides in one distributed job:
+
+1. ``presence_diff``  — full-outer join on the pk → per-row presence flags
+   (the hive-only / sf-only sets the metrics table stores as PK arrays).
+2. ``cell_diff``      — two-phase value diff designed for wide tables at
+   100 TB scale:
+
+   * phase 1: canonical-string row fingerprints (md5) on both sides, inner
+     join on pk, keep only rows whose fingerprints differ.  This is the
+     reference's own ``md5(concat(...))`` change-detection idea
+     (``tools/script_converter_tool.py:169-170``) promoted into the
+     physical plan: a 500-column × 10^8-row table never gets unpivoted —
+     only the (typically tiny) differing subset does.
+   * phase 2: ``stack()`` unpivot of the differing rows → one row per
+     ``(pk, column_name)`` with both canonical renderings, filtered to
+     unequal pairs — the stored proc's ``[col, hiveVal, sfVal]`` triples
+     (``db-setup.sql:17-34``) for all ids at once.
+
+3. ``diff_report``    — group-merge per column into sorted deduped value
+   sets, mirroring ``tools/data_matrix_tool.py:69-86``.
+4. ``table_metrics``  — one ``dw_data_metrics``-shaped row
+   (``db-setup.sql:76-102``) computed from the pair.
+
+Excluded columns (the reference reads them from ``DW.DW_SHADOW_RUN_CONF``
+and filters the proc output, ``db-setup.sql:29-33``) are removed from the
+compared set *before* fingerprinting, so an excluded-only change neither
+shows in the cell diff nor counts as a discrepancy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdiff.functions.canonical import canonical_columns, row_fingerprint
+
+
+def _compared_columns(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str],
+) -> list[str]:
+    """Columns to diff: common to both sides, minus pk and exclusions
+    (case-insensitive, as in the reference's upper-cased conf values)."""
+    excl = {c.upper() for c in exclude_cols}
+    sf_cols = set(sf_df.columns)
+    return [
+        c
+        for c in hive_df.columns
+        if c != pk and c in sf_cols and c.upper() not in excl
+    ]
+
+
+def presence_diff(hive_df: DataFrame, sf_df: DataFrame, pk: str) -> DataFrame:
+    """Rows present on exactly one side: ``(pk_value string, side string)``.
+
+    ``side`` ∈ {'hive_only', 'sf_only'} — the sets the reference surfaces as
+    ``HIVE_ONLY_PK_VALUES`` / ``SF_ONLY_PK_VALUES`` (``db-setup.sql:83-87``)
+    via its pandas ``indicator=True`` outer merge
+    (``tools/compare_tool.py:34-42``).  Implemented as a pk-only full-outer
+    join: column pruning keeps the shuffle narrow (pk only), and Catalyst
+    is free to pick broadcast when one side is small.
+    """
+    h = hive_df.select(F.col(pk).cast("string").alias("pk_value")).withColumn(
+        "_h", F.lit(1)
+    )
+    s = sf_df.select(F.col(pk).cast("string").alias("pk_value")).withColumn(
+        "_s", F.lit(1)
+    )
+    j = h.join(s, "pk_value", "full_outer")
+    return (
+        j.filter(F.col("_h").isNull() | F.col("_s").isNull())
+        .select(
+            "pk_value",
+            F.when(F.col("_s").isNull(), F.lit("hive_only"))
+            .otherwise(F.lit("sf_only"))
+            .alias("side"),
+        )
+    )
+
+
+def cell_diff(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Cell-level diff: ``(pk_value, column_name, hive_value, sf_value)``.
+
+    All values are canonical strings (see ``functions.canonical``) — the
+    Spark equivalent of the proc's ``getColumnValueAsString`` comparison
+    (``db-setup.sql:19,27``).  Only rows whose md5 row-fingerprints differ
+    are unpivoted (scale design, see module docstring).
+    """
+    cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
+    if not cols:
+        raise ValueError("no common non-excluded columns to diff")
+
+    h = hive_df.select(
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(hive_df, cols).alias("_fp"),
+        *[c.alias(f"_h_{i}") for i, c in enumerate(canonical_columns(hive_df, cols))],
+    )
+    s = sf_df.select(
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(sf_df, cols).alias("_fp_s"),
+        *[c.alias(f"_s_{i}") for i, c in enumerate(canonical_columns(sf_df, cols))],
+    )
+
+    changed = h.join(s, "pk_value", "inner").filter(F.col("_fp") != F.col("_fp_s"))
+
+    # Unpivot only the changed rows: stack(n, name_i, hive_i, sf_i, ...).
+    stack_args: list[str] = []
+    for i, c in enumerate(cols):
+        name_lit = c.replace("'", "''")
+        stack_args += [f"'{name_lit}'", f"_h_{i}", f"_s_{i}"]
+    stacked = changed.selectExpr(
+        "pk_value",
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS (column_name, hive_value, sf_value)",
+    )
+    return stacked.filter(F.col("hive_value") != F.col("sf_value"))
+
+
+def diff_report(cell_diff_df: DataFrame) -> DataFrame:
+    """Group-merge the cell diff per column into sorted deduped sets —
+    ``(columnName, hive array, snowflake array, id array)``, the shape
+    built by ``tools/data_matrix_tool.py:69-86``.
+    """
+    return (
+        cell_diff_df.groupBy(F.col("column_name").alias("columnName"))
+        .agg(
+            F.sort_array(F.collect_set("hive_value")).alias("hive"),
+            F.sort_array(F.collect_set("sf_value")).alias("snowflake"),
+            F.sort_array(F.collect_set("pk_value")).alias("id"),
+        )
+    )
+
+
+def table_metrics(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    table_name: str,
+    exclude_cols: Sequence[str] = (),
+    max_pk_values: int | None = None,
+) -> DataFrame:
+    """One ``dw_data_metrics``-shaped row (``db-setup.sql:76-102``).
+
+    ``max_pk_values`` caps the PK arrays (the metrics table in production
+    holds 375k discrepant PKs in one array cell — at real scale you cap or
+    sink the full sets to a side table; ``slice`` after ``sort_array``
+    keeps the cap deterministic).
+    """
+    cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
+
+    h = hive_df.select(
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(hive_df, cols).alias("_fp_h"),
+    )
+    s = sf_df.select(
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(sf_df, cols).alias("_fp_s"),
+    )
+    j = h.join(s, "pk_value", "full_outer")
+
+    def _capped(col):
+        arr = F.sort_array(F.collect_list(col))
+        return F.slice(arr, 1, max_pk_values) if max_pk_values else arr
+
+    hive_only = F.col("_fp_s").isNull() & F.col("_fp_h").isNotNull()
+    sf_only = F.col("_fp_h").isNull() & F.col("_fp_s").isNotNull()
+    mismatch = (
+        F.col("_fp_h").isNotNull()
+        & F.col("_fp_s").isNotNull()
+        & (F.col("_fp_h") != F.col("_fp_s"))
+    )
+
+    return j.agg(
+        F.lit(table_name).alias("table_name"),
+        F.lit(pk).alias("primary_column"),
+        F.sum(F.col("_fp_h").isNotNull().cast("long")).alias("total_record_count_hive"),
+        F.sum(F.col("_fp_s").isNotNull().cast("long")).alias("total_record_count_sf"),
+        F.sum(hive_only.cast("long")).alias("row_count_only_in_hive"),
+        _capped(F.when(hive_only, F.col("pk_value"))).alias("hive_only_pk_values"),
+        F.sum(sf_only.cast("long")).alias("row_count_only_in_sf"),
+        _capped(F.when(sf_only, F.col("pk_value"))).alias("sf_only_pk_values"),
+        F.sum(mismatch.cast("long")).alias("row_count_data_discrepancy"),
+        _capped(F.when(mismatch, F.col("pk_value"))).alias("data_discrepancy_pk_values"),
+        F.current_timestamp().alias("row_created"),
+    )
+
+
+@dataclass
+class TableDiff:
+    """Bundle of the three diff views for one table pair."""
+
+    presence: DataFrame
+    cells: DataFrame
+    report: DataFrame
+    metrics: DataFrame
+
+
+def table_diff(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    table_name: str = "table",
+    exclude_cols: Sequence[str] = (),
+) -> TableDiff:
+    """The full parity validation the reference's ``/process`` route runs
+    across three agents and N stored-proc RPCs (SURVEY.md §3.1), as one
+    composable lazy lineage."""
+    cells = cell_diff(hive_df, sf_df, pk, exclude_cols)
+    return TableDiff(
+        presence=presence_diff(hive_df, sf_df, pk),
+        cells=cells,
+        report=diff_report(cells),
+        metrics=table_metrics(hive_df, sf_df, pk, table_name, exclude_cols),
+    )

@@ -1,0 +1,82 @@
+"""SparkSession factory and testdata loading.
+
+Scale posture: the session defaults are tuned for local[N] testing but the
+knobs that matter on a 1000-executor cluster (AQE, skew-join handling,
+shuffle-partition sizing, Arrow transfers) are on by default so plans built
+here carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "sparkdiff",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``spark.sql.session.timeZone`` is pinned to UTC so timestamp semantics
+    match an ANSI-SQL oracle (DuckDB) bit-for-bit.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARKDIFF_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (column pruning + predicate
+    pushdown come free from the parquet scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for the SQL API."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

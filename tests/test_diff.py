@@ -1,0 +1,84 @@
+"""Perturb-and-detect tests for the diff operator (the reference's own
+test idiom, ``db-setup.sql:53-71``): inject known edits, expect exactly
+those back."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdiff import testkit
+from sparkdiff.operators.diff import (
+    cell_diff,
+    diff_report,
+    presence_diff,
+    table_metrics,
+)
+from sparkdiff.session import load_table
+
+from .conftest import SF_DIR_SMALL
+
+
+def _expected_keys(spark, mod):
+    cust = load_table(spark, SF_DIR_SMALL, "customer")
+    return {
+        r.c_custkey
+        for r in cust.filter(F.col("c_custkey") % mod == 0).collect()
+    }
+
+
+def test_presence_diff_exact(spark):
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    rows = presence_diff(hive, sf, "c_custkey").collect()
+    hive_only = {int(r.pk_value) for r in rows if r.side == "hive_only"}
+    sf_only = {int(r.pk_value) for r in rows if r.side == "sf_only"}
+    assert hive_only == _expected_keys(spark, 101)
+    assert sf_only == {k + 10_000_000 for k in _expected_keys(spark, 103)}
+
+
+def test_cell_diff_exact_and_exclusion(spark):
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    cells = cell_diff(
+        hive, sf, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS
+    ).collect()
+    by_col = {}
+    for r in cells:
+        by_col.setdefault(r.column_name, set()).add(int(r.pk_value))
+
+    # mutations land on surviving rows only (deleted %101 rows can't diff)
+    surviving = lambda mod: {
+        k for k in _expected_keys(spark, mod) if k % 101 != 0
+    }
+    assert by_col.get("c_name", set()) == surviving(97)
+    # acctbal mutation is a no-op when the value is already integral
+    assert by_col.get("c_acctbal", set()) <= surviving(89)
+    assert len(by_col.get("c_acctbal", set())) > 0
+    # excluded column must be suppressed even though it was mutated
+    assert "c_mktsegment" not in by_col
+    # every reported diff really differs
+    for r in cells:
+        assert r.hive_value != r.sf_value
+
+
+def test_diff_report_shape(spark):
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    rep = diff_report(
+        cell_diff(hive, sf, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS)
+    ).collect()
+    cols = {r.columnName for r in rep}
+    assert "c_name" in cols
+    for r in rep:
+        assert r.hive == sorted(set(r.hive))
+        assert r.id == sorted(set(r.id))
+
+
+def test_metrics_counts_consistent(spark):
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    m = table_metrics(
+        hive, sf, "c_custkey", "customer", exclude_cols=testkit.EXCLUDE_COLS
+    ).collect()[0]
+    assert m.total_record_count_hive == hive.count()
+    assert m.total_record_count_sf == sf.count()
+    assert m.row_count_only_in_hive == len(_expected_keys(spark, 101))
+    assert m.row_count_only_in_sf == len(_expected_keys(spark, 103))
+    assert m.row_count_data_discrepancy == len(m.data_discrepancy_pk_values)
+    assert m.hive_only_pk_values == sorted(m.hive_only_pk_values)
