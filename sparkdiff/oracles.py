@@ -92,4 +92,105 @@ ORACLES: dict[str, str] = {
             SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS row_count_data_discrepancy
         FROM flags
     """,
+    "q05_rownum_dedup": """
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY (CASE WHEN o_orderpriority LIKE '1-%' THEN 3
+                                      WHEN o_orderpriority LIKE '2-%' THEN 2
+                                      ELSE 1 END) DESC,
+                                o_orderdate DESC, o_orderkey DESC) AS rwn
+            FROM orders
+        ) WHERE rwn = 1
+    """,
+    "q06_union_dedup_workload": """
+        WITH unioned AS (
+            SELECT c.c_custkey, c.c_name, o.o_orderdate AS last_ts,
+                   o.o_orderkey AS tie
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT c.c_custkey, c.c_name, NULL AS last_ts, -1 AS tie
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        )
+        SELECT c_custkey, c_name, CAST(last_ts AS DATE) AS last_orderdate
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey
+                ORDER BY last_ts DESC NULLS LAST, tie DESC) AS rwn
+            FROM unioned
+        ) WHERE rwn = 1
+    """,
+    "q07_expr_join": """
+        SELECT n.n_name, COUNT(*) AS n_pairs
+        FROM customer c
+        JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey
+         AND upper(substring(c.c_name, 10, 3)) = upper(substring(s.s_name, 10, 3))
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q08_argmax": """
+        SELECT o_custkey, o_orderstatus AS last_status,
+               CAST(o_orderdate AS DATE) AS last_orderdate
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rwn
+            FROM orders
+        ) WHERE rwn = 1
+    """,
+    "q09_conditional_agg": """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial,
+               COUNT(*) AS n_total,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q10_histogram": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "q11_argmax_histogram": """
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY n DESC, event_type ASC
+        LIMIT 1
+    """,
+    "q12_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS INTEGER) AS rank
+            FROM orders
+        ) WHERE rank <= 3
+    """,
+    "q13_minmax_rollup": """
+        SELECT l_partkey,
+               CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+               CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_partkey
+    """,
+    "q14_distinct_agg": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
 }

@@ -108,9 +108,202 @@ def q04_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Workload family (SURVEY §2.3 J2/J3, §2.5 W1/W2, §2.6 T7, §2.7 U1)
+# ---------------------------------------------------------------------------
+
+def q05_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: CASE-derived priority key feeding row_number dedup — the
+    ``forOrdering``/``rwn=1`` idiom of ``nw_customer_PRE_300.hql:21-43``."""
+    from sparkdiff.operators.workload import case_ordering_key, dedup_latest
+
+    o = load_table(spark, sf_dir, "orders")
+    pri = case_ordering_key(
+        [
+            (F.col("o_orderpriority").like("1-%"), 3),
+            (F.col("o_orderpriority").like("2-%"), 2),
+        ],
+        default=1,
+    )
+    o = o.withColumn("for_ordering", pri)
+    best = dedup_latest(
+        o,
+        ["o_custkey"],
+        [
+            F.desc("for_ordering"),
+            F.desc("o_orderdate"),
+            F.desc("o_orderkey"),
+        ],
+    )
+    return best.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+
+
+def q06_union_dedup_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+J3+W1: union of a joined 'derived' branch and an anti-join
+    'non-derived' branch, then row_number dedup — the nw_customer script
+    shape end-to-end."""
+    from sparkdiff.operators.workload import dedup_latest
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    derived = c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderdate").alias("last_ts"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    underived = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("timestamp").alias("last_ts"),
+        F.lit(-1).cast("long").alias("tie"),
+    )
+    unioned = derived.unionByName(underived)
+    best = dedup_latest(
+        unioned,
+        ["c_custkey"],
+        [F.desc_nulls_last("last_ts"), F.desc("tie")],
+    )
+    return best.select(
+        "c_custkey", "c_name", F.col("last_ts").cast("date").alias("last_orderdate")
+    )
+
+
+def q07_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: expression-key equi join (substring+equality on derived keys,
+    mirroring ``ON sc.x = substr(dw.x,1,20) AND upper(a)=upper(b)``) with
+    a broadcast dimension join on top."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pairs = c.join(
+        s,
+        (c.c_nationkey == s.s_nationkey)
+        & (
+            F.upper(F.substring(c.c_name, 10, 3))
+            == F.upper(F.substring(s.s_name, 10, 3))
+        ),
+        "inner",
+    )
+    return (
+        pairs.join(F.broadcast(n), pairs.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q08_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: ``max_by`` over a struct ordering — the Hive ``collect_max_one``
+    UDAF / Snowflake ``SUBSTRING(MAX(CONCAT(pad(ts),val)),14)`` trick
+    (converter rule 13) as a native one-pass aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    ordering = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderstatus", ordering).alias("last_status"),
+        F.max_by(F.col("o_orderdate").cast("date"), ordering).alias(
+            "last_orderdate"
+        ),
+    )
+
+
+def q09_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: conditional sums (the closed/open/high-priority counters of
+    ``slack_search_agent.py:460-463``) over order statuses."""
+    o = load_table(spark, sf_dir, "orders")
+    flag = lambda v: F.sum((F.col("o_orderstatus") == v).cast("long"))
+    return o.groupBy("o_orderpriority").agg(
+        flag("O").alias("n_open"),
+        flag("F").alias("n_filled"),
+        flag("P").alias("n_partial"),
+        F.count(F.lit(1)).alias("n_total"),
+        (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+    )
+
+
+def q10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: histogram counts per key (status/priority/project counters of
+    ``slack_search_agent.py:449-457``) over the events stream table."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        ).alias("sum_value"),
+    )
+
+
+def q11_argmax_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: arg-max of a histogram ('most common status',
+    ``slack_search_agent.py:470-482``) with a total tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(1)
+    )
+
+
+def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: top-3 per group (top-3-per-platform budget of
+    ``mcp_enhanced_search_agent.py:1090-1144``): biggest 3 orders per
+    customer."""
+    from sparkdiff.operators.workload import top_k_per_group
+
+    o = load_table(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.desc("o_orderkey")],
+        k=3,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+def q13_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MIN/MAX rollups per business key (``MIN(RowCreated),
+    MAX(RowModified), MAX(Batch)``, converter example)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_partkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+P1: distinct-count aggregates ('#channels', '#spaces') and a
+    distinct projection count in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
     "q03_cell_diff": q03_cell_diff,
     "q04_metrics_summary": q04_metrics_summary,
+    "q05_rownum_dedup": q05_rownum_dedup,
+    "q06_union_dedup_workload": q06_union_dedup_workload,
+    "q07_expr_join": q07_expr_join,
+    "q08_argmax": q08_argmax,
+    "q09_conditional_agg": q09_conditional_agg,
+    "q10_histogram": q10_histogram,
+    "q11_argmax_histogram": q11_argmax_histogram,
+    "q12_topk_per_group": q12_topk_per_group,
+    "q13_minmax_rollup": q13_minmax_rollup,
+    "q14_distinct_agg": q14_distinct_agg,
 }

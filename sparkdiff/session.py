@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read as long and rebuild a microsecond timestamp in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARKDIFF_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -67,7 +70,15 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (column pruning + predicate
     pushdown come free from the parquet scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanos epoch (read as long under nanosAsLong) -> microsecond ts
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
