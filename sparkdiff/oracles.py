@@ -8,7 +8,15 @@ same (order-insensitive) values.
 
 from __future__ import annotations
 
+from sparkdiff.functions.text import sql_tokens
+from sparkdiff.functions.textstats import sql_lang_id, sql_quality_score
 from sparkdiff.testkit import PAIR_SQL_CTES
+
+_QTERMS = ("slow", "error", "merge")
+_HITS = " + ".join(
+    f"(CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END)" for t in _QTERMS
+)
+_QLIST = "[" + ", ".join(f"'{t}'" for t in _QTERMS) + "]"
 
 _CANON_NAME_H = "COALESCE(CAST(h.c_name AS VARCHAR), 'NULL')"
 _CANON_NAME_S = "COALESCE(CAST(s.c_name AS VARCHAR), 'NULL')"
@@ -192,5 +200,108 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT o_orderpriority) AS n_priorities,
                COUNT(*) AS n_orders
         FROM orders
+    """,
+    "q15_keyword_score": f"""
+        SELECT doc_id, n_hits,
+               CAST(n_hits * 10
+                    + (CASE WHEN source IN ('src1','src2') THEN 5 ELSE 0 END)
+                    AS BIGINT) AS score
+        FROM (
+            SELECT doc_id, source, CAST({_HITS} AS BIGINT) AS n_hits
+            FROM documents
+        )
+        WHERE n_hits > 0
+    """,
+    "q16_jaccard_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({sql_tokens('text')}) AS t
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN len(list_distinct(list_concat(a.t, b.t))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)
+               END AS jaccard
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 250
+    """,
+    "q17_token_stats": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> length(t) > 0)) AS BIGINT) AS n_ws_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> length(t) > 0))
+                    + length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        t -> length(t) >= 3 AND NOT list_contains(
+                            ['the','a','an','and','or','of','in','to','is','it',
+                             'for','on','with','as','at','by','be','this','that','are'], t)))
+                    AS BIGINT) AS n_content_tokens,
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        t -> length(t) > 0)) AS DOUBLE), 1.0)
+                   AS mean_token_len
+        FROM documents
+    """,
+    "q18_quality_score": f"""
+        SELECT doc_id, source, {sql_quality_score('text')} AS quality
+        FROM documents
+    """,
+    "q19_exact_dedup": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT md5(text) AS fp,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_id,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR)) AS ids
+        FROM corpus
+        GROUP BY md5(text)
+        HAVING COUNT(*) > 1
+    """,
+    "q20_fingerprint_dedup": """
+        SELECT doc_id, fp,
+               MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+            FROM documents
+        )
+    """,
+    "q21_relevance_blend": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   list_distinct({sql_tokens('text')}) AS t,
+                   CAST({_HITS} AS DOUBLE) / 3.0 AS kw,
+                   (CASE WHEN source IN ('src1','src2') THEN 1.0
+                         WHEN source IN ('src3','src4') THEN 0.9
+                         ELSE 0.3 END) AS sw,
+                   greatest(0.0, 1.0 - CAST(doc_id % 1000 AS DOUBLE) / 730.0) AS rec
+            FROM documents
+        )
+        SELECT doc_id,
+               (0.5 * (CASE WHEN len(list_distinct(list_concat(t, {_QLIST}))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(t, {_QLIST})) AS DOUBLE)
+                                 / CAST(len(list_distinct(list_concat(t, {_QLIST}))) AS DOUBLE)
+                        END)
+                + 0.3 * kw
+                + 0.2 * ((sw + rec) / 2.0)) * 100.0 AS relevance
+        FROM scored
+    """,
+    "q22_snippet_window": """
+        SELECT doc_id,
+               CAST(strpos(lower(text), 'slow') AS BIGINT) AS hit_pos,
+               substr(text, greatest(1, strpos(lower(text), 'slow') - 30), 60) AS snippet
+        FROM documents
+        WHERE strpos(lower(text), 'slow') > 0
+    """,
+    "q23_lang_id": f"""
+        SELECT lang, {sql_lang_id('text')} AS predicted, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang, {sql_lang_id('text')}
     """,
 }

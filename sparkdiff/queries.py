@@ -291,6 +291,182 @@ def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Text / search analytics (SURVEY §2.8 F13–F21, §2.2 P9/P13, §2.7 U4/U5)
+# plus training-data text analysis (lang-ID, quality, tokens, fingerprints)
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ["slow", "error", "merge"]
+
+
+def q15_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9+F16: term-hit filter and +10/+5 scoring
+    (``slack_tool.py:259-264``, ``slack_search_agent.py:660-673``)."""
+    from sparkdiff.functions.text import term_hit_score, term_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    resolved = F.col("source").isin("src1", "src2")
+    scored = d.select(
+        "doc_id",
+        term_hits("text", SEARCH_TERMS).alias("n_hits"),
+        term_hit_score("text", SEARCH_TERMS, resolved).cast("long").alias("score"),
+    )
+    return scored.filter(F.col("n_hits") > 0)
+
+
+def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: token-set Jaccard similarity between document pairs
+    (``jira_tool.py:424-435``)."""
+    from sparkdiff.functions.text import jaccard, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), tokens("text").alias("toks_a")
+    )
+    b = d.select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        tokens("text").alias("toks_b"),
+    )
+    return (
+        a.join(b, "doc_a", "inner")
+        .select("doc_a", "doc_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"))
+    )
+
+
+def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 + token counting: whitespace tokens, BPE-ish tokens, content
+    tokens after stopword removal, mean alnum token length."""
+    from sparkdiff.functions.textstats import (
+        alnum_len,
+        bpe_ish_token_count,
+        ws_token_count,
+    )
+    from sparkdiff.functions.text import raw_tokens, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_raw = F.size(F.filter(raw_tokens("text"), lambda t: F.length(t) > 0))
+    return d.select(
+        "doc_id",
+        ws_token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_content_tokens"),
+        (
+            alnum_len("text").cast("double")
+            / F.greatest(n_raw.cast("double"), F.lit(1.0))
+        ).alias("mean_token_len"),
+    )
+
+
+def q18_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality scoring (length/punct/stopword heuristics)."""
+    from sparkdiff.functions.textstats import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+
+
+def q19_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 hash-groupBy (U4 class) over a corpus with
+    injected duplicates (doc_id%50==0 re-inserted as doc_id+10000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    corpus = d.unionByName(dups)
+    return (
+        corpus.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q20_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalized md5) + canonical-doc election
+    per fingerprint group (window min)."""
+    from sparkdiff.functions.textstats import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("canonical_id")))
+    )
+
+
+def q21_relevance_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: the weighted relevance blend (semantic/keyword/status+recency)
+    of ``slack_search_agent.py:46-87`` with deterministic inputs:
+    semantic = Jaccard vs the query tokens, keyword = hit ratio,
+    status from source, recency from doc age in days (doc_id mod 1000)."""
+    from sparkdiff.functions.text import (
+        jaccard,
+        recency_score,
+        relevance_blend,
+        status_weight,
+        term_hits,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    query_toks = F.array(*[F.lit(t) for t in SEARCH_TERMS])
+    semantic = jaccard(tokens("text"), query_toks)
+    keyword = term_hits("text", SEARCH_TERMS).cast("double") / F.lit(
+        float(len(SEARCH_TERMS))
+    )
+    status = F.when(F.col("source").isin("src1", "src2"), "closed").otherwise(
+        F.when(F.col("source").isin("src3", "src4"), "resolved").otherwise("open")
+    )
+    sr = (status_weight(status) + recency_score(F.col("doc_id") % 1000)) / F.lit(
+        2.0
+    )
+    return d.select(
+        "doc_id",
+        relevance_blend(semantic, keyword, sr).alias("relevance"),
+    )
+
+
+def q22_snippet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/F21: windowed snippet extraction around the first hit of a
+    term (``discrepancy_suggester_tool.py:85-93`` ±50-line window;
+    ``direct_api_fallback.py:242-261`` 'solution:'+300-char variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.locate("slow", F.lower(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            pos.cast("long").alias("hit_pos"),
+            F.substring(
+                F.col("text"), F.greatest(F.lit(1), pos - 30), 60
+            ).alias("snippet"),
+        )
+        .filter(F.col("hit_pos") > 0)
+    )
+
+
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic rollup: predicted lang vs labeled lang."""
+    from sparkdiff.functions.textstats import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -306,4 +482,13 @@ QUERIES: dict[str, callable] = {
     "q12_topk_per_group": q12_topk_per_group,
     "q13_minmax_rollup": q13_minmax_rollup,
     "q14_distinct_agg": q14_distinct_agg,
+    "q15_keyword_score": q15_keyword_score,
+    "q16_jaccard_pairs": q16_jaccard_pairs,
+    "q17_token_stats": q17_token_stats,
+    "q18_quality_score": q18_quality_score,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_fingerprint_dedup": q20_fingerprint_dedup,
+    "q21_relevance_blend": q21_relevance_blend,
+    "q22_snippet_window": q22_snippet_window,
+    "q23_lang_id": q23_lang_id,
 }
