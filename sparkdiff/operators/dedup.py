@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash-groupBy; near-dup is MinHash+LSH (shingle →
+signature → banded bucket join) with an exact-Jaccard verification pass,
+plus a SimHash variant.  All stages are native DataFrame ops — the only
+shuffles are the LSH bucket join and the verify join, both on compact
+keys, which is the textbook scale-out shape (no O(n²) pair enumeration).
+
+MinHash math: token hash ``h = xxhash64(t) mod p`` with Mersenne prime
+``p = 2^31 - 1``; permutation ``j`` maps ``h → (a_j*h + b_j) mod p`` with
+``a_j, b_j < p`` drawn from a fixed LCG, so ``a_j*h < 2^62`` never
+overflows a signed 64-bit long.  The signature is the per-permutation
+minimum; banding b×r follows the standard LSH S-curve: P(candidate) =
+1 - (1 - s^r)^b for Jaccard similarity s.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+def _lcg_coefficients(n: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs in [1, p) / [0, p) from a fixed LCG."""
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = 1 + state % (MERSENNE_PRIME - 1)
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Character k-gram (shingle) array over normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        )
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined token windows).
+
+    Far more selective than character k-grams on natural/templated text:
+    unrelated documents over a shared vocabulary rarely share word
+    *sequences*, so LSH buckets stay small — the property that keeps the
+    candidate join linear at corpus scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.lower(c), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, tokens_col: Column, num_perm: int = 64
+) -> DataFrame:
+    """Per-row MinHash signatures: ``(id, m0..m{num_perm-1})``.
+
+    Explode-and-aggregate formulation: one row per (id, distinct token),
+    then ``num_perm`` cheap ``min`` aggregates over the token hash.  This
+    keeps every permutation a flat O(1)-per-row expression (the nested
+    ``transform``-per-permutation form re-inlines the whole token-hash
+    array into every downstream consumer via projection collapse — a 64×
+    expression blowup) and gets map-side partial mins for free, so the
+    shuffle carries just ``num_perm`` ints per document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens_col)).alias("_t"),
+    )
+    h = F.pmod(F.xxhash64("_t"), F.lit(MERSENNE_PRIME))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{j}")
+        for j, (a, b) in enumerate(_lcg_coefficients(num_perm))
+    ]
+    return toks.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Signature → split into ``bands`` bands of ``num_perm // bands`` rows →
+    md5 band key → explode → self-equi-join on ``(band, key)``.  The join
+    shuffles on the band key only; bucket sizes stay tiny for non-dup
+    corpora, so this is the 100 TB-safe alternative to an O(n²) cross
+    join.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, tokens_col, num_perm)
+    band_keys = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{i * rows + j}").cast("string")
+                                    for j in range(rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a = band_keys.select(F.col("_id").alias("id_a"), "band", "key")
+    b = band_keys.select(F.col("_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification:
+    ``(id_a, id_b, jaccard)`` for shingle-Jaccard ≥ threshold."""
+    from sparkdiff.functions.text import jaccard
+
+    cands = minhash_lsh_candidates(
+        df, id_col, word_shingles(text_col, k), num_perm, bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
+    )
+    verified = (
+        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, tokens_col: Column) -> DataFrame:
+    """64-bit SimHash per document: ``(id, simhash long)``.
+
+    Explode tokens → per-bit ±1 votes summed in one groupBy (64 JVM-side
+    sum aggregates, map-side combined) → reassemble the sign bits.  Docs
+    with no tokens get simhash 0.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_t"))
+    h = F.xxhash64("_t")
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sig_df = votes.select("_id", sig.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        ids.join(sig_df, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup: keep one row per md5-of-canonical-columns group
+    (deterministic winner = min over all columns as a struct)."""
+    from sparkdiff.functions.canonical import row_fingerprint
+
+    cols = list(cols) if cols is not None else list(df.columns)
+    fp = row_fingerprint(df, cols)
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(F.struct(*df.columns)).alias("_row"))
+        .select("_row.*")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference does cosine similarity row-at-a-time in Python over MiniLM
+vectors (``agents/slack_search_agent.py:50-53``) and k-NN through an
+in-process FAISS store (``tools/rag_tool.py:41-46``).  Here:
+
+- ``cosine_topk``   — brute-force baseline: broadcast the (small) query
+  set, JVM-native fold for the dot product, ``row_number`` top-k.  Exact;
+  O(|Q|·|C|) but fully data-parallel over the corpus.
+- ``lsh_cosine_topk`` — scale path: random-hyperplane (SRP) bucketing;
+  only pairs sharing a bucket are scored.  Approximate; at 100 TB the
+  bucket join replaces the cross product (same shape as a real IVF
+  coarse quantizer).
+
+All arithmetic is double-precision with an explicit fold order so results
+are engine-exact and reproducible under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic IEEE order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """``dot / (|a| * |b|)`` with a zero-norm guard."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        d / (na * nb)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(query_id, corpus_id, cosine,
+    rank)``.  The query side is broadcast, so the corpus is scanned once
+    with no shuffle; the only shuffle is the per-query top-k window."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(query_vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), _as_double(F.col(corpus_vec)).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bit signature (one int per plane block of
+    up to 31 bits)."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append((dot(vec, plane) >= 0).cast("int"))
+    out = F.lit(0)
+    for i, b in enumerate(bits):
+        out = out + b * F.lit(1 << i)
+    return out
+
+
+def _deterministic_planes(n_planes: int, dim: int, seed: int = 0x9E37) -> list[list[float]]:
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            # uniform in [-1, 1): sign-projection only needs symmetry
+            row.append((state / float(1 << 62)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: score only (query, corpus) pairs whose SRP
+    bucket matches.  Recall trades off with ``n_planes`` (more planes →
+    smaller buckets → faster, lower recall)."""
+    planes = _deterministic_planes(n_planes, dim)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("qv"),
+    ).withColumn("bucket", srp_signature(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        _as_double(F.col(corpus_vec)).alias("cv"),
+    ).withColumn("bucket", srp_signature(F.col("cv"), planes))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

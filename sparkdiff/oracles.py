@@ -304,4 +304,63 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang, {sql_lang_id('text')}
     """,
+    # q25/q27 are xxhash64-based (no ANSI equivalent) -> rows-only checks.
+    "q24_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        scored AS (
+            SELECT query_id, corpus_id,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(
+                           generate_series(1, len(qv)), i -> qv[i] * cv[i])),
+                       (acc, x) -> acc + x) AS d,
+                   sqrt(list_reduce(
+                       list_prepend(0.0, list_transform(qv, x -> x * x)),
+                       (acc, x) -> acc + x)) AS nq,
+                   sqrt(list_reduce(
+                       list_prepend(0.0, list_transform(cv, x -> x * x)),
+                       (acc, x) -> acc + x)) AS nc
+            FROM c, q
+        ),
+        cos AS (
+            SELECT query_id, corpus_id,
+                   CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                        ELSE d / (nq * nc) END AS cosine
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine, rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS INTEGER) AS rank
+            FROM cos
+        ) WHERE rank <= 3
+    """,
+    "q26_ngram_jaccard_dups": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) - 2),
+                       i -> substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), i, 3)
+                   )) AS s
+            FROM documents
+            WHERE doc_id % 10 = 0
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+               END AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+               END) >= 0.25
+    """,
 }

@@ -467,6 +467,67 @@ def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup + similarity search (training-data pipeline operators; SURVEY §2.8
+# F14, §2.10 X6/X7 for the embedding path)
+# ---------------------------------------------------------------------------
+
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/X7: exact cosine top-k over the embeddings table (brute-force
+    baseline; the broadcast-query plan scans the corpus once)."""
+    from sparkdiff.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") % 5 == 0)
+    return cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", k=3)
+
+
+def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection over documents with injected
+    near-duplicates (doc_id%25==0 re-inserted with a suffix at
+    doc_id+20000).  xxhash64-based → no ANSI oracle (rows-only check);
+    exactness is pinned by tests/test_dedup.py instead."""
+    from sparkdiff.operators.dedup import near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.6)
+
+
+def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force trigram-Jaccard near-dup over a blocked subset
+    (doc_id%10==0): the exact counterpart LSH approximates."""
+    from sparkdiff.functions.text import jaccard
+    from sparkdiff.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    return pairs.select(
+        "doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.25)
+
+
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints over document tokens (xxhash64-based →
+    rows-only check; Hamming-locality pinned by tests/test_dedup.py)."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.dedup import simhash64
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", tokens("text"))
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -491,4 +552,8 @@ QUERIES: dict[str, callable] = {
     "q21_relevance_blend": q21_relevance_blend,
     "q22_snippet_window": q22_snippet_window,
     "q23_lang_id": q23_lang_id,
+    "q24_cosine_topk": q24_cosine_topk,
+    "q25_minhash_neardup": q25_minhash_neardup,
+    "q26_ngram_jaccard_dups": q26_ngram_jaccard_dups,
+    "q27_simhash": q27_simhash,
 }

@@ -1,0 +1,104 @@
+"""Property tests for the non-SQL-expressible dedup/similarity operators
+(MinHash-LSH, SimHash, SRP-LSH): recall on injected near-duplicates and
+locality of the fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdiff.functions.text import tokens
+from sparkdiff.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    near_dup_pairs,
+    simhash64,
+)
+from sparkdiff.operators.similarity import cosine_topk, lsh_cosine_topk
+from sparkdiff.session import load_table
+
+from .conftest import SF_DIR_SMALL
+
+
+def _corpus_with_neardups(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    return d, d.unionByName(dups)
+
+
+def test_minhash_lsh_finds_injected_neardups(spark):
+    d, corpus = _corpus_with_neardups(spark)
+    found = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(corpus, "doc_id", "text", threshold=0.6).collect()
+    }
+    injected = {
+        (r.doc_id, r.doc_id + 20_000)
+        for r in d.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+    missed = injected - found
+    # LSH is probabilistic but near-identical docs (J >= ~0.9) must bucket
+    assert not missed, f"LSH missed injected near-dups: {missed}"
+
+
+def test_near_dup_pairs_respects_threshold(spark):
+    _, corpus = _corpus_with_neardups(spark)
+    rows = near_dup_pairs(corpus, "doc_id", "text", threshold=0.6).collect()
+    assert all(r.jaccard >= 0.6 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_simhash_locality(spark):
+    _, corpus = _corpus_with_neardups(spark)
+    sh = simhash64(corpus, "doc_id", tokens("text"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    pairs = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 20_000)
+        .select(hamming64(F.col("h_a"), F.col("h_b")).alias("d"))
+        .collect()
+    )
+    assert pairs, "no injected pairs joined"
+    # token multisets differ by only a couple of words -> tiny Hamming gap
+    assert max(r.d for r in pairs) <= 12
+    # unrelated docs should sit near d≈32 on average
+    unrelated = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 7)
+        .select(hamming64(F.col("h_a"), F.col("h_b")).alias("d"))
+        .collect()
+    )
+    avg_unrelated = sum(r.d for r in unrelated) / len(unrelated)
+    assert avg_unrelated > 12
+
+
+def test_exact_dedup_removes_true_dups(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d)
+    out = exact_dedup(doubled, ["text"])
+    assert out.count() == d.select("text").distinct().count()
+
+
+def test_lsh_cosine_is_subset_and_ranked(spark):
+    e = load_table(spark, SF_DIR_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    approx = lsh_cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=3, dim=64
+    ).collect()
+    assert approx, "LSH returned nothing (buckets too fine)"
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        by_rank = sorted(rows, key=lambda r: r.rank)
+        assert all(
+            by_rank[i].cosine >= by_rank[i + 1].cosine
+            for i in range(len(by_rank) - 1)
+        )
+    # a query's own vector shares its bucket -> must be its top hit
+    exact_self = {r.query_id for r in approx if r.query_id == r.corpus_id and r.rank == 1}
+    assert exact_self == {r.vec_id for r in q.select("vec_id").collect()}

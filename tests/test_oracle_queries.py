@@ -24,3 +24,11 @@ def test_all_queries_have_runnable_plans(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, SF_DIR_ORACLE)
         assert df.columns, name
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_execute(spark, name):
+    """Queries without an oracle (non-SQL-expressible) still must run and
+    produce rows at the driver's correctness scale."""
+    n = QUERIES[name](spark, SF_DIR_ORACLE).count()
+    assert n > 0, f"{name} returned no rows"
