@@ -9,6 +9,11 @@ same (order-insensitive) values.
 from __future__ import annotations
 
 from sparkdiff.functions.text import sql_tokens
+from sparkdiff.plans.parity import (
+    ORACLE_HIVE_RESULT,
+    ORACLE_SF_RESULT,
+    PARITY_BASE_CTES,
+)
 from sparkdiff.functions.textstats import sql_lang_id, sql_quality_score
 from sparkdiff.testkit import PAIR_SQL_CTES
 
@@ -357,10 +362,95 @@ ORACLES: dict[str, str] = {
                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
                END AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 100
         WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
                END) >= 0.25
+    """,
+    "q28_time_buckets": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q29_sessionize": """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events
+        )
+        SELECT user_id,
+               SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000
+                        THEN 1 ELSE 0 END) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM gaps
+        GROUP BY user_id
+    """,
+    "q30_keepmax_dedup": """
+        SELECT user_id, event_id, value, event_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, event_id DESC) AS rwn
+            FROM events
+        ) WHERE rwn = 1
+    """,
+    "q31_json_props": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                        THEN 1 ELSE 0 END) AS n_k_gt50
+        FROM events
+        GROUP BY event_type
+    """,
+    "q32_date_arithmetic": """
+        SELECT o_orderkey,
+               epoch_ms(o_orderdate) AS epoch_ms,
+               CAST(make_timestamp((epoch_ms(o_orderdate) // 1000) * 1000000)
+                    AS DATE) AS as_date,
+               o_orderdate + INTERVAL 1 SECOND AS plus_1s
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+    """,
+    "q33_macro_workload": f"""
+        WITH {PARITY_BASE_CTES}
+        {ORACLE_HIVE_RESULT}
+    """,
+    "q34_script_pair_diff": f"""
+        WITH {PARITY_BASE_CTES},
+        h AS ({ORACLE_HIVE_RESULT}),
+        s AS ({ORACLE_SF_RESULT}),
+        percol AS (
+            SELECT 'Source' AS column_name, COUNT(DISTINCT h.ID) AS n_ids
+            FROM h JOIN s ON h.ID = s.ID
+            WHERE COALESCE(CAST(h.Source AS VARCHAR),'NULL')
+                  <> COALESCE(CAST(s.Source AS VARCHAR),'NULL')
+            UNION ALL
+            SELECT 'SourceCustomerNumber', COUNT(DISTINCT h.ID)
+            FROM h JOIN s ON h.ID = s.ID
+            WHERE COALESCE(CAST(h.SourceCustomerNumber AS VARCHAR),'NULL')
+                  <> COALESCE(CAST(s.SourceCustomerNumber AS VARCHAR),'NULL')
+            UNION ALL
+            SELECT 'LastName', COUNT(DISTINCT h.ID)
+            FROM h JOIN s ON h.ID = s.ID
+            WHERE COALESCE(CAST(h.LastName AS VARCHAR),'NULL')
+                  <> COALESCE(CAST(s.LastName AS VARCHAR),'NULL')
+            UNION ALL
+            SELECT 'RowModified', COUNT(DISTINCT h.ID)
+            FROM h JOIN s ON h.ID = s.ID
+            WHERE COALESCE(CAST(h.RowModified AS VARCHAR),'NULL')
+                  <> COALESCE(CAST(s.RowModified AS VARCHAR),'NULL')
+            UNION ALL
+            SELECT 'Batch', COUNT(DISTINCT h.ID)
+            FROM h JOIN s ON h.ID = s.ID
+            WHERE COALESCE(CAST(h.Batch AS VARCHAR),'NULL')
+                  <> COALESCE(CAST(s.Batch AS VARCHAR),'NULL')
+        )
+        SELECT column_name, n_ids FROM percol WHERE n_ids > 0
     """,
 }

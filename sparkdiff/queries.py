@@ -501,21 +501,56 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force trigram-Jaccard near-dup over a blocked subset
-    (doc_id%10==0): the exact counterpart LSH approximates."""
-    from sparkdiff.functions.text import jaccard
-    from sparkdiff.operators.dedup import shingles
+    """Exact trigram-Jaccard near-dup with sorted-neighborhood blocking:
+    each doc is compared only to neighbors within a bounded id window, so
+    the pair count stays LINEAR in corpus size (the all-pairs variant was
+    70 s at sf0.1 and O(n²) beyond — this is the exact counterpart that
+    LSH (q25) approximates at full scale)."""
+    from sparkdiff.operators.dedup import with_char_shingles
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    sh = d.select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    sh = with_char_shingles(d.select("doc_id", "text"), "text", 3, out="shg").select(
+        "doc_id", F.array_distinct("shg").alias("sh")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    return pairs.select(
-        "doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.25)
+    # Equi-join on a block key instead of a pure range condition: a range
+    # predicate becomes a nested-loop join whose condition (including the
+    # pushed-down Jaccard!) runs on every row pair; with a block key the
+    # set intersections only run on same-block pairs inside a hash join.
+    # The right side publishes its own and the previous block so pairs
+    # crossing a block boundary are still covered.
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.floor(F.col("doc_id") / 100).alias("block"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / 100),
+                F.floor(F.col("doc_id") / 100) - 1,
+            )
+        ).alias("block"),
+    )
+    pairs = a.join(b, "block").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("doc_b") <= F.col("doc_a") + 100)
+    )
+    # One set-op per pair: |A∪B| = |A|+|B|-|A∩B| on the pre-distincted
+    # arrays with precomputed sizes (array_union + repeated array_distinct
+    # cost ~8 hash-set builds per pair — 10 s for 5k pairs).
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        pairs.withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.25)
+    )
 
 
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +561,120 @@ def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash64(d, "doc_id", tokens("text"))
+
+
+# ---------------------------------------------------------------------------
+# Events / time analytics (F12 date functions, F25 JSON, A6 keep-max) and
+# sessionization (the batch shape of the streaming extension, §2.9)
+# ---------------------------------------------------------------------------
+
+def q28_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (hourly date_trunc) over the events table —
+    the batch equivalent of the streaming windowed agg (§2.9)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; per-user
+    session and event counts (lag + conditional-sum windows)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    per_event = e.select("user_id", is_new.alias("is_new"))
+    return per_event.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q30_keepmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: keep-max dedup — one row per user with the highest-value event
+    (``enhanced_thread_search_solution.py:95-101``) via one-pass max_by."""
+    from sparkdiff.operators.workload import keep_max
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "event_type"
+    )
+    best = keep_max(e, ["user_id"], ["value", "event_id"])
+    return best.select("user_id", "event_id", "value", "event_type")
+
+
+def q31_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25: JSON parse of the ``props`` column + rollup on the extracted
+    field (``from_json``/``get_json_object`` class)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt50"),
+        )
+    )
+
+
+def q32_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the reference's epoch-millis timestamp idioms —
+    ``unix_timestamp()*1000`` columns, ``to_date(from_unixtime(floor(x
+    /1000)))``, ``ts + INTERVAL 1 SECOND`` (converter rules 14/32/34/36)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    # parquet ms-timestamps surface as TIMESTAMP_NTZ; session tz is pinned
+    # UTC so the cast to (LTZ) TIMESTAMP is value-preserving
+    epoch_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        epoch_ms.alias("epoch_ms"),
+        F.to_date(F.from_unixtime(F.floor(epoch_ms / 1000))).alias("as_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 SECOND")).alias("plus_1s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Macro expansion + workload-script execution parity (X4/X5, §3.2, J5/S6)
+# ---------------------------------------------------------------------------
+
+def q33_macro_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+X5 end-to-end: the Hive fixture script (macros, UNION ALL, LIKE
+    filters, expression join, CASE ordering key, row_number dedup) is
+    macro-expanded, dialect-rewritten and executed natively via
+    ``spark.sql``."""
+    from sparkdiff.plans.parity import run_script_pair
+
+    hive_df, _ = run_script_pair(spark, sf_dir)
+    return hive_df
+
+
+def q34_script_pair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole raison d'être in one lineage: run the Hive
+    script and its intentionally-divergent Snowflake counterpart, diff
+    the outputs, and report exactly the diverging columns (LastName,
+    RowModified) with affected-id counts."""
+    from sparkdiff.operators.diff import cell_diff
+    from sparkdiff.plans.parity import run_script_pair
+
+    hive_df, sf_df = run_script_pair(spark, sf_dir)
+    cells = cell_diff(hive_df, sf_df, "ID")
+    return cells.groupBy("column_name").agg(
+        F.countDistinct("pk_value").alias("n_ids")
+    )
 
 
 QUERIES: dict[str, callable] = {
@@ -556,4 +705,11 @@ QUERIES: dict[str, callable] = {
     "q25_minhash_neardup": q25_minhash_neardup,
     "q26_ngram_jaccard_dups": q26_ngram_jaccard_dups,
     "q27_simhash": q27_simhash,
+    "q28_time_buckets": q28_time_buckets,
+    "q29_sessionize": q29_sessionize,
+    "q30_keepmax_dedup": q30_keepmax_dedup,
+    "q31_json_props": q31_json_props,
+    "q32_date_arithmetic": q32_date_arithmetic,
+    "q33_macro_workload": q33_macro_workload,
+    "q34_script_pair_diff": q34_script_pair_diff,
 }
