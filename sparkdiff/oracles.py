@@ -453,4 +453,41 @@ ORACLES: dict[str, str] = {
         )
         SELECT column_name, n_ids FROM percol WHERE n_ids > 0
     """,
+    "q35_entity_extraction": r"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' PROJ-' || CAST(doc_id AS VARCHAR)
+                        ELSE text END AS text2
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(
+                   regexp_extract_all(text2, '\b[A-Z][A-Z0-9]{1,9}-\d+\b'))), ',') AS keys,
+               CAST(len(list_distinct(
+                   regexp_extract_all(text2, '\b[A-Z][A-Z0-9]{1,9}-\d+\b'))) AS BIGINT) AS n_keys
+        FROM enriched
+        WHERE len(regexp_extract_all(text2, '\b[A-Z][A-Z0-9]{1,9}-\d+\b')) > 0
+    """,
+    "q36_word_boundary_classify": r"""
+        SELECT doc_id,
+               (contains(lower(text), 'error') OR contains(lower(text), 'exception')
+                OR contains(lower(text), 'failed') OR contains(lower(text), 'failure')
+                OR contains(lower(text), 'timeout') OR contains(lower(text), 'crash')) AS has_error,
+               (contains(lower(text), 'fixed') OR contains(lower(text), 'resolved')
+                OR contains(lower(text), 'solution') OR contains(lower(text), 'workaround')
+                OR contains(lower(text), 'patch') OR contains(lower(text), 'solved')
+                OR contains(lower(text), 'root cause') OR contains(lower(text), 'mitigation')) AS has_solution
+        FROM documents
+        WHERE regexp_matches(text, '\bmerge\b')
+    """,
+    "q37_source_insights": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+               CAST(SUM(CASE WHEN contains(lower(text), 'error') THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS error_rate
+        FROM documents
+        GROUP BY source
+    """,
 }

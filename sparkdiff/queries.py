@@ -677,6 +677,70 @@ def q34_script_pair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Entity extraction + lexicon classification + insight rollups (F18-F21,
+# P8, P11/P12, U3, A2-A5 combos)
+# ---------------------------------------------------------------------------
+
+def q35_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18/U3: regex entity extraction (Jira-key pattern) with distinct +
+    sort normalization, over docs with synthesized keys."""
+    from sparkdiff.functions.extract import JIRA_KEY_RE, extract_all
+
+    d = load_table(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" PROJ-"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    keys = extract_all(text2, JIRA_KEY_RE)
+    return (
+        d.select(
+            "doc_id",
+            F.array_join(keys, ",").alias("keys"),
+            F.size(keys).cast("long").alias("n_keys"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+
+
+def q36_word_boundary_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + P12/F20: word-boundary containment filter plus lexicon
+    classification flags."""
+    from sparkdiff.functions.extract import (
+        ERROR_KEYWORDS,
+        SOLUTION_KEYWORDS,
+        contains_word,
+        matches_lexicon,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(contains_word("text", "merge"))
+        .select(
+            "doc_id",
+            matches_lexicon("text", ERROR_KEYWORDS).alias("has_error"),
+            matches_lexicon("text", SOLUTION_KEYWORDS).alias("has_solution"),
+        )
+    )
+
+
+def q37_source_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5 insight rollup (the reference's histogram-insights stage,
+    ``slack_search_agent.py:435-571``): per-source doc counts, mean
+    length, and error-mention rate."""
+    d = load_table(spark, sf_dir, "documents")
+    has_err = F.contains(F.lower("text"), F.lit("error")).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+        (
+            F.sum(has_err).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("error_rate"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -712,4 +776,7 @@ QUERIES: dict[str, callable] = {
     "q32_date_arithmetic": q32_date_arithmetic,
     "q33_macro_workload": q33_macro_workload,
     "q34_script_pair_diff": q34_script_pair_diff,
+    "q35_entity_extraction": q35_entity_extraction,
+    "q36_word_boundary_classify": q36_word_boundary_classify,
+    "q37_source_insights": q37_source_insights,
 }

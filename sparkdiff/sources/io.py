@@ -1,0 +1,45 @@
+"""Sources & sinks beyond parquet (SURVEY §2.1 S4/S9/S11/S12/S13).
+
+The reference moves data as CSV strings between Snowflake, pandas and
+Flask (``tools/snowflake_tool.py:151-152``), renders HTML tables
+(``main.py:65``) and pretty JSON (``tools/data_matrix_tool.py:88-89``).
+Engine-side equivalents, kept explicit-schema (no inference in prod).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S4 with an explicit schema (the reference lets pandas infer —
+    SURVEY §1.3 flags that as the anti-pattern to avoid)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S9: CSV sink.  ``single_file`` coalesces to one partition — only
+    for small result sets (driver-sized), never for table-scale data."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def to_json_records(df: DataFrame) -> DataFrame:
+    """S11: one JSON string per row (``F.to_json(struct(*))``), the
+    distributed equivalent of the reference's ``json.dumps`` loops."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+
+
+def clone_table(spark: SparkSession, source: str, target: str) -> None:
+    """S12: ``CREATE TABLE … CLONE`` equivalent.  Spark has no zero-copy
+    clone; a CTAS copy preserves the semantics the reference's test
+    fixture relies on (mutate the clone, diff against the original)."""
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    spark.sql(f"CREATE TABLE {target} AS SELECT * FROM {source}")
+
+
+def insert_overwrite(df: DataFrame, table: str) -> None:
+    """S13: ``INSERT OVERWRITE`` sink (converter rule 28)."""
+    df.write.mode("overwrite").insertInto(table, overwrite=True)

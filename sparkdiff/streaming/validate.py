@@ -1,0 +1,104 @@
+"""Structured-Streaming extension (SURVEY §2.9).
+
+The reference has NO real streaming operators — only polling loops and
+Socket-Mode callbacks (``app.py:648-675``, ``tools/snowflake_tool.py:
+75-113``).  Continuous validation is therefore an *extension*, designed
+per SURVEY §2.9: an events/CDC stream drives (a) watermarked windowed
+aggregation and (b) incremental re-diff of a mutating table against a
+reference snapshot via ``foreachBatch``.
+
+Both run identically on a directory source locally and on Kafka/CDC at
+cluster scale — the plan is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Explicit schema for the driver's events table as a streaming source
+#: (streams cannot infer schemas).  ``ts`` arrives as nanos-epoch long
+#: (TESTDATA parquet) and is rebuilt to a microsecond timestamp.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, directory: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Directory-based streaming source (file streams require a dir;
+    ``glob`` narrows to the events table inside a testdata sf dir)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums with a late-data watermark — the
+    streaming twin of q28 (state is bounded by the watermark horizon, so
+    this runs indefinitely on an unbounded source)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def incremental_validation(
+    changes: DataFrame,
+    reference_df: DataFrame,
+    pk: str,
+    on_batch: Callable[[DataFrame, int], None],
+):
+    """Continuous re-validation: for each micro-batch of changed rows,
+    cell-diff ONLY those pks against the reference snapshot and hand the
+    per-batch diff to ``on_batch`` (append to a metrics sink in prod).
+
+    This replaces the reference's 60 s polling loop with an incremental
+    plan: per batch the work is |batch| rows joined against the reference
+    (broadcast when small), never a full-table rescan.
+    """
+    from sparkdiff.operators.diff import cell_diff
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            diff = cell_diff(batch_df, reference_df, pk)
+            on_batch(diff, batch_id)
+
+    return (
+        changes.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+    )

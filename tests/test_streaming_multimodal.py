@@ -1,0 +1,142 @@
+"""Streaming extension, multimodal plumbing, and IO source/sink tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkdiff.multimodal.binaryops import (
+    FEATURE_DIM,
+    decode_assets,
+    extract_features,
+    frame_sample,
+    synthesize_assets,
+)
+from sparkdiff.session import load_table
+from sparkdiff.sources.io import read_csv, to_json_records, write_csv
+from sparkdiff.streaming.validate import (
+    incremental_validation,
+    read_events_stream,
+    windowed_event_counts,
+)
+
+from .conftest import SF_DIR_SMALL
+
+
+# --- streaming -----------------------------------------------------------
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """The streaming windowed agg over the events dir must agree with the
+    equivalent batch aggregation (memory sink + availableNow drain)."""
+    stream = read_events_stream(spark, SF_DIR_SMALL)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        )
+    )
+    expected = {(r.h, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_incremental_validation_diffs_only_batch_pks(spark, tmp_path):
+    reference = load_table(spark, SF_DIR_SMALL, "customer")
+    # stream of "changed rows": mutate c_name for a slice of customers
+    changed = (
+        reference.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_name", F.concat("c_name", F.lit("_changed")))
+    )
+    changes_dir = str(tmp_path / "changes")
+    changed.write.parquet(changes_dir)
+    stream = spark.readStream.schema(changed.schema).parquet(changes_dir)
+
+    seen: list = []
+    writer = incremental_validation(
+        stream, reference, "c_custkey", lambda df, bid: seen.append(df.collect())
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "ckpt2")).start()
+    q.awaitTermination(120)
+    rows = [r for batch in seen for r in batch]
+    assert rows, "no diffs surfaced by incremental validation"
+    assert {r.column_name for r in rows} == {"c_name"}
+    assert all(int(r.pk_value) % 10 == 0 for r in rows)
+
+
+# --- multimodal ----------------------------------------------------------
+
+@pytest.fixture()
+def assets(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents").limit(50)
+    return synthesize_assets(d, "doc_id", "text")
+
+
+def test_decode_assets_shapes(assets):
+    rows = decode_assets(assets).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0 and len(r.sha256) == 64
+        assert r.width is not None and r.height is not None
+
+
+def test_decode_real_codec_is_stubbed(assets):
+    with pytest.raises(Exception) as ei:
+        decode_assets(assets, real_codec=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_feature_extraction_dim_and_determinism(assets):
+    a = {r.asset_id: r.features for r in extract_features(assets).collect()}
+    b = {r.asset_id: r.features for r in extract_features(assets).collect()}
+    assert a == b
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    assert all(0.0 <= x < 1.0 for v in a.values() for x in v)
+
+
+def test_frame_sampling(assets):
+    frames = frame_sample(assets, every_n=5).collect()
+    assert frames, "no video frames sampled"
+    by_asset: dict = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    for idxs in by_asset.values():
+        assert sorted(idxs) == idxs or sorted(idxs) == sorted(set(idxs))
+        assert all(i % 5 == 0 for i in idxs)
+
+
+# --- io ------------------------------------------------------------------
+
+def test_csv_roundtrip_and_json_records(spark, tmp_path):
+    df = load_table(spark, SF_DIR_SMALL, "region")
+    out = str(tmp_path / "region_csv")
+    write_csv(df, out, single_file=True)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    js = to_json_records(df.limit(1)).collect()[0].json
+    assert js.startswith('{"r_regionkey":')
