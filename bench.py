@@ -24,6 +24,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("sparkdiff-bench")
+    # warm the JVM + parquet footer caches so per-query numbers measure
+    # the queries, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)

@@ -490,4 +490,61 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q38_metrics_discovery": """
+        WITH m(id, table_name, primary_column, h, s, oh, hpk, os, spk, dd, dpk) AS (
+            VALUES
+            (1,'CUSTOMER','ID',1500,1500,0,CAST([] AS VARCHAR[]),0,CAST([] AS VARCHAR[]),1,['FTP_CSV_11']),
+            (2,'TRANSACTION','ID',408623,408653,1,['FTP_CSV_12'],31,['KFK_0'],375448,['FTP_CSV_11']),
+            (3,'EMPTYTABLE','ID',0,0,0,CAST([] AS VARCHAR[]),0,CAST([] AS VARCHAR[]),0,CAST([] AS VARCHAR[])),
+            (4,'CLEANTABLE','ID',10,10,0,CAST([] AS VARCHAR[]),0,CAST([] AS VARCHAR[]),0,CAST([] AS VARCHAR[]))
+        )
+        SELECT table_name,
+               CAST(h AS BIGINT) AS total_record_count_hive,
+               CAST(s AS BIGINT) AS total_record_count_sf,
+               array_to_string(dpk, ',') AS discrepancy_pks
+        FROM m
+        WHERE (h > 0 OR s > 0)
+          AND (len(hpk) > 0 OR len(spk) > 0 OR len(dpk) > 0)
+        ORDER BY table_name
+    """,
+    "q39_function_surface": """
+        SELECT c_custkey,
+               CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+               CAST(instr(c_name, '0') AS BIGINT) AS zero_pos,
+               sha256(c_name) AS name_sha256,
+               md5(c_name) AS name_md5,
+               split_part(c_name, '#', 2) AS num_part,
+               CAST(COALESCE(list_position(
+                   string_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
+                   c_mktsegment), 0) AS BIGINT) AS segment_slot,
+               c_name AS decoded_name,
+               CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign,
+               trim(COALESCE(c_mktsegment, '')) AS segment
+        FROM customer
+        WHERE c_custkey % 50 = 0
+    """,
+    "q40_change_detection": f"""
+        WITH {PAIR_SQL_CTES},
+        sp AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS pk_value,
+                   md5(concat_ws(chr(31),
+                       COALESCE(CAST(c_name AS VARCHAR), 'NULL'),
+                       COALESCE(CAST(c_nationkey AS VARCHAR), 'NULL'),
+                       COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS VARCHAR), 'NULL')
+                   )) AS sparse_fp
+            FROM sf
+        ),
+        dw AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS pk_value,
+                   md5(concat_ws(chr(31),
+                       COALESCE(CAST(c_name AS VARCHAR), 'NULL'),
+                       COALESCE(CAST(c_nationkey AS VARCHAR), 'NULL'),
+                       COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS VARCHAR), 'NULL')
+                   )) AS dw_fp
+            FROM hive
+        )
+        SELECT sp.pk_value, sp.sparse_fp, COALESCE(dw.dw_fp, 'MISSING') AS dw_fp
+        FROM sp LEFT JOIN dw ON sp.pk_value = dw.pk_value
+        WHERE dw.dw_fp IS NULL OR sp.sparse_fp <> dw.dw_fp
+    """,
 }

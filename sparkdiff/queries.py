@@ -741,6 +741,97 @@ def q37_source_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Metrics discovery, scalar-function surface, md5 change detection
+# (S2/P4/T1, F2-F10/F23, J3/P7/F6)
+# ---------------------------------------------------------------------------
+
+def q38_metrics_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P4+T1: the metrics-table discovery scan — keep rows with any
+    records and any non-empty PK array, ordered (the exact WHERE/ORDER BY
+    of ``tools/snowflake_tool.py:23-39``) — over a literal metrics
+    relation shaped like ``db-setup.sql:76-102``."""
+    rows = [
+        (1, "CUSTOMER", "ID", 1500, 1500, 0, [], 0, [], 1, ["FTP_CSV_11"]),
+        (2, "TRANSACTION", "ID", 408623, 408653, 1, ["FTP_CSV_12"], 31, ["KFK_0"], 375448, ["FTP_CSV_11"]),
+        (3, "EMPTYTABLE", "ID", 0, 0, 0, [], 0, [], 0, []),
+        (4, "CLEANTABLE", "ID", 10, 10, 0, [], 0, [], 0, []),
+    ]
+    schema = (
+        "id long, table_name string, primary_column string, "
+        "total_record_count_hive long, total_record_count_sf long, "
+        "row_count_only_in_hive long, hive_only_pk_values array<string>, "
+        "row_count_only_in_sf long, sf_only_pk_values array<string>, "
+        "row_count_data_discrepancy long, data_discrepancy_pk_values array<string>"
+    )
+    m = spark.createDataFrame(rows, schema)
+    filtered = m.filter(
+        (
+            (F.col("total_record_count_hive") > 0)
+            | (F.col("total_record_count_sf") > 0)
+        )
+        & (
+            (F.size("hive_only_pk_values") > 0)
+            | (F.size("sf_only_pk_values") > 0)
+            | (F.size("data_discrepancy_pk_values") > 0)
+        )
+    )
+    return filtered.select(
+        "table_name",
+        "total_record_count_hive",
+        "total_record_count_sf",
+        F.array_join("data_discrepancy_pk_values", ",").alias("discrepancy_pks"),
+    ).orderBy("table_name")
+
+
+def q39_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect function surface in one projection (converter rules
+    7/9/10/12/21/35: locate/instr, sha2, md5, split[n], find_in_set,
+    url_decode, trim/coalesce/if)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    name = F.col("c_name")
+    encoded = F.regexp_replace(name, "#", "%23")
+    return c.select(
+        "c_custkey",
+        F.locate("#", name).cast("long").alias("hash_pos"),
+        F.instr(name, "0").cast("long").alias("zero_pos"),
+        F.sha2(name, 256).alias("name_sha256"),
+        F.md5(name).alias("name_md5"),
+        F.split(name, "#")[1].alias("num_part"),
+        F.find_in_set(
+            F.col("c_mktsegment"),
+            F.lit("BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE"),
+        ).cast("long").alias("segment_slot"),
+        F.url_decode(encoded).alias("decoded_name"),
+        F.expr("if(c_acctbal >= 0, 'pos', 'neg')").alias("bal_sign"),
+        F.trim(F.coalesce(F.col("c_mktsegment"), F.lit(""))).alias("segment"),
+    )
+
+
+def q40_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+P7+F6: the workload's md5-row-hash change detection — sparse
+    LEFT OUTER JOIN dw, keep rows whose canonical row fingerprints differ
+    (converter example ``script_converter_tool.py:168-170``).  Validates
+    ``row_fingerprint`` itself cross-engine (md5 over canonical strings
+    must be bit-identical)."""
+    from sparkdiff.functions.canonical import row_fingerprint
+
+    hive, sf = testkit.hive_sf_pair(spark, sf_dir)
+    cols = ["c_name", "c_nationkey", "c_acctbal"]
+    sparse = sf.select(
+        F.col("c_custkey").cast("string").alias("pk_value"),
+        row_fingerprint(sf, cols).alias("sparse_fp"),
+    )
+    dw = hive.select(
+        F.col("c_custkey").cast("string").alias("pk_value"),
+        row_fingerprint(hive, cols).alias("dw_fp"),
+    )
+    j = sparse.join(dw, "pk_value", "left_outer")
+    return j.filter(
+        F.col("dw_fp").isNull() | (F.col("sparse_fp") != F.col("dw_fp"))
+    ).select("pk_value", "sparse_fp", F.coalesce("dw_fp", F.lit("MISSING")).alias("dw_fp"))
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -779,4 +870,7 @@ QUERIES: dict[str, callable] = {
     "q35_entity_extraction": q35_entity_extraction,
     "q36_word_boundary_classify": q36_word_boundary_classify,
     "q37_source_insights": q37_source_insights,
+    "q38_metrics_discovery": q38_metrics_discovery,
+    "q39_function_surface": q39_function_surface,
+    "q40_change_detection": q40_change_detection,
 }

@@ -124,6 +124,27 @@ def test_frame_sampling(assets):
         assert all(i % 5 == 0 for i in idxs)
 
 
+# --- embedding encoder (X6) ---------------------------------------------
+
+def test_embedding_encoder_plumbing(spark):
+    from sparkdiff.functions.embed import EMBED_DIM, encode_text
+    from sparkdiff.operators.similarity import cosine_topk
+
+    d = load_table(spark, SF_DIR_SMALL, "documents").limit(30)
+    emb = d.select("doc_id", encode_text(F.col("text")).alias("embedding"))
+    rows = emb.collect()
+    assert all(len(r.embedding) == EMBED_DIM for r in rows)
+    # deterministic across evaluations
+    again = {r.doc_id: r.embedding for r in emb.collect()}
+    assert {r.doc_id: r.embedding for r in rows} == again
+    # composes with the similarity operator
+    top = cosine_topk(
+        emb.limit(3), emb, "doc_id", "doc_id", "embedding", "embedding", k=2
+    ).collect()
+    self_hits = {r.query_id for r in top if r.query_id == r.corpus_id and r.rank == 1}
+    assert len(self_hits) == 3  # each text is its own nearest neighbor
+
+
 # --- io ------------------------------------------------------------------
 
 def test_csv_roundtrip_and_json_records(spark, tmp_path):
