@@ -1,0 +1,70 @@
+"""As-of join — an operator the reference lacks (SURVEY §2.3 MISSING)
+and Spark has no native form for.
+
+Implemented as the union+window composition (preference order (a) from
+the build guidance: compose built-in ops before reaching for
+``applyInPandas``):
+
+1. tag left (probe) rows and right (reference) rows, union them on the
+   shared (key, ts) spine;
+2. one window per key ordered by (ts, tag): ``last(right_value,
+   ignorenulls)`` over ``rowsBetween(unboundedPreceding, 0)`` carries
+   the most recent right row forward;
+3. keep probe rows.
+
+One shuffle on the key — the same cost as a plain equi-join — versus
+``merge_asof`` per group in pandas (Arrow round-trip + python).  Ties
+(equal ts) match the right row (tag order sorts right rows first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row: the latest right row with ``right.ts <=
+    left.ts`` for the same key.  Output = left columns + ``value_cols``
+    (NULL when no prior right row exists)."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(
+            l_tag.schema["_left"].dataType
+        ).alias("_left"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    spine = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = spine.select(
+        "_tag",
+        "_left",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_vc_{c}")
+            for c in value_cols
+        ],
+    )
+    probe = carried.filter(F.col("_tag") == 1)
+    return probe.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_vc_{c}").alias(c) for c in value_cols],
+    )

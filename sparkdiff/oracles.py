@@ -547,4 +547,62 @@ ORACLES: dict[str, str] = {
         FROM sp LEFT JOIN dw ON sp.pk_value = dw.pk_value
         WHERE dw.dw_fp IS NULL OR sp.sparse_fp <> dw.dw_fp
     """,
+    "q41_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "q42_set_ops": """
+        WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             filled_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'both' AS tag, o_custkey FROM (
+            SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM filled_c
+        )
+        UNION ALL
+        SELECT 'only_open', o_custkey FROM (
+            SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM filled_c
+        )
+    """,
+    "q43_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+               CAST(lag(o_orderdate) OVER w_time AS DATE) AS prev_date,
+               CAST(lead(o_orderdate) OVER w_time AS DATE) AS next_date,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                   AS running_total,
+               CAST(ntile(4) OVER w_time AS BIGINT) AS quartile
+        FROM orders
+        WHERE o_custkey % 20 = 0
+        WINDOW w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q44_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+            SELECT user_id, ts, err_event_id, err_value FROM (
+                SELECT user_id, ts, event_id AS err_event_id, value AS err_value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'error'
+            ) WHERE rn = 1
+        )
+        SELECT c.user_id, c.event_id, e.err_event_id, e.err_value
+        FROM clicks c
+        ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    "q45_pivot": """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
 }

@@ -1,0 +1,68 @@
+"""Discrepancy-suggestion stage (SURVEY §3.1 step 3) — deterministic
+core of ``tools/discrepancy_suggester_tool.py``.
+
+For each diff-flagged column, locate its first word-boundary occurrence
+in each paired workload script (P8, ``:146-148``) and extract a ±N-line
+context window (P13, ``:85-93``).  The reference then sends each
+(column, snippet-pair) to OpenAI; here the LLM is an optional callback
+on top of this DataFrame — the data plane stays deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def suggest_snippets(
+    spark: SparkSession,
+    diff_columns: DataFrame,
+    script_pairs: dict[str, tuple[str | None, str | None]],
+    window_lines: int = 50,
+) -> DataFrame:
+    """``(column_name, suffix, side, first_line, snippet)`` per flagged
+    column × script where the column appears.
+
+    ``diff_columns`` needs a ``column_name`` column (e.g. the output of
+    ``diff_report``/``cell_diff``); scripts are exploded to lines, hits
+    found with a case-insensitive word-boundary regex, and the ±N-line
+    window reassembled — all as one plan (scripts broadcast: tiny side).
+    """
+    rows = []
+    for suffix, (hive, sf) in script_pairs.items():
+        if hive is not None:
+            rows.append((suffix, "hive", hive))
+        if sf is not None:
+            rows.append((suffix, "sf", sf))
+    scripts = spark.createDataFrame(rows, "suffix string, side string, content string")
+    lines = scripts.select(
+        "suffix",
+        "side",
+        F.posexplode(F.split("content", "\n")).alias("line_no", "line"),
+    )
+    cols = diff_columns.select("column_name").distinct()
+    hits = (
+        lines.join(F.broadcast(cols))
+        .filter(
+            F.regexp_like(
+                F.col("line"),
+                F.concat(F.lit(r"(?i)\b"), F.col("column_name"), F.lit(r"\b")),
+            )
+        )
+        .groupBy("column_name", "suffix", "side")
+        .agg(F.min("line_no").alias("first_line"))
+    )
+    windowed = (
+        hits.join(lines, ["suffix", "side"])
+        .filter(
+            (F.col("line_no") >= F.col("first_line") - window_lines)
+            & (F.col("line_no") <= F.col("first_line") + window_lines)
+        )
+        .groupBy("column_name", "suffix", "side", "first_line")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list(F.struct("line_no", "line"))).getField("line")
+            ).alias("snippet")
+        )
+    )
+    return windowed

@@ -832,6 +832,103 @@ def q40_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pk_value", "sparse_fp", F.coalesce("dw_fp", F.lit("MISSING")).alias("dw_fp"))
 
 
+# ---------------------------------------------------------------------------
+# Spark-native extensions the reference lacks (SURVEY §2 "MISSING" rows):
+# rollup, set ops, full window suite, as-of join, pivot
+# ---------------------------------------------------------------------------
+
+def q41_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (free in Spark; absent in reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+    )
+
+
+def q42_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational INTERSECT / EXCEPT (§2.7 MISSING): customers with both
+    open and filled orders vs only-open."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    filled_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(filled_c).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    only_open = open_c.exceptAll(filled_c).select(
+        F.lit("only_open").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(only_open)
+
+
+def q43_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-function suite (§2.5 MISSING rows): dense_rank,
+    lag/lead, ntile, and a running sum with an explicit ROWS frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(by_price).cast("long").alias("price_rank"),
+        F.lag(F.col("o_orderdate").cast("date")).over(by_time).alias("prev_date"),
+        F.lead(F.col("o_orderdate").cast("date")).over(by_time).alias("next_date"),
+        (F.sum(_cents("o_totalprice")).over(running) / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        F.ntile(4).over(by_time).cast("long").alias("quartile"),
+    )
+
+
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.3 MISSING; no native Spark operator): for each
+    click event, the latest error event of the same user at or before
+    it.  Union+window composition — one shuffle, no pandas."""
+    from sparkdiff.operators.asof import asof_join
+    from sparkdiff.operators.workload import keep_max
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_event_id"),
+        F.col("value").alias("err_value"),
+    )
+    # unique right rows per (user, ts) so the carried row is well-defined
+    errors = keep_max(errors, ["user_id", "ts"], ["err_event_id"])
+    joined = asof_join(
+        clicks, errors, key="user_id", ts="ts", value_cols=["err_event_id", "err_value"]
+    )
+    return joined.select(
+        "user_id", "event_id", "err_event_id", "err_value"
+    )
+
+
+def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per status) with explicit value list so the
+    output schema is static — absent combinations coalesced to 0."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -873,4 +970,9 @@ QUERIES: dict[str, callable] = {
     "q38_metrics_discovery": q38_metrics_discovery,
     "q39_function_surface": q39_function_surface,
     "q40_change_detection": q40_change_detection,
+    "q41_rollup": q41_rollup,
+    "q42_set_ops": q42_set_ops,
+    "q43_window_suite": q43_window_suite,
+    "q44_asof_join": q44_asof_join,
+    "q45_pivot": q45_pivot,
 }
