@@ -22,9 +22,9 @@ from sparkdiff.queries import QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-table parity metrics (presence + cell discrepancies)
-    on the perturbed customer pair at sf0.001 — the reference's `/process`
-    pipeline as one distributed job."""
-    return QUERIES["q04_metrics_summary"](spark, "/root/testdata/sf0.001")
+    on the perturbed lineitem pair at sf0.001 — the reference's `/process`
+    pipeline at its production scale class, as one distributed job."""
+    return QUERIES["q46_lineitem_diff"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

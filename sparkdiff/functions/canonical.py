@@ -52,7 +52,7 @@ def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
         rendered = c.cast(DECIMAL_RENDER).cast("string")
     elif isinstance(c_t, T.DecimalType):
         rendered = c.cast(DECIMAL_RENDER).cast("string")
-    elif isinstance(c_t, T.TimestampType):
+    elif isinstance(c_t, (T.TimestampType, T.TimestampNTZType)):
         rendered = F.date_format(c, TS_FORMAT)
     elif isinstance(c_t, T.DateType):
         rendered = F.date_format(c, "yyyy-MM-dd")

@@ -15,7 +15,29 @@ from sparkdiff.plans.parity import (
     PARITY_BASE_CTES,
 )
 from sparkdiff.functions.textstats import sql_lang_id, sql_quality_score
-from sparkdiff.testkit import PAIR_SQL_CTES
+from sparkdiff.testkit import LINEITEM_PAIR_SQL_CTES, PAIR_SQL_CTES
+
+
+def _li_fp(alias: str) -> str:
+    """md5 canonical row fingerprint for the lineitem pair (must mirror
+    functions/canonical.py exactly: decimal(18,4) doubles, second-
+    precision timestamps, NULL sentinel, \\x1f separator)."""
+    canon = {
+        "l_partkey": "CAST({c} AS VARCHAR)",
+        "l_suppkey": "CAST({c} AS VARCHAR)",
+        "l_quantity": "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)",
+        "l_extendedprice": "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)",
+        "l_discount": "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)",
+        "l_tax": "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)",
+        "l_returnflag": "CAST({c} AS VARCHAR)",
+        "l_linestatus": "CAST({c} AS VARCHAR)",
+        "l_shipdate": "strftime({c}, '%Y-%m-%d %H:%M:%S')",
+    }
+    parts = ", ".join(
+        f"COALESCE({tpl.format(c=alias + '.' + c)}, 'NULL')"
+        for c, tpl in canon.items()
+    )
+    return f"md5(concat_ws(chr(31), {parts}))"
 
 _QTERMS = ("slow", "error", "merge")
 _HITS = " + ".join(
@@ -604,5 +626,22 @@ ORACLES: dict[str, str] = {
                SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "q46_lineitem_diff": f"""
+        WITH {LINEITEM_PAIR_SQL_CTES},
+        h AS (SELECT li_pk AS pk, {_li_fp('hive_li')} AS fp_h FROM hive_li),
+        s AS (SELECT li_pk AS pk, {_li_fp('sf_li')} AS fp_s FROM sf_li)
+        SELECT
+            SUM(CASE WHEN fp_h IS NOT NULL THEN 1 ELSE 0 END) AS total_record_count_hive,
+            SUM(CASE WHEN fp_s IS NOT NULL THEN 1 ELSE 0 END) AS total_record_count_sf,
+            SUM(CASE WHEN fp_s IS NULL AND fp_h IS NOT NULL THEN 1 ELSE 0 END) AS row_count_only_in_hive,
+            SUM(CASE WHEN fp_h IS NULL AND fp_s IS NOT NULL THEN 1 ELSE 0 END) AS row_count_only_in_sf,
+            SUM(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
+                     THEN 1 ELSE 0 END) AS row_count_data_discrepancy,
+            MIN(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
+                     THEN pk END) AS min_discrepant_pk,
+            MAX(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
+                     THEN pk END) AS max_discrepant_pk
+        FROM h FULL OUTER JOIN s USING (pk)
     """,
 }

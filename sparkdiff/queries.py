@@ -929,6 +929,41 @@ def q45_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_lineitem_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP at production scale class: full-table presence + cell
+    diff over a perturbed lineitem pair (~600k rows/side at sf0.1 — the
+    scale the reference's TRANSACTION metrics imply, where it fell back
+    to 3 ids per request).  One full-outer fingerprint join; counts plus
+    numeric min/max of the discrepant pks."""
+    from sparkdiff.functions.canonical import row_fingerprint
+
+    hive, sf = testkit.lineitem_pair(spark, sf_dir)
+    cols = [c for c in hive.columns if c != "li_pk"]
+    h = hive.select(
+        F.col("li_pk").alias("pk"), row_fingerprint(hive, cols).alias("fp_h")
+    )
+    s = sf.select(
+        F.col("li_pk").alias("pk"), row_fingerprint(sf, cols).alias("fp_s")
+    )
+    j = h.join(s, "pk", "full_outer")
+    hive_only = F.col("fp_s").isNull() & F.col("fp_h").isNotNull()
+    sf_only = F.col("fp_h").isNull() & F.col("fp_s").isNotNull()
+    mismatch = (
+        F.col("fp_h").isNotNull()
+        & F.col("fp_s").isNotNull()
+        & (F.col("fp_h") != F.col("fp_s"))
+    )
+    return j.agg(
+        F.sum(F.col("fp_h").isNotNull().cast("long")).alias("total_record_count_hive"),
+        F.sum(F.col("fp_s").isNotNull().cast("long")).alias("total_record_count_sf"),
+        F.sum(hive_only.cast("long")).alias("row_count_only_in_hive"),
+        F.sum(sf_only.cast("long")).alias("row_count_only_in_sf"),
+        F.sum(mismatch.cast("long")).alias("row_count_data_discrepancy"),
+        F.min(F.when(mismatch, F.col("pk"))).alias("min_discrepant_pk"),
+        F.max(F.when(mismatch, F.col("pk"))).alias("max_discrepant_pk"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -975,4 +1010,5 @@ QUERIES: dict[str, callable] = {
     "q43_window_suite": q43_window_suite,
     "q44_asof_join": q44_asof_join,
     "q45_pivot": q45_pivot,
+    "q46_lineitem_diff": q46_lineitem_diff,
 }

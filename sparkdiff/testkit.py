@@ -59,6 +59,84 @@ def hive_sf_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return hive, sf
 
 
+def lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Perturbed pair at the reference's production scale class
+    (TRANSACTION ≈ 408k rows/side, ``db-setup.sql:90-102``): lineitem
+    with a synthetic pk (orderkey*8 + linenumber) and the same
+    modulus-keyed edit classes as :func:`hive_sf_pair`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # the diff base is a deterministic per-key rollup (max per column —
+    # engine-independent), keyed by orderkey*8+linenumber (linenumber<8).
+    base = (
+        li.groupBy(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("li_pk")
+        )
+        .agg(
+            *[
+                F.max(c).alias(c)
+                for c in li.columns
+                if c not in ("l_orderkey", "l_linenumber")
+            ]
+        )
+    )
+    k = F.col("li_pk")
+    hive = base
+    mutated = (
+        base.filter(k % 101 != 0)
+        .withColumn(
+            "l_quantity",
+            F.when(k % 97 == 0, F.col("l_quantity") + 1).otherwise(
+                F.col("l_quantity")
+            ),
+        )
+        .withColumn(
+            "l_extendedprice",
+            F.when(k % 89 == 0, F.round(F.col("l_extendedprice"), 0)).otherwise(
+                F.col("l_extendedprice")
+            ),
+        )
+    )
+    inserted = base.filter(k % 103 == 0).withColumn(
+        "li_pk", k + F.lit(1_000_000_000)
+    )
+    return hive, mutated.unionByName(inserted)
+
+
+#: DuckDB CTEs equivalent to :func:`lineitem_pair`.
+LINEITEM_PAIR_SQL_CTES = """
+base AS (
+    SELECT l_orderkey * 8 + l_linenumber AS li_pk,
+           max(l_partkey) AS l_partkey,
+           max(l_suppkey) AS l_suppkey,
+           max(l_quantity) AS l_quantity,
+           max(l_extendedprice) AS l_extendedprice,
+           max(l_discount) AS l_discount,
+           max(l_tax) AS l_tax,
+           max(l_returnflag) AS l_returnflag,
+           max(l_linestatus) AS l_linestatus,
+           max(l_shipdate) AS l_shipdate
+    FROM lineitem
+    GROUP BY l_orderkey * 8 + l_linenumber
+),
+hive_li AS (SELECT * FROM base),
+sf_li AS (
+    SELECT li_pk, l_partkey, l_suppkey,
+           CASE WHEN li_pk % 97 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+           CASE WHEN li_pk % 89 = 0 THEN round(l_extendedprice, 0) ELSE l_extendedprice END AS l_extendedprice,
+           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+    FROM base
+    WHERE li_pk % 101 <> 0
+    UNION ALL
+    SELECT li_pk + 1000000000, l_partkey, l_suppkey,
+           l_quantity, l_extendedprice, l_discount, l_tax,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM base
+    WHERE li_pk % 103 = 0
+)
+"""
+
+
 #: DuckDB CTEs equivalent to :func:`hive_sf_pair` (views `customer` etc. are
 #: pre-registered by the driver's oracle runner).
 PAIR_SQL_CTES = """
