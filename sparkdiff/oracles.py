@@ -644,4 +644,31 @@ ORACLES: dict[str, str] = {
                      THEN pk END) AS max_discrepant_pk
         FROM h FULL OUTER JOIN s USING (pk)
     """,
+    "q47_shipping_priority": """
+        SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 1000000.0
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    "q48_local_supplier_volume": """
+        SELECT n.n_name,
+               SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 1000000.0
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    """,
 }

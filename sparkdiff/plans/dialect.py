@@ -35,9 +35,16 @@ def _rewrite_collect_max_one(m: re.Match) -> str:
     """``collect_max_one(value, ord)`` keeps the value whose ``ord`` is
     maximal, yielding NULL when the winning ord is 0 (i.e. the column was
     NULL on every row).  Native equivalent:
-    ``CASE WHEN max(ord)=0 THEN NULL ELSE max_by(value, ord) END``."""
+    ``CASE WHEN max(ord)=0 THEN NULL ELSE max_by(value, struct(ord, value))
+    END`` — the struct ordering pins tie-breaks to the string-max of the
+    value, exactly what the Snowflake form
+    ``SUBSTRING(MAX(CONCAT(pad(ts), val)), 14)`` (converter rule 13)
+    does when two rows share the winning timestamp (SURVEY §7.4 #2)."""
     val, ordk = m.group("val"), m.group("ord")
-    expr = f"CASE WHEN max({ordk}) = 0 THEN NULL ELSE max_by({val}, {ordk}) END"
+    expr = (
+        f"CASE WHEN max({ordk}) = 0 THEN NULL "
+        f"ELSE max_by({val}, struct({ordk}, {val})) END"
+    )
     if m.group("cast_open"):
         expr = f"CAST({expr} AS {m.group('cast_type').strip()})"
     return expr

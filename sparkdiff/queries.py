@@ -964,6 +964,53 @@ def q46_lineitem_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-table join headliners (join planning / broadcast strategy at scale)
+# ---------------------------------------------------------------------------
+
+def q47_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way join + grouped revenue + top-10 (tests the
+    join order + TakeOrderedAndProject path Catalyst picks)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e6)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q48_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 5-way join (two broadcast dims) + per-nation
+    revenue — the canonical star-join planning test."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e6)).alias("revenue"))
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1011,4 +1058,6 @@ QUERIES: dict[str, callable] = {
     "q44_asof_join": q44_asof_join,
     "q45_pivot": q45_pivot,
     "q46_lineitem_diff": q46_lineitem_diff,
+    "q47_shipping_priority": q47_shipping_priority,
+    "q48_local_supplier_volume": q48_local_supplier_volume,
 }

@@ -95,6 +95,9 @@ def test_dialect_collect_max_one_runs_on_spark(spark):
     rows = [
         ("a", "old", 1), ("a", "new", 5), ("a", None, 9),
         ("b", None, 3), ("b", None, 4),
+        # 'c': TIE on the winning ord -> string-max value wins (the
+        # Snowflake CONCAT-ordering semantics, SURVEY §7.4 #2)
+        ("c", "alpha", 7), ("c", "zeta", 7), ("c", "beta", 2),
     ]
     spark.createDataFrame(rows, "k string, v string, RowModified long").createOrReplaceTempView("src")
     got = {r.k: r.v for r in spark.sql(rewritten).collect()}
@@ -102,6 +105,7 @@ def test_dialect_collect_max_one_runs_on_spark(spark):
     assert got["a"] == "new"
     # 'b': every value NULL -> max(ord)=0 -> NULL
     assert got["b"] is None
+    assert got["c"] == "zeta"
 
 
 def test_script_pairing():
