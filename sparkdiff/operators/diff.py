@@ -203,6 +203,25 @@ def table_metrics(
     )
 
 
+def exclude_columns_for(conf_df: DataFrame, table_name: str) -> list[str]:
+    """``DW_SHADOW_RUN_CONF`` semantics (``db-setup.sql:29-49``): the
+    exclude-list for a table is a comma-separated string column
+    ``exclude_columns`` keyed by ``table_name``; missing table → no
+    exclusions.  Matching is case/space-insensitive like the rest of the
+    reference's table lookups."""
+    rows = (
+        conf_df.filter(
+            F.upper(F.trim(F.col("table_name")))
+            == str(table_name).strip().upper()
+        )
+        .select("exclude_columns")
+        .collect()
+    )
+    if not rows or rows[0][0] is None:
+        return []
+    return [c.strip() for c in str(rows[0][0]).split(",") if c.strip()]
+
+
 @dataclass
 class TableDiff:
     """Bundle of the three diff views for one table pair."""

@@ -671,4 +671,12 @@ ORACLES: dict[str, str] = {
         WHERE c.c_nationkey = s.s_nationkey
         GROUP BY n.n_name
     """,
+    "q49_chunking": """
+        SELECT d.doc_id,
+               CAST((s - 1) // 450 AS BIGINT) AS chunk_idx,
+               substr(d.text, CAST(s AS INTEGER), 500) AS chunk,
+               CAST(length(substr(d.text, CAST(s AS INTEGER), 500)) AS BIGINT) AS chunk_len
+        FROM documents d,
+             UNNEST(generate_series(1, greatest(length(d.text), 1), 450)) AS g(s)
+    """,
 }

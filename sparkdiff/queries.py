@@ -1011,6 +1011,28 @@ def q48_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: document chunking (500-char windows, 50 overlap — the
+    reference's RAG chunker constants, ``tools/rag_tool.py:38-46``) as a
+    native explode; chunk start positions stride by size-overlap."""
+    size, overlap = 500, 50
+    stride = size - overlap
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(F.col("text"), s, F.lit(size)))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1060,4 +1082,5 @@ QUERIES: dict[str, callable] = {
     "q46_lineitem_diff": q46_lineitem_diff,
     "q47_shipping_priority": q47_shipping_priority,
     "q48_local_supplier_volume": q48_local_supplier_volume,
+    "q49_chunking": q49_chunking,
 }

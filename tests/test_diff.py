@@ -71,6 +71,29 @@ def test_diff_report_shape(spark):
         assert r.id == sorted(set(r.id))
 
 
+def test_exclude_columns_conf_table(spark):
+    """DW_SHADOW_RUN_CONF semantics: comma-split, case/space-insensitive
+    table match, missing table -> no exclusions."""
+    from sparkdiff.operators.diff import exclude_columns_for
+
+    conf = spark.createDataFrame(
+        [("CUSTOMER", "ROWMODIFIED, BATCH"), ("ORDERS", None)],
+        "table_name string, exclude_columns string",
+    )
+    assert exclude_columns_for(conf, " customer ") == ["ROWMODIFIED", "BATCH"]
+    assert exclude_columns_for(conf, "orders") == []
+    assert exclude_columns_for(conf, "missing") == []
+    # end-to-end: conf-driven exclusion suppresses the mutated column
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    conf2 = spark.createDataFrame(
+        [("CUSTOMER", "c_mktsegment")], "table_name string, exclude_columns string"
+    )
+    cells = cell_diff(
+        hive, sf, "c_custkey", exclude_cols=exclude_columns_for(conf2, "CUSTOMER")
+    )
+    assert "c_mktsegment" not in {r.column_name for r in cells.collect()}
+
+
 def test_metrics_counts_consistent(spark):
     hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
     m = table_metrics(
