@@ -679,4 +679,13 @@ ORACLES: dict[str, str] = {
         FROM documents d,
              UNNEST(generate_series(1, greatest(length(d.text), 1), 450)) AS g(s)
     """,
+    "q50_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               quantile_cont(l_extendedprice, 0.25) AS p25_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 }

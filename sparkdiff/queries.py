@@ -751,20 +751,19 @@ def q38_metrics_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     records and any non-empty PK array, ordered (the exact WHERE/ORDER BY
     of ``tools/snowflake_tool.py:23-39``) — over a literal metrics
     relation shaped like ``db-setup.sql:76-102``."""
-    rows = [
-        (1, "CUSTOMER", "ID", 1500, 1500, 0, [], 0, [], 1, ["FTP_CSV_11"]),
-        (2, "TRANSACTION", "ID", 408623, 408653, 1, ["FTP_CSV_12"], 31, ["KFK_0"], 375448, ["FTP_CSV_11"]),
-        (3, "EMPTYTABLE", "ID", 0, 0, 0, [], 0, [], 0, []),
-        (4, "CLEANTABLE", "ID", 10, 10, 0, [], 0, [], 0, []),
-    ]
-    schema = (
-        "id long, table_name string, primary_column string, "
-        "total_record_count_hive long, total_record_count_sf long, "
-        "row_count_only_in_hive long, hive_only_pk_values array<string>, "
-        "row_count_only_in_sf long, sf_only_pk_values array<string>, "
-        "row_count_data_discrepancy long, data_discrepancy_pk_values array<string>"
-    )
-    m = spark.createDataFrame(rows, schema)
+    # JVM-side VALUES (a python-list createDataFrame costs ~1.5 s in
+    # py4j/Arrow conversion for even 4 rows)
+    m = spark.sql("""
+        SELECT * FROM VALUES
+        (1L, 'CUSTOMER', 'ID', 1500L, 1500L, 0L, array(), 0L, array(), 1L, array('FTP_CSV_11')),
+        (2L, 'TRANSACTION', 'ID', 408623L, 408653L, 1L, array('FTP_CSV_12'), 31L, array('KFK_0'), 375448L, array('FTP_CSV_11')),
+        (3L, 'EMPTYTABLE', 'ID', 0L, 0L, 0L, array(), 0L, array(), 0L, array()),
+        (4L, 'CLEANTABLE', 'ID', 10L, 10L, 0L, array(), 0L, array(), 0L, array())
+        AS m(id, table_name, primary_column, total_record_count_hive,
+             total_record_count_sf, row_count_only_in_hive, hive_only_pk_values,
+             row_count_only_in_sf, sf_only_pk_values,
+             row_count_data_discrepancy, data_discrepancy_pk_values)
+    """)
     filtered = m.filter(
         (
             (F.col("total_record_count_hive") > 0)
@@ -1033,6 +1032,19 @@ def q49_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (the distributed-sort percentile path; the
+    ``approx_percentile`` variant is the at-scale alternative with the
+    same plan shape)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1083,4 +1095,5 @@ QUERIES: dict[str, callable] = {
     "q47_shipping_priority": q47_shipping_priority,
     "q48_local_supplier_volume": q48_local_supplier_volume,
     "q49_chunking": q49_chunking,
+    "q50_quantiles": q50_quantiles,
 }
