@@ -1037,11 +1037,18 @@ def q50_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` variant is the at-scale alternative with the
     same plan shape)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("p50_qty"),
-        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    agg = l.groupBy("l_returnflag").agg(
+        # one sort buffer for both quantity percentiles, not two
+        F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9))).alias("pq"),
         F.percentile("l_extendedprice", 0.25).alias("p25_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("pq")[0].alias("p50_qty"),
+        F.col("pq")[1].alias("p90_qty"),
+        "p25_price",
+        "n",
     )
 
 
