@@ -81,6 +81,38 @@ def test_incremental_validation_diffs_only_batch_pks(spark, tmp_path):
     assert all(int(r.pk_value) % 10 == 0 for r in rows)
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer's final per-user counts
+    must equal the batch lag-gap sessionization (q29) when the whole
+    table arrives in one run."""
+    from sparkdiff.queries import q29_sessionize
+    from sparkdiff.streaming.sessionize import stateful_sessionize
+    from sparkdiff.streaming.validate import read_events_stream
+
+    stream = read_events_stream(spark, SF_DIR_SMALL)
+    out = stateful_sessionize(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    # processing-time timers keep an availableNow query alive; drain
+    # explicitly and stop
+    q.processAllAvailable()
+    q.stop()
+    # last snapshot per user wins (update mode may emit several)
+    got = {}
+    for r in spark.sql("SELECT * FROM sessions").collect():
+        got[r.user_id] = (r.n_sessions, r.n_events)
+    expected = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q29_sessionize(spark, SF_DIR_SMALL).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 # --- multimodal ----------------------------------------------------------
 
 @pytest.fixture()
