@@ -1,0 +1,32 @@
+"""Smoke-run the example pipelines (subprocess — they own their session)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_parity_pipeline_example():
+    stdout = _run("parity_pipeline.py")
+    assert "tables with discrepancies: ['CUSTOMER']" in stdout
+    assert "LastName" in stdout and "RowModified" in stdout
+
+
+def test_training_data_pipeline_example():
+    stdout = _run("training_data_pipeline.py")
+    assert "-> chunks" in stdout
