@@ -67,9 +67,29 @@ def get_spark(
     return spark
 
 
+#: Runtime-settable confs every query depends on; applied defensively in
+#: ``load_table`` because the driver may hand us a session built without
+#: :func:`get_spark` (no UTC pin -> timestamp canonicals drift; no
+#: nanosAsLong -> the events scan throws PARQUET_TYPE_ILLEGAL).
+REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (column pruning + predicate
     pushdown come free from the parquet scan)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # nanos epoch (read as long under nanosAsLong) -> microsecond ts

@@ -71,6 +71,19 @@ def test_diff_report_shape(spark):
         assert r.id == sorted(set(r.id))
 
 
+def test_load_table_repairs_foreign_sessions(spark):
+    """The driver hands queries ITS OWN session (no UTC pin, no
+    nanosAsLong): load_table must repair it or events scans throw and
+    timestamp canonicals drift."""
+    other = spark.newSession()
+    other.conf.set("spark.sql.session.timeZone", "America/New_York")
+    other.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = load_table(other, SF_DIR_SMALL, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert other.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert df.count() > 0
+
+
 def test_exclude_columns_conf_table(spark):
     """DW_SHADOW_RUN_CONF semantics: comma-split, case/space-insensitive
     table match, missing table -> no exclusions."""
