@@ -48,10 +48,13 @@ TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
 def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
     """Render one column to its canonical string (never NULL)."""
     c = F.col(col) if isinstance(col, str) else col
-    if isinstance(c_t := dtype, (T.DoubleType, T.FloatType)):
-        rendered = c.cast(DECIMAL_RENDER).cast("string")
-    elif isinstance(c_t, T.DecimalType):
-        rendered = c.cast(DECIMAL_RENDER).cast("string")
+    if isinstance(c_t := dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        # values overflowing decimal(18,4) cast to NULL (ANSI off) — fall
+        # back to the engine-native rendering so huge values stay
+        # distinguishable from real NULLs (and from each other)
+        rendered = F.coalesce(
+            c.cast(DECIMAL_RENDER).cast("string"), c.cast("string")
+        )
     elif isinstance(c_t, (T.TimestampType, T.TimestampNTZType)):
         rendered = F.date_format(c, TS_FORMAT)
     elif isinstance(c_t, T.DateType):
@@ -90,7 +93,10 @@ def oracle_canonical_sql(col: str, duck_type: str) -> str:
     """
     t = duck_type.lower()
     if t in ("double", "float", "real") or t.startswith("decimal"):
-        expr = f"CAST(CAST({col} AS DECIMAL(18,4)) AS VARCHAR)"
+        expr = (
+            f"COALESCE(CAST(TRY_CAST({col} AS DECIMAL(18,4)) AS VARCHAR), "
+            f"CAST({col} AS VARCHAR))"
+        )
     elif t.startswith("timestamp"):
         expr = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
     elif t == "date":

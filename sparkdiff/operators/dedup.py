@@ -82,15 +82,22 @@ def with_word_shingles(
     toks_df = df.withColumn(
         "_toks",
         F.filter(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
             lambda t: F.length(t) > 0,
         ),
     )
     n = F.size("_toks")
-    grams = F.when(n < k, F.array(F.concat_ws(" ", F.col("_toks")))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+    # token-free docs get NO shingles (an [''] shingle would put every
+    # empty/null doc in one LSH bucket -> quadratic candidate blowup and
+    # content-free 'duplicates')
+    grams = (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", F.col("_toks"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+            )
         )
     )
     return toks_df.withColumn(out, grams).drop("_toks")

@@ -56,11 +56,15 @@ def _compared_columns(
     """Columns to diff: common to both sides, minus pk and exclusions
     (case-insensitive, as in the reference's upper-cased conf values)."""
     excl = {c.upper() for c in exclude_cols}
-    sf_cols = set(sf_df.columns)
+    # case-insensitive intersection: Snowflake-side frames habitually
+    # carry upper-cased identifiers, and Spark resolves case-insensitively
+    sf_cols = {c.upper() for c in sf_df.columns}
     return [
         c
         for c in hive_df.columns
-        if c != pk and c in sf_cols and c.upper() not in excl
+        if c.upper() != pk.upper()
+        and c.upper() in sf_cols
+        and c.upper() not in excl
     ]
 
 
@@ -74,11 +78,15 @@ def presence_diff(hive_df: DataFrame, sf_df: DataFrame, pk: str) -> DataFrame:
     join: column pruning keeps the shuffle narrow (pk only), and Catalyst
     is free to pick broadcast when one side is small.
     """
-    h = hive_df.select(F.col(pk).cast("string").alias("pk_value")).withColumn(
-        "_h", F.lit(1)
+    h = (
+        hive_df.select(F.col(pk).cast("string").alias("pk_value"))
+        .distinct()
+        .withColumn("_h", F.lit(1))
     )
-    s = sf_df.select(F.col(pk).cast("string").alias("pk_value")).withColumn(
-        "_s", F.lit(1)
+    s = (
+        sf_df.select(F.col(pk).cast("string").alias("pk_value"))
+        .distinct()
+        .withColumn("_s", F.lit(1))
     )
     j = h.join(s, "pk_value", "full_outer")
     return (
@@ -165,20 +173,27 @@ def table_metrics(
     keeps the cap deterministic).
     """
     cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
+    if not cols:
+        raise ValueError(
+            "no common non-excluded columns to diff — refusing to emit a "
+            "vacuous all-clear metrics row"
+        )
 
+    # dedupe each side to one deterministic fingerprint per pk (min),
+    # so ingestion-duplicated pks can't multiply counts through the join
     h = hive_df.select(
         F.col(pk).cast("string").alias("pk_value"),
         row_fingerprint(hive_df, cols).alias("_fp_h"),
-    )
+    ).groupBy("pk_value").agg(F.min("_fp_h").alias("_fp_h"))
     s = sf_df.select(
         F.col(pk).cast("string").alias("pk_value"),
         row_fingerprint(sf_df, cols).alias("_fp_s"),
-    )
+    ).groupBy("pk_value").agg(F.min("_fp_s").alias("_fp_s"))
     j = h.join(s, "pk_value", "full_outer")
 
     def _capped(col):
         arr = F.sort_array(F.collect_list(col))
-        return F.slice(arr, 1, max_pk_values) if max_pk_values else arr
+        return F.slice(arr, 1, max_pk_values) if max_pk_values is not None else arr
 
     hive_only = F.col("_fp_s").isNull() & F.col("_fp_h").isNotNull()
     sf_only = F.col("_fp_h").isNull() & F.col("_fp_s").isNotNull()

@@ -53,4 +53,4 @@ def discrepancy_ids(metrics: DataFrame, table_name: str) -> list[str]:
         .select("data_discrepancy_pk_values")
         .collect()
     )
-    return list(rows[0][0]) if rows else []
+    return list(rows[0][0]) if rows and rows[0][0] is not None else []

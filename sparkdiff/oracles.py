@@ -370,14 +370,21 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 3
     """,
     "q26_ngram_jaccard_dups": """
-        WITH sh AS (
+        WITH norm AS (
             SELECT doc_id,
-                   list_distinct(list_transform(
-                       generate_series(1, length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) - 2),
-                       i -> substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), i, 3)
-                   )) AS s
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
             FROM documents
             WHERE doc_id % 10 = 0
+        ),
+        sh AS (
+            -- mirror the Spark n<k branch: short docs shingle to [norm]
+            SELECT doc_id,
+                   CASE WHEN length(nt) < 3 THEN [nt]
+                        ELSE list_distinct(list_transform(
+                            generate_series(1, length(nt) - 2),
+                            i -> substr(nt, i, 3)))
+                   END AS s
+            FROM norm
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0

@@ -92,12 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanos epoch (read as long under nanosAsLong) -> microsecond ts
+        # nanos epoch (read as long under nanosAsLong) -> microsecond ts.
+        # Integer division: `/` is double division and a ~1.7e18 nanos
+        # value sits above 2^53, so the double round-trip can truncate a
+        # microsecond and move events across bucket boundaries.
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

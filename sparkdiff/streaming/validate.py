@@ -39,15 +39,16 @@ def read_events_stream(
 ) -> DataFrame:
     """Directory-based streaming source (file streams require a dir;
     ``glob`` narrows to the events table inside a testdata sf dir)."""
+    from sparkdiff.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
