@@ -117,16 +117,28 @@ def cell_diff(
     if not cols:
         raise ValueError("no common non-excluded columns to diff")
 
-    h = hive_df.select(
-        F.col(pk).cast("string").alias("pk_value"),
-        row_fingerprint(hive_df, cols).alias("_fp"),
-        *[c.alias(f"_h_{i}") for i, c in enumerate(canonical_columns(hive_df, cols))],
-    )
-    s = sf_df.select(
-        F.col(pk).cast("string").alias("pk_value"),
-        row_fingerprint(sf_df, cols).alias("_fp_s"),
-        *[c.alias(f"_s_{i}") for i, c in enumerate(canonical_columns(sf_df, cols))],
-    )
+    def _side(df: DataFrame, fp_name: str, prefix: str) -> DataFrame:
+        proj = df.select(
+            F.col(pk).cast("string").alias("pk_value"),
+            row_fingerprint(df, cols).alias(fp_name),
+            *[
+                c.alias(f"{prefix}{i}")
+                for i, c in enumerate(canonical_columns(df, cols))
+            ],
+        )
+        # one deterministic row per pk (min over the full struct) — same
+        # duplicate-pk hardening as table_metrics; co-partitioned with the
+        # join key, so AQE plans no extra shuffle
+        value_cols = [c for c in proj.columns if c != "pk_value"]
+        agg = proj.groupBy("pk_value").agg(
+            F.min(F.struct(*value_cols)).alias("_r")
+        )
+        return agg.select(
+            "pk_value", *[F.col(f"_r.{c}").alias(c) for c in value_cols]
+        )
+
+    h = _side(hive_df, "_fp", "_h_")
+    s = _side(sf_df, "_fp_s", "_s_")
 
     changed = h.join(s, "pk_value", "inner").filter(F.col("_fp") != F.col("_fp_s"))
 
