@@ -109,6 +109,84 @@ def _deterministic_planes(n_planes: int, dim: int, seed: int = 0x9E37) -> list[l
     return planes
 
 
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer partitions
+    the (L2-normalized) corpus into ``n_clusters`` inverted lists; each
+    query scores only the ``n_probe`` nearest lists.
+
+    On normalized vectors, euclidean-argmin assignment == cosine-argmax,
+    so a query probing its own cell always finds an exact-duplicate
+    vector.  At scale this is the real ANN shape: the corpus is scanned
+    once at build time, and per-query work is |corpus| * n_probe /
+    n_clusters.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _normalized(df, idc, vc):
+        # two-step: materialize the norm before the per-element lambda
+        # (interpreted HOF lambdas re-evaluate captured expressions per
+        # element — see SCALE.md)
+        step = df.select(
+            F.col(idc).alias("_id"), _as_double(F.col(vc)).alias("_dv")
+        ).withColumn("_n", norm(F.col("_dv")))
+        nv = F.when(F.col("_n") == 0, F.col("_dv")).otherwise(
+            F.transform(F.col("_dv"), lambda x: x / F.col("_n"))
+        )
+        return step.select("_id", nv.alias("_nv"))
+
+    c = _normalized(corpus, corpus_id, corpus_vec)
+    q = _normalized(queries, query_id, query_vec)
+
+    train = c.select("_id", array_to_vector(F.col("_nv")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(train).select(
+        F.col("_id").alias("corpus_id"), F.col("prediction").alias("cell")
+    )
+    c_cells = c.join(
+        assigned, c["_id"] == assigned["corpus_id"]
+    ).select("corpus_id", F.col("_nv").alias("cv"), "cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cell_scores = F.array(
+        *[
+            F.struct(
+                dot(F.col("_nv"), F.array(*[F.lit(x) for x in ctr])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probed = (
+        q.select(
+            F.col("_id").alias("query_id"),
+            F.col("_nv").alias("qv"),
+            F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe).alias("_top"),
+        )
+        .select(
+            "query_id", "qv", F.explode(F.col("_top.cell")).alias("cell")
+        )
+    )
+    scored = c_cells.join(F.broadcast(probed), "cell").select(
+        "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

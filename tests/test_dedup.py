@@ -81,6 +81,29 @@ def test_exact_dedup_removes_true_dups(spark):
     assert out.count() == d.select("text").distinct().count()
 
 
+def test_ivf_cosine_topk_self_recall_and_quality(spark):
+    from sparkdiff.operators.similarity import ivf_cosine_topk
+
+    e = load_table(spark, SF_DIR_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = ivf_cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_clusters=8, n_probe=2,
+    ).collect()
+    # each query probes its own cell -> must find its own vector at rank 1
+    self_hits = {r.query_id for r in approx if r.query_id == r.corpus_id and r.rank == 1}
+    assert self_hits == {r.vec_id for r in q.select("vec_id").collect()}
+    # probing n_probe=ALL cells must reproduce the exact top-k
+    full = ivf_cosine_topk(
+        q, e, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_clusters=8, n_probe=8,
+    )
+    exact = cosine_topk(q, e, "vec_id", "vec_id", "embedding", "embedding", k=3)
+    got = sorted((r.query_id, r.corpus_id, r.rank) for r in full.collect())
+    want = sorted((r.query_id, r.corpus_id, r.rank) for r in exact.collect())
+    assert got == want
+
+
 def test_lsh_cosine_is_subset_and_ranked(spark):
     e = load_table(spark, SF_DIR_SMALL, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
