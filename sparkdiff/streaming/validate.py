@@ -77,6 +77,30 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    close after ``gap`` of inactivity — the built-in counterpart of the
+    custom ``applyInPandasWithState`` sessionizer, usable in both batch
+    and streaming (state bounded by the watermark)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def incremental_validation(
     changes: DataFrame,
     reference_df: DataFrame,

@@ -81,6 +81,30 @@ def test_incremental_validation_diffs_only_batch_pks(spark, tmp_path):
     assert all(int(r.pk_value) % 10 == 0 for r in rows)
 
 
+def test_session_window_counts_match_lag_gap_sessionization(spark):
+    """Native session_window (batch mode) must yield the same per-user
+    session count as the lag-gap formulation (q29)."""
+    from sparkdiff.queries import q29_sessionize
+    from sparkdiff.streaming.validate import session_window_counts
+
+    e = load_table(spark, SF_DIR_SMALL, "events")
+    sw = session_window_counts(e)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q29_sessionize(spark, SF_DIR_SMALL).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """The applyInPandasWithState sessionizer's final per-user counts
     must equal the batch lag-gap sessionization (q29) when the whole
