@@ -60,10 +60,10 @@ ORACLES: dict[str, str] = {
             SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
             SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
             SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 1000000.0 AS sum_disc_price,
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS sum_disc_price,
             SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
-                * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) / 100000000.0 AS sum_charge,
+                * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) / 1000000.0 AS sum_charge,
             CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
                 / (COUNT(*) * 100.0) AS avg_qty,
             CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
@@ -114,17 +114,17 @@ ORACLES: dict[str, str] = {
         SELECT
             'customer' AS table_name,
             'c_custkey' AS primary_column,
-            SUM(CASE WHEN in_h THEN 1 ELSE 0 END) AS total_record_count_hive,
-            SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS total_record_count_sf,
-            SUM(CASE WHEN in_h AND NOT in_s THEN 1 ELSE 0 END) AS row_count_only_in_hive,
+            CAST(SUM(CASE WHEN in_h THEN 1 ELSE 0 END) AS BIGINT) AS total_record_count_hive,
+            CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS total_record_count_sf,
+            CAST(SUM(CASE WHEN in_h AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT) AS row_count_only_in_hive,
             COALESCE(string_agg(CASE WHEN in_h AND NOT in_s THEN pk_value END, ','
                                 ORDER BY CASE WHEN in_h AND NOT in_s THEN pk_value END), '')
                 AS hive_only_pks,
-            SUM(CASE WHEN in_s AND NOT in_h THEN 1 ELSE 0 END) AS row_count_only_in_sf,
+            CAST(SUM(CASE WHEN in_s AND NOT in_h THEN 1 ELSE 0 END) AS BIGINT) AS row_count_only_in_sf,
             COALESCE(string_agg(CASE WHEN in_s AND NOT in_h THEN pk_value END, ','
                                 ORDER BY CASE WHEN in_s AND NOT in_h THEN pk_value END), '')
                 AS sf_only_pks,
-            SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS row_count_data_discrepancy
+            CAST(SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT) AS row_count_data_discrepancy
         FROM flags
     """,
     "q05_rownum_dedup": """
@@ -180,11 +180,11 @@ ORACLES: dict[str, str] = {
     """,
     "q09_conditional_agg": """
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
                COUNT(*) AS n_total,
-               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE) AS total_price
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -413,8 +413,8 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT user_id,
-               SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000
-                        THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM gaps
         GROUP BY user_id
@@ -431,9 +431,9 @@ ORACLES: dict[str, str] = {
     "q31_json_props": """
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                        THEN 1 ELSE 0 END) AS n_k_gt50
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
         FROM events
         GROUP BY event_type
     """,
@@ -628,9 +628,9 @@ ORACLES: dict[str, str] = {
     """,
     "q45_pivot": """
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -639,12 +639,12 @@ ORACLES: dict[str, str] = {
         h AS (SELECT li_pk AS pk, {_li_fp('hive_li')} AS fp_h FROM hive_li),
         s AS (SELECT li_pk AS pk, {_li_fp('sf_li')} AS fp_s FROM sf_li)
         SELECT
-            SUM(CASE WHEN fp_h IS NOT NULL THEN 1 ELSE 0 END) AS total_record_count_hive,
-            SUM(CASE WHEN fp_s IS NOT NULL THEN 1 ELSE 0 END) AS total_record_count_sf,
-            SUM(CASE WHEN fp_s IS NULL AND fp_h IS NOT NULL THEN 1 ELSE 0 END) AS row_count_only_in_hive,
-            SUM(CASE WHEN fp_h IS NULL AND fp_s IS NOT NULL THEN 1 ELSE 0 END) AS row_count_only_in_sf,
-            SUM(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
-                     THEN 1 ELSE 0 END) AS row_count_data_discrepancy,
+            CAST(SUM(CASE WHEN fp_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_record_count_hive,
+            CAST(SUM(CASE WHEN fp_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_record_count_sf,
+            CAST(SUM(CASE WHEN fp_s IS NULL AND fp_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS row_count_only_in_hive,
+            CAST(SUM(CASE WHEN fp_h IS NULL AND fp_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS row_count_only_in_sf,
+            CAST(SUM(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS row_count_data_discrepancy,
             MIN(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
                      THEN pk END) AS min_discrepant_pk,
             MAX(CASE WHEN fp_h IS NOT NULL AND fp_s IS NOT NULL AND fp_h <> fp_s
@@ -654,7 +654,7 @@ ORACLES: dict[str, str] = {
     "q47_shipping_priority": """
         SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
                SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 1000000.0
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0
                    AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -668,7 +668,7 @@ ORACLES: dict[str, str] = {
     "q48_local_supplier_volume": """
         SELECT n.n_name,
                SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 1000000.0
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) / 10000.0
                    AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -57,10 +57,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
             (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(price_c * (100 - disc_c)) / F.lit(1_000_000.0)).alias(
+            (F.sum(price_c * (100 - disc_c)) / F.lit(10_000.0)).alias(
                 "sum_disc_price"
             ),
-            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / F.lit(1e8)).alias(
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / F.lit(1e6)).alias(
                 "sum_charge"
             ),
             (
@@ -983,7 +983,7 @@ def q47_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
-        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e6)).alias("revenue"))
+        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e4)).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -1006,7 +1006,7 @@ def q48_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e6)).alias("revenue"))
+        .agg((F.sum(price_c * (100 - disc_c)) / F.lit(1e4)).alias("revenue"))
     )
 
 

@@ -2,22 +2,31 @@
 
 Runs a Spark query and its oracle SQL side by side and compares
 row count, sorted column names, and the order-insensitive multiset of
-values (columns sorted by name, exact equality — floats must be
-bit-identical, which the queries guarantee by exact-arithmetic design).
+values.  Both sides are fetched THROUGH PANDAS (``toPandas()`` /
+``fetchdf()``) — the same path the driver uses — and values are
+canonicalized type-sensitively, so dtype coercions that a Python-native
+``fetchall()`` would mask (e.g. DuckDB HUGEINT -> float64, turning
+``6`` into ``6.0``) fail locally exactly as they fail at the driver.
+Floats must be bit-identical, which the queries guarantee by
+exact-arithmetic design.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from sparkdiff.session import TESTDATA_TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
         for t in TESTDATA_TABLES:
@@ -25,29 +34,53 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        return con.execute(sql).fetchdf()
     finally:
         con.close()
 
 
-def _norm(v):
+def _canon(v):
+    """Type-tagged canonical rendering — int 6 and float 6.0 must differ,
+    mirroring the driver's value-hash over the pandas fetch."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
+        return ("null", "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+            return ("null", "")
+        return ("float", repr(v))
+    if isinstance(v, bool):
+        return ("bool", str(v))
+    if isinstance(v, int):
+        return ("int", str(v))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("list", tuple(_canon(x) for x in v))
+    if isinstance(v, bytes):
+        return ("bytes", v.hex())
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        # DuckDB's pandas fetch renders DATE columns as midnight
+        # datetime64[ns]; Spark's toPandas keeps datetime.date.  The
+        # driver's hash treats those as equal, so collapse midnight,
+        # tz-naive timestamps to their date.
+        t = pd.Timestamp(v)
+        if t.tz is None and t == t.normalize():
+            return ("date", t.date().isoformat())
+        return ("ts", t.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    return (type(v).__name__, str(v))
 
 
-def _keyed(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rows), key=lambda t: repr(t)
-    )
+def _keyed(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [
+        tuple(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(out)
 
 
 @dataclass
@@ -58,17 +91,21 @@ class CompareResult:
 
 
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> CompareResult:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = run_oracle(oracle_sql, sf_dir)
+    s_pdf = spark_df.toPandas()
+    d_pdf = run_oracle(oracle_sql, sf_dir)
 
     problems = []
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(s_pdf.columns)} "
+            f"duckdb={sorted(d_pdf.columns)}"
+        )
+    if len(s_pdf) != len(d_pdf):
+        problems.append(
+            f"row count differs: spark={len(s_pdf)} duckdb={len(d_pdf)}"
+        )
     if not problems:
-        ks, kd = _keyed(s_cols, s_rows), _keyed(d_cols, d_rows)
+        ks, kd = _keyed(s_pdf), _keyed(d_pdf)
         if ks != kd:
             diffs = [
                 f"  spark={a!r}\n  duck ={b!r}"
