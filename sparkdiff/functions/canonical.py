@@ -45,18 +45,40 @@ DECIMAL_RENDER = "decimal(18,4)"
 TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
 
 
-def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
-    """Render one column to its canonical string (never NULL)."""
+def canonical_col(
+    col: Column | str,
+    dtype: T.DataType,
+    decimal_scale: int | None = 4,
+    ts_format: str = TS_FORMAT,
+) -> Column:
+    """Render one column to its canonical string (never NULL).
+
+    SENSITIVITY FLOOR: the defaults round doubles to ``decimal(18,4)``
+    and timestamps to whole seconds, so differences below 1e-4 (e.g.
+    717.2786 vs 717.278634433 — the reference's own cited discrepancy
+    class, ``agents/suggester_agent.py:42``) or sub-second drift compare
+    as EQUAL.  When both sides come from the same engine (identical
+    float rendering), pass ``decimal_scale=None`` for engine-native
+    full-precision strings and a fractional ``ts_format`` (e.g.
+    ``'yyyy-MM-dd HH:mm:ss.SSSSSS'``) to tighten the floor; the default
+    exists because cross-engine CAST-to-string renderings disagree on
+    trailing digits and scientific-notation thresholds.
+    """
     c = F.col(col) if isinstance(col, str) else col
     if isinstance(c_t := dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        # values overflowing decimal(18,4) cast to NULL (ANSI off) — fall
-        # back to the engine-native rendering so huge values stay
-        # distinguishable from real NULLs (and from each other)
-        rendered = F.coalesce(
-            c.cast(DECIMAL_RENDER).cast("string"), c.cast("string")
-        )
+        if decimal_scale is None:
+            rendered = c.cast("string")
+        else:
+            # values overflowing decimal(18,scale) cast to NULL (ANSI
+            # off) — fall back to the engine-native rendering so huge
+            # values stay distinguishable from real NULLs (and from
+            # each other)
+            rendered = F.coalesce(
+                c.cast(f"decimal(18,{int(decimal_scale)})").cast("string"),
+                c.cast("string"),
+            )
     elif isinstance(c_t, (T.TimestampType, T.TimestampNTZType)):
-        rendered = F.date_format(c, TS_FORMAT)
+        rendered = F.date_format(c, ts_format)
     elif isinstance(c_t, T.DateType):
         rendered = F.date_format(c, "yyyy-MM-dd")
     else:
@@ -66,14 +88,47 @@ def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
     return F.coalesce(rendered, F.lit(NULL_SENTINEL))
 
 
-def canonical_columns(df: DataFrame, cols: Iterable[str] | None = None) -> list[Column]:
-    """Canonical renderings (aliased to the source names) for ``cols``."""
-    by_name = {f.name: f.dataType for f in df.schema.fields}
+def _resolve_fields(
+    df: DataFrame, names: Iterable[str]
+) -> list[tuple[str, str, T.DataType]]:
+    """Resolve requested names to ``(requested, actual, dtype)``
+    case-insensitively — Snowflake-side frames habitually carry
+    upper-cased identifiers while the compared-column list is computed
+    from the hive side, and Spark itself resolves ``F.col`` without case
+    sensitivity by default."""
+    by_upper = {f.name.upper(): (f.name, f.dataType) for f in df.schema.fields}
+    out = []
+    for n in names:
+        try:
+            actual, dtype = by_upper[n.upper()]
+        except KeyError:
+            raise KeyError(
+                f"column {n!r} not found (case-insensitive) in {df.columns}"
+            ) from None
+        out.append((n, actual, dtype))
+    return out
+
+
+def canonical_columns(
+    df: DataFrame,
+    cols: Iterable[str] | None = None,
+    decimal_scale: int | None = 4,
+    ts_format: str = TS_FORMAT,
+) -> list[Column]:
+    """Canonical renderings (aliased to the *requested* names) for ``cols``."""
     names = list(cols) if cols is not None else list(df.columns)
-    return [canonical_col(n, by_name[n]).alias(n) for n in names]
+    return [
+        canonical_col(actual, dtype, decimal_scale, ts_format).alias(requested)
+        for requested, actual, dtype in _resolve_fields(df, names)
+    ]
 
 
-def row_fingerprint(df: DataFrame, cols: Iterable[str]) -> Column:
+def row_fingerprint(
+    df: DataFrame,
+    cols: Iterable[str],
+    decimal_scale: int | None = 4,
+    ts_format: str = TS_FORMAT,
+) -> Column:
     """md5 fingerprint over the canonical rendering of ``cols``.
 
     This is the reference's change-detection primitive
@@ -81,8 +136,10 @@ def row_fingerprint(df: DataFrame, cols: Iterable[str]) -> Column:
     ``tools/script_converter_tool.py:169-170``) and the key to diffing wide
     tables at scale: rows whose fingerprints match are never unpivoted.
     """
-    by_name = {f.name: f.dataType for f in df.schema.fields}
-    parts = [canonical_col(n, by_name[n]) for n in cols]
+    parts = [
+        canonical_col(actual, dtype, decimal_scale, ts_format)
+        for _, actual, dtype in _resolve_fields(df, cols)
+    ]
     return F.md5(F.concat_ws(SEP, *parts))
 
 

@@ -47,16 +47,25 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     hot; this expression form is for composability only.
     """
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9 ]", "")
     return _char_kgrams(norm, k)
 
 
 def _char_kgrams(norm: Column, k: int) -> Column:
     n = F.length(norm)
-    return F.when(n < k, F.array(norm)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.substring(norm, i, F.lit(k)),
+    # content-free docs (empty/null/all-punctuation/whitespace-only) get
+    # NO shingles — same guard as the word-shingle variant: an [''] (or
+    # ['  ']) shingle would give every such doc an identical singleton
+    # set, pairing them at Jaccard 1.0 and blowing up any LSH bucket
+    # they land in
+    return (
+        F.when(F.length(F.trim(norm)) == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(norm))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.substring(norm, i, F.lit(k)),
+            )
         )
     )
 
@@ -70,7 +79,10 @@ def with_char_shingles(
     evaluations per doc; two-step: 1) — a 3× end-to-end win measured at
     sf0.1."""
     norm_df = df.withColumn(
-        "_norm", F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+        "_norm",
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9 ]", ""
+        ),
     )
     return norm_df.withColumn(out, _char_kgrams(F.col("_norm"), k)).drop("_norm")
 

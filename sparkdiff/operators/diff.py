@@ -105,6 +105,8 @@ def cell_diff(
     sf_df: DataFrame,
     pk: str,
     exclude_cols: Sequence[str] = (),
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> DataFrame:
     """Cell-level diff: ``(pk_value, column_name, hive_value, sf_value)``.
 
@@ -112,6 +114,12 @@ def cell_diff(
     Spark equivalent of the proc's ``getColumnValueAsString`` comparison
     (``db-setup.sql:19,27``).  Only rows whose md5 row-fingerprints differ
     are unpivoted (scale design, see module docstring).
+
+    SENSITIVITY FLOOR: with the default ``decimal_scale=4`` /
+    second-precision ``ts_format``, value differences below 1e-4 and
+    sub-second timestamp drift are reported as EQUAL (see
+    ``functions.canonical.canonical_col``).  Same-engine pairs can pass
+    ``decimal_scale=None`` and a fractional ``ts_format`` to tighten it.
     """
     cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
     if not cols:
@@ -120,10 +128,12 @@ def cell_diff(
     def _side(df: DataFrame, fp_name: str, prefix: str) -> DataFrame:
         proj = df.select(
             F.col(pk).cast("string").alias("pk_value"),
-            row_fingerprint(df, cols).alias(fp_name),
+            row_fingerprint(df, cols, decimal_scale, ts_format).alias(fp_name),
             *[
                 c.alias(f"{prefix}{i}")
-                for i, c in enumerate(canonical_columns(df, cols))
+                for i, c in enumerate(
+                    canonical_columns(df, cols, decimal_scale, ts_format)
+                )
             ],
         )
         # one deterministic row per pk (min over the full struct) — same
@@ -176,6 +186,8 @@ def table_metrics(
     table_name: str,
     exclude_cols: Sequence[str] = (),
     max_pk_values: int | None = None,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> DataFrame:
     """One ``dw_data_metrics``-shaped row (``db-setup.sql:76-102``).
 
@@ -183,6 +195,9 @@ def table_metrics(
     holds 375k discrepant PKs in one array cell — at real scale you cap or
     sink the full sets to a side table; ``slice`` after ``sort_array``
     keeps the cap deterministic).
+
+    ``decimal_scale``/``ts_format`` set the comparison's sensitivity
+    floor exactly as in :func:`cell_diff`.
     """
     cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
     if not cols:
@@ -195,11 +210,11 @@ def table_metrics(
     # so ingestion-duplicated pks can't multiply counts through the join
     h = hive_df.select(
         F.col(pk).cast("string").alias("pk_value"),
-        row_fingerprint(hive_df, cols).alias("_fp_h"),
+        row_fingerprint(hive_df, cols, decimal_scale, ts_format).alias("_fp_h"),
     ).groupBy("pk_value").agg(F.min("_fp_h").alias("_fp_h"))
     s = sf_df.select(
         F.col(pk).cast("string").alias("pk_value"),
-        row_fingerprint(sf_df, cols).alias("_fp_s"),
+        row_fingerprint(sf_df, cols, decimal_scale, ts_format).alias("_fp_s"),
     ).groupBy("pk_value").agg(F.min("_fp_s").alias("_fp_s"))
     j = h.join(s, "pk_value", "full_outer")
 
@@ -265,14 +280,24 @@ def table_diff(
     pk: str,
     table_name: str = "table",
     exclude_cols: Sequence[str] = (),
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> TableDiff:
     """The full parity validation the reference's ``/process`` route runs
     across three agents and N stored-proc RPCs (SURVEY.md §3.1), as one
     composable lazy lineage."""
-    cells = cell_diff(hive_df, sf_df, pk, exclude_cols)
+    cells = cell_diff(hive_df, sf_df, pk, exclude_cols, decimal_scale, ts_format)
     return TableDiff(
         presence=presence_diff(hive_df, sf_df, pk),
         cells=cells,
         report=diff_report(cells),
-        metrics=table_metrics(hive_df, sf_df, pk, table_name, exclude_cols),
+        metrics=table_metrics(
+            hive_df,
+            sf_df,
+            pk,
+            table_name,
+            exclude_cols,
+            decimal_scale=decimal_scale,
+            ts_format=ts_format,
+        ),
     )

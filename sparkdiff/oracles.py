@@ -377,9 +377,12 @@ ORACLES: dict[str, str] = {
             WHERE doc_id % 10 = 0
         ),
         sh AS (
-            -- mirror the Spark n<k branch: short docs shingle to [norm]
+            -- mirror the Spark branches: content-free docs (whitespace-
+            -- only after normalization) get no shingles; short docs
+            -- shingle to [norm]
             SELECT doc_id,
-                   CASE WHEN length(nt) < 3 THEN [nt]
+                   CASE WHEN length(trim(nt)) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN length(nt) < 3 THEN [nt]
                         ELSE list_distinct(list_transform(
                             generate_series(1, length(nt) - 2),
                             i -> substr(nt, i, 3)))

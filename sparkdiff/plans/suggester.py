@@ -46,7 +46,20 @@ def suggest_snippets(
         .filter(
             F.regexp_like(
                 F.col("line"),
-                F.concat(F.lit(r"(?i)\b"), F.col("column_name"), F.lit(r"\b")),
+                # quote the column name so regex metacharacters in quoted
+                # identifiers ('$', '(', '+', ...) match literally —
+                # java.util.regex.Pattern.quote semantics: wrap in \Q...\E
+                # and split any embedded \E out of the quoted run.  Word
+                # edges use lookarounds, not \b: a \b next to a
+                # non-word boundary character (e.g. a name ending in
+                # ')') can never match.
+                F.concat(
+                    F.lit("(?i)(?<!\\w)\\Q"),
+                    F.replace(
+                        F.col("column_name"), F.lit("\\E"), F.lit("\\E\\\\E\\Q")
+                    ),
+                    F.lit("\\E(?!\\w)"),
+                ),
             )
         )
         .groupBy("column_name", "suffix", "side")

@@ -125,3 +125,29 @@ def test_lsh_cosine_is_subset_and_ranked(spark):
     # a query's own vector shares its bucket -> must be its top hit
     exact_self = {r.query_id for r in approx if r.query_id == r.corpus_id and r.rank == 1}
     assert exact_self == {r.vec_id for r in q.select("vec_id").collect()}
+
+
+def test_char_shingles_empty_docs_produce_no_shingles(spark):
+    """Content-free docs (empty / all-punctuation / null) must get an
+    EMPTY shingle set, not [''], so they never pair at Jaccard 1.0 or
+    share an LSH bucket."""
+    from sparkdiff.operators.dedup import shingles, with_char_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!! ??? ..."), (3, None), (4, "ab"), (5, "hello world")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in with_char_shingles(df, "text").select("doc_id", "sh").collect()
+    }
+    assert rows[1] == [] and rows[3] == []
+    assert rows[2] == []  # all-punctuation normalizes to spaces-only? no: kept spaces
+    assert rows[4] == ["ab"]  # short-but-real doc keeps the n<k singleton
+    assert len(rows[5]) > 0
+    # expression form agrees
+    expr_rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", shingles("text").alias("sh")).collect()
+    }
+    assert expr_rows[1] == [] and expr_rows[3] == []

@@ -118,3 +118,58 @@ def test_metrics_counts_consistent(spark):
     assert m.row_count_only_in_sf == len(_expected_keys(spark, 103))
     assert m.row_count_data_discrepancy == len(m.data_discrepancy_pk_values)
     assert m.hive_only_pk_values == sorted(m.hive_only_pk_values)
+
+
+def test_diff_case_insensitive_sf_columns(spark):
+    """Snowflake-side frames habitually carry upper-cased identifiers; the
+    diff must resolve compared columns case-insensitively on both sides
+    and report identical results to the same-cased pair."""
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    sf_upper = sf.select([F.col(c).alias(c.upper()) for c in sf.columns])
+
+    base = cell_diff(hive, sf, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS)
+    upper = cell_diff(
+        hive, sf_upper, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS
+    )
+    key = lambda df: sorted(
+        (r.pk_value, r.column_name, r.hive_value, r.sf_value)
+        for r in df.collect()
+    )
+    assert key(upper) == key(base)
+
+    m_base = table_metrics(
+        hive, sf, "c_custkey", "customer", exclude_cols=testkit.EXCLUDE_COLS
+    ).drop("row_created").collect()
+    m_upper = table_metrics(
+        hive, sf_upper, "c_custkey", "customer", exclude_cols=testkit.EXCLUDE_COLS
+    ).drop("row_created").collect()
+    assert m_upper == m_base
+
+
+def test_diff_sensitivity_floor_is_tunable(spark):
+    """Default decimal(18,4) canonicalization treats sub-1e-4 drift as
+    equal (the documented floor); decimal_scale=None compares the
+    engine-native full-precision rendering and flags it — the
+    reference's own cited discrepancy class (717.2786 vs
+    717.278634433)."""
+    h = spark.createDataFrame(
+        [(1, 717.2786), (2, 5.0)], "id long, v double"
+    )
+    s = spark.createDataFrame(
+        [(1, 717.278634433), (2, 5.0)], "id long, v double"
+    )
+    assert cell_diff(h, s, "id").count() == 0  # below the default floor
+    tight = cell_diff(h, s, "id", decimal_scale=None).collect()
+    assert [(r.pk_value, r.column_name) for r in tight] == [("1", "v")]
+    m = table_metrics(h, s, "id", "t", decimal_scale=None).collect()[0]
+    assert m.row_count_data_discrepancy == 1
+
+    # sub-second timestamp drift: invisible at second precision,
+    # flagged with a fractional ts_format
+    ht = spark.sql("SELECT 1 AS id, TIMESTAMP '2024-01-01 00:00:00.25' AS ts")
+    st = spark.sql("SELECT 1 AS id, TIMESTAMP '2024-01-01 00:00:00.75' AS ts")
+    assert cell_diff(ht, st, "id").count() == 0
+    assert (
+        cell_diff(ht, st, "id", ts_format="yyyy-MM-dd HH:mm:ss.SSSSSS").count()
+        == 1
+    )

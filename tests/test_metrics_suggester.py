@@ -55,3 +55,27 @@ def test_suggester_extracts_column_snippets(spark):
     for r in snippets:
         assert r.column_name.lower() in r.snippet.lower()
         assert r.first_line >= 0
+
+
+def test_suggester_quotes_regex_metacharacters(spark):
+    """Column names containing regex metacharacters (quoted identifiers
+    like 'price$usd' or 'total(net)') must match literally, not throw a
+    pattern-compile error or mis-match."""
+    diff_cols = spark.createDataFrame(
+        [("price$usd",), ("total(net)",), ("plain_col",)],
+        "column_name string",
+    )
+    pairs = {
+        "T1": (
+            "SELECT price$usd, total(net) FROM t -- hive",
+            "SELECT plain_col FROM t -- sf",
+        )
+    }
+    rows = suggest_snippets(spark, diff_cols, pairs, window_lines=1).collect()
+    by_col = {r.column_name: r.side for r in rows}
+    assert by_col.get("price$usd") == "hive"
+    assert by_col.get("total(net)") == "hive"
+    assert by_col.get("plain_col") == "sf"
+    # 'total(net' as a prefix must NOT match a line without the paren
+    # (i.e. the pattern is literal, not 'total' + group syntax)
+    assert all("(net)" in r.snippet for r in rows if r.column_name == "total(net)")
