@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 
 MERSENNE_PRIME = (1 << 31) - 1
 
+#: Token-hash variants.  ``xxhash64`` is the fast JVM default;
+#: ``md5`` derives a 60-bit integer from the md5 hex digest
+#: (``conv(substr(md5(t),1,15),16,10)``), bit-identical to DuckDB's
+#: ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)`` — the
+#: oracle-representable mode the driver's ANSI cross-check needs.
+TOKEN_HASH_METHODS = ("xxhash64", "md5")
+
+
+def token_hash(col: Column | str, method: str = "xxhash64") -> Column:
+    """64-bit (xxhash64) or 60-bit (md5-derived) integer token hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    if method == "xxhash64":
+        return F.xxhash64(c)
+    if method == "md5":
+        # 15 hex chars = 60 bits: always positive, exact in a long, and
+        # reproducible in any engine with md5 + hex parsing.
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token hash method {method!r}; use one of {TOKEN_HASH_METHODS}")
+
 
 def _lcg_coefficients(n: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs in [1, p) / [0, p) from a fixed LCG."""
@@ -137,7 +156,11 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, tokens_col: Column, num_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    num_perm: int = 64,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Per-row MinHash signatures: ``(id, m0..m{num_perm-1})``.
 
@@ -153,7 +176,7 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens_col)).alias("_t"),
     )
-    h = F.pmod(F.xxhash64("_t"), F.lit(MERSENNE_PRIME))
+    h = F.pmod(token_hash("_t", hash_method), F.lit(MERSENNE_PRIME))
     aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{j}")
         for j, (a, b) in enumerate(_lcg_coefficients(num_perm))
@@ -167,6 +190,7 @@ def minhash_lsh_candidates(
     tokens_col: Column,
     num_perm: int = 64,
     bands: int = 16,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` with ``id_a < id_b``.
 
@@ -178,7 +202,7 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, tokens_col, num_perm)
+    sig = minhash_signatures(df, id_col, tokens_col, num_perm, hash_method)
     band_keys = sig.select(
         "_id",
         F.explode(
@@ -219,6 +243,7 @@ def near_dup_pairs(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification:
     ``(id_a, id_b, jaccard)`` for shingle-Jaccard ≥ threshold."""
@@ -227,7 +252,7 @@ def near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col("_shg")).alias("_sh"),
     )
-    cands = minhash_lsh_candidates(sh, "_id", F.col("_sh"), num_perm, bands)
+    cands = minhash_lsh_candidates(sh, "_id", F.col("_sh"), num_perm, bands, hash_method)
     # verify candidates with exact Jaccard: one set-op per pair
     # (|A∪B| = |A|+|B|-|A∩B| on the pre-distincted arrays)
     verified = (
@@ -244,15 +269,22 @@ def near_dup_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, tokens_col: Column) -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document: ``(id, simhash long)``.
 
     Explode tokens → per-bit ±1 votes summed in one groupBy (64 JVM-side
     sum aggregates, map-side combined) → reassemble the sign bits.  Docs
-    with no tokens get simhash 0.
+    with no tokens get simhash 0.  With ``hash_method='md5'`` the token
+    hash carries 60 bits, so bits 60-63 are always 0 — an
+    oracle-checkable fingerprint with marginally coarser locality.
     """
     toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_t"))
-    h = F.xxhash64("_t")
+    h = token_hash("_t", hash_method)
     votes = toks.groupBy("_id").agg(
         *[
             F.sum(

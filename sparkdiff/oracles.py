@@ -331,7 +331,6 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang, {sql_lang_id('text')}
     """,
-    # q25/q27 are xxhash64-based (no ANSI equivalent) -> rows-only checks.
     "q24_cosine_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -699,3 +698,128 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag
     """,
 }
+
+
+def _md5_token_hash(expr: str) -> str:
+    """DuckDB twin of ``operators.dedup.token_hash(..., 'md5')``: a 60-bit
+    positive integer from the first 15 hex chars of the md5 digest
+    (``conv(substr(md5(t),1,15),16,10)`` on the Spark side)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle() -> str:
+    """Replay q25's full shingle→signature→band→verify pipeline in SQL.
+
+    The 64 permutation coefficients are imported from the SAME generator
+    the Spark operator uses (``_lcg_coefficients``), so the two sides stay
+    in lockstep by construction.
+    """
+    from sparkdiff.operators.dedup import MERSENNE_PRIME, _lcg_coefficients
+
+    p = MERSENNE_PRIME
+    num_perm, bands = 64, 16
+    rows = num_perm // bands
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(_lcg_coefficients(num_perm))
+    )
+    band_structs = ",\n                   ".join(
+        "struct_pack(band := {i}, key := md5(concat_ws(',', {cols})))".format(
+            i=i, cols=", ".join(f"m{i * rows + j}" for j in range(rows))
+        )
+        for i in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text || ' extra suffix words' AS text
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       t -> length(t) > 0) AS tk
+            FROM base
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE
+                       WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_transform(
+                           range(1, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                   END) AS sh
+            FROM toks
+        ),
+        tok_rows AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+        hashes AS (
+            SELECT doc_id, {_md5_token_hash('t')} % {p} AS h FROM tok_rows
+        ),
+        sigs AS (
+            SELECT doc_id,
+               {mins}
+            FROM hashes GROUP BY doc_id
+        ),
+        band_rows AS (
+            SELECT doc_id,
+                   unnest([{band_structs}]) AS bk
+            FROM sigs
+        ),
+        band_keys AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM band_rows),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band_keys a
+            JOIN band_keys b ON a.band = b.band AND a.key = b.key
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS i,
+                   len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u
+            FROM cands c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b,
+               CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END AS jaccard
+        FROM verified
+        WHERE (CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END) >= 0.6
+    """
+
+
+def _simhash_oracle() -> str:
+    """Replay q27's per-bit-vote SimHash in SQL (md5 token hash → 60
+    usable bits; bits 60-63 always vote negative, matching Spark)."""
+    votes = ",\n               ".join(
+        f"SUM(CAST((h >> {i}) & 1 AS BIGINT) * 2 - 1) AS b{i}" for i in range(64)
+    )
+    sig = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS t FROM documents
+        ),
+        hashes AS (SELECT doc_id, {_md5_token_hash('t')} AS h FROM toks),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM hashes GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST({sig} AS BIGINT) AS simhash
+            FROM votes
+        )
+        SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sig s USING (doc_id)
+    """
+
+
+ORACLES["q25_minhash_neardup"] = _minhash_oracle()
+ORACLES["q27_simhash"] = _simhash_oracle()

@@ -486,8 +486,10 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection over documents with injected
     near-duplicates (doc_id%25==0 re-inserted with a suffix at
-    doc_id+20000).  xxhash64-based → no ANSI oracle (rows-only check);
-    exactness is pinned by tests/test_dedup.py instead."""
+    doc_id+20000).  Uses the md5-derived token hash so the full
+    shingle→signature→band→verify pipeline is replayed value-for-value
+    by the DuckDB oracle; the xxhash64 fast path is pinned by
+    tests/test_dedup.py."""
     from sparkdiff.operators.dedup import near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -497,7 +499,7 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
     )
     corpus = d.unionByName(dups)
-    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.6)
+    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.6, hash_method="md5")
 
 
 def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,13 +556,15 @@ def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints over document tokens (xxhash64-based →
-    rows-only check; Hamming-locality pinned by tests/test_dedup.py)."""
+    """SimHash fingerprints over document tokens.  Uses the md5-derived
+    60-bit token hash so the per-bit vote pipeline is fully replayed by
+    the DuckDB oracle; Hamming-locality of the xxhash64 fast path is
+    pinned by tests/test_dedup.py."""
     from sparkdiff.functions.text import tokens
     from sparkdiff.operators.dedup import simhash64
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash64(d, "doc_id", tokens("text"))
+    return simhash64(d, "doc_id", tokens("text"), hash_method="md5")
 
 
 # ---------------------------------------------------------------------------
