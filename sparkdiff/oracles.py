@@ -688,14 +688,63 @@ ORACLES: dict[str, str] = {
         FROM documents d,
              UNNEST(generate_series(1, greatest(length(d.text), 1), 450)) AS g(s)
     """,
+    # q50 mirrors operators/quantiles.py's distribution method verbatim
+    # (same IEEE expression tree as Spark's Percentile interpolation:
+    # pos = p*(n-1), result = (ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi,
+    # frac==0 -> v_lo) rather than using quantile_cont, whose internal
+    # blend order is not guaranteed bit-identical.
     "q50_quantiles": """
-        SELECT l_returnflag,
-               quantile_cont(l_quantity, 0.5) AS p50_qty,
-               quantile_cont(l_quantity, 0.9) AS p90_qty,
-               quantile_cont(l_extendedprice, 0.25) AS p25_price,
-               COUNT(*) AS n
-        FROM lineitem
-        GROUP BY l_returnflag
+        WITH qty AS (
+            SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY l_returnflag, l_quantity
+        ),
+        qty_dist AS (
+            SELECT l_returnflag, v,
+                   SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                   SUM(c) OVER (PARTITION BY l_returnflag) AS n
+            FROM qty
+        ),
+        qty_agg AS (
+            SELECT l_returnflag,
+                   CAST(MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p50_lo,
+                   CAST(MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p50_hi,
+                   MIN(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE) - floor(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS p50_frac,
+                   MIN(ceil(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) - CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS p50_cofrac,
+                   CAST(MIN(CASE WHEN cum >= floor(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p90_lo,
+                   CAST(MIN(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p90_hi,
+                   MIN(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE) - floor(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS p90_frac,
+                   MIN(ceil(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) - CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS p90_cofrac,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM qty_dist
+            GROUP BY l_returnflag
+        ),
+        price AS (
+            SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY l_returnflag, l_extendedprice
+        ),
+        price_dist AS (
+            SELECT l_returnflag, v,
+                   SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                   SUM(c) OVER (PARTITION BY l_returnflag) AS n
+            FROM price
+        ),
+        price_agg AS (
+            SELECT l_returnflag,
+                   CAST(MIN(CASE WHEN cum >= floor(CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p25_lo,
+                   CAST(MIN(CASE WHEN cum >= ceil(CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 1 THEN v END) AS DOUBLE) AS p25_hi,
+                   MIN(CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE) - floor(CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS p25_frac,
+                   MIN(ceil(CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) - CAST(0.25 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS p25_cofrac
+            FROM price_dist
+            GROUP BY l_returnflag
+        )
+        SELECT q.l_returnflag,
+               CASE WHEN p50_frac = 0 THEN p50_lo ELSE p50_cofrac * p50_lo + p50_frac * p50_hi END AS p50_qty,
+               CASE WHEN p90_frac = 0 THEN p90_lo ELSE p90_cofrac * p90_lo + p90_frac * p90_hi END AS p90_qty,
+               CASE WHEN p25_frac = 0 THEN p25_lo ELSE p25_cofrac * p25_lo + p25_frac * p25_hi END AS p25_price,
+               q.n
+        FROM qty_agg q JOIN price_agg p ON q.l_returnflag = p.l_returnflag
     """,
 }
 

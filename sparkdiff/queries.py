@@ -1037,22 +1037,25 @@ def q49_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped quantiles (the distributed-sort percentile path; the
-    ``approx_percentile`` variant is the at-scale alternative with the
-    same plan shape)."""
+    """Exact grouped quantiles WITHOUT unbounded buffering: the
+    distribution method aggregates distinct (group, value) counts and
+    interpolates from a cumulative-count window — ``F.percentile``'s
+    answer, bit-for-bit (pinned by tests/test_quantiles.py), with spill-
+    safe external sorts instead of an all-values aggregation buffer.
+    ``method='approx'`` is the bounded-memory sketch for when rank error
+    n/accuracy is acceptable."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
     l = load_table(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
-        # one sort buffer for both quantity percentiles, not two
-        F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9))).alias("pq"),
-        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return agg.select(
-        "l_returnflag",
-        F.col("pq")[0].alias("p50_qty"),
-        F.col("pq")[1].alias("p90_qty"),
-        "p25_price",
-        "n",
+    return grouped_quantiles(
+        l,
+        ["l_returnflag"],
+        [
+            ("p50_qty", "l_quantity", 0.5),
+            ("p90_qty", "l_quantity", 0.9),
+            ("p25_price", "l_extendedprice", 0.25),
+        ],
+        method="dist",
     )
 
 

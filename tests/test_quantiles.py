@@ -1,0 +1,78 @@
+"""Grouped-quantile methods: the distribution method must reproduce
+``F.percentile`` bit-for-bit, the sketch must land within its rank-error
+bound, and the registered q50 must not buffer whole groups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.quantiles import grouped_quantiles
+from sparkdiff.queries import q50_quantiles
+from sparkdiff.session import load_table
+
+from .conftest import SF_DIR_ORACLE
+
+SPECS = [
+    ("p50_qty", "l_quantity", 0.5),
+    ("p90_qty", "l_quantity", 0.9),
+    ("p25_price", "l_extendedprice", 0.25),
+]
+
+
+def _rows(df):
+    return sorted(df.collect(), key=lambda r: r[0])
+
+
+def test_dist_equals_exact_bitwise(spark):
+    l = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    dist = _rows(grouped_quantiles(l, ["l_returnflag"], SPECS, method="dist"))
+    exact = _rows(grouped_quantiles(l, ["l_returnflag"], SPECS, method="exact"))
+    assert dist == exact  # identical doubles, not just close
+
+
+def test_dist_handles_nulls_and_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 7.0)], "g string, v double"
+    )
+    specs = [("p50", "v", 0.5), ("p99", "v", 0.99)]
+    dist = _rows(grouped_quantiles(df, ["g"], specs, method="dist"))
+    exact = _rows(grouped_quantiles(df, ["g"], specs, method="exact"))
+    # n differs by convention (exact counts all rows, dist counts the
+    # non-null distribution) — compare the percentile values themselves
+    assert [r[:3] for r in dist] == [r[:3] for r in exact]
+    assert dist[0]["p50"] == 2.0  # interpolated between 1 and 3
+    assert dist[1]["p50"] == 7.0  # single-value group
+
+
+def test_approx_within_rank_error(spark):
+    l = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in grouped_quantiles(
+            l, ["l_returnflag"], SPECS, method="exact"
+        ).collect()
+    }
+    approx = grouped_quantiles(
+        l, ["l_returnflag"], SPECS, method="approx", accuracy=10_000
+    ).collect()
+    for r in approx:
+        e = exact[r["l_returnflag"]]
+        assert abs(r["p50_qty"] - e["p50_qty"]) <= 1.0
+        assert abs(r["p25_price"] - e["p25_price"]) / e["p25_price"] < 0.01
+
+
+def test_q50_plan_has_no_buffering_percentile(spark):
+    """The registered query must use the distribution method: no
+    `percentile(` aggregate (whose buffer holds every group value) may
+    appear in the physical plan."""
+    df = q50_quantiles(spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+
+
+def test_q50_single_scan(spark):
+    """All value columns are melted through one posexplode, so the whole
+    query reads lineitem exactly once."""
+    df = q50_quantiles(spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("filescan parquet") == 1
