@@ -7,7 +7,11 @@ scripts, ``tools/script_expansion_tool.py:112-172`` and
     ${columns:<table>[:~excl1,excl2][:<format-spec>]}
 
 - ``<table>`` resolves through the schema catalog (with the staged-name
-  prefix fallback).
+  prefix fallback).  An EMPTY table slot (``${columns:::alias.%1$s}`` —
+  the rule-31 shorthand of the converter prompt) resolves to the entity
+  of the nearest preceding ``INSERT`` target in the script, with the
+  staging-convention prefixes (``udm_``, ``delta_stage_``, ``PUBLIC.``
+  …) stripped.
 - ``~excl`` removes columns (case-insensitive).
 - ``<format-spec>`` is either ONE format applied to every column, or a
   ``:``-separated list of per-type variants in the fixed order
@@ -30,6 +34,24 @@ from sparkdiff.sources.catalog import ColumnMeta, SchemaCatalog
 
 _PATTERN = re.compile(r"\$\{(columns:[^}]+)\}")
 _HIVECONF = re.compile(r"\$\{hiveconf:([A-Za-z0-9_]+)\}")
+_INSERT_TARGET = re.compile(
+    r"INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?"
+    r"(?P<target>[A-Za-z0-9_.$]+)",
+    re.IGNORECASE,
+)
+#: staging-convention prefixes stripped to recover the catalog entity
+#: from an INSERT target (script_converter_tool.py rules 1-4)
+_ENTITY_PREFIXES = ("udm_pv_", "udm_s_", "udm_", "delta_stage_", "delta_udm_")
+
+
+def _entity_of(target: str) -> str:
+    t = target.strip().lower()
+    if "." in t:  # PUBLIC.customer and friends
+        t = t.rsplit(".", 1)[1]
+    for p in _ENTITY_PREFIXES:
+        if t.startswith(p):
+            return t[len(p):]
+    return t
 
 #: positional type-dispatch order of the format variants (converter rule 13)
 _TYPE_SLOT = {
@@ -58,11 +80,23 @@ class MacroExpander:
         slot = _TYPE_SLOT.get(col.type, 0)
         return variants[min(slot, len(variants) - 1)]
 
-    def _expand_one(self, match: re.Match) -> str:
+    def _expand_one(
+        self, match: re.Match, inserts: list[tuple[int, str]] | None = None
+    ) -> str:
         parts = match.group(1).split(":")
         if len(parts) < 2 or parts[0].lower() != "columns":
             return match.group(0)
         table = parts[1].strip().lower()
+        if not table:
+            # rule-31 shorthand ${columns:::fmt}: table = entity of the
+            # nearest preceding INSERT target; unresolvable -> unchanged
+            # (the reference leaves failed expansions in place)
+            table = next(
+                (e for pos, e in reversed(inserts or []) if pos <= match.start()),
+                "",
+            )
+            if not table:
+                return match.group(0)
         rest = parts[2:]
         exclusions: set[str] = set()
         if rest and rest[0] == "":
@@ -94,7 +128,11 @@ class MacroExpander:
         return ", ".join(rendered)
 
     def expand(self, script: str, hiveconf: dict[str, str] | None = None) -> str:
-        out = _PATTERN.sub(self._expand_one, script)
+        inserts = [
+            (m.start(), _entity_of(m.group("target")))
+            for m in _INSERT_TARGET.finditer(script)
+        ]
+        out = _PATTERN.sub(lambda m: self._expand_one(m, inserts), script)
         if hiveconf:
             out = _HIVECONF.sub(
                 lambda m: hiveconf.get(m.group(1), m.group(0)), out

@@ -136,7 +136,7 @@ def run_script_pair(
     catalog = SchemaCatalog.from_spark({"parity_customer": base})
     expander = MacroExpander(catalog)
     pairs = pair_scripts(HIVE_SCRIPT_DIR, SF_SCRIPT_DIR)
-    (hive_sql, sf_sql) = next(iter(pairs.values()))
+    (hive_sql, sf_sql) = pairs["parity_customer_PRE_300"]
     hive_df = spark.sql(to_spark_sql(expander.expand(hive_sql)))
     sf_df = spark.sql(to_spark_sql(expander.expand(sf_sql)))
     return hive_df, sf_df

@@ -114,8 +114,8 @@ def test_script_pairing():
     assert script_suffix("nw_customer_PRE_300.hql") == "customer_PRE_300"
     assert script_suffix("sf_dw_customer_PRE_300.sql") == "customer_PRE_300"
     pairs = pair_scripts(HIVE_SCRIPT_DIR, SF_SCRIPT_DIR)
-    assert len(pairs) == 1
-    (h, s) = next(iter(pairs.values()))
+    assert len(pairs) == 2
+    (h, s) = pairs["parity_customer_PRE_300"]
     assert h and s and "IFF" in s and "IFF" not in h
 
 
@@ -128,3 +128,109 @@ def test_script_pair_diff_flags_exactly_divergent_columns(spark):
     assert flagged == {"LastName", "RowModified"}
     # both sides nonetheless agree on row membership
     assert hive_df.count() == sf_df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Hive -> Snowflake conversion (converter rules 1-5/13/15/16/28/31) and
+# the rule-31 empty-table shorthand
+# ---------------------------------------------------------------------------
+
+def _parity_catalog(spark):
+    from sparkdiff.plans.parity import register_parity_views
+
+    base = register_parity_views(spark, SF_DIR_SMALL)
+    return SchemaCatalog.from_spark({"parity_customer": base})
+
+
+def test_macro_empty_table_shorthand_resolves_from_insert_target():
+    class _Cat:
+        def get_columns_for_table(self, table):
+            assert table == "orders"
+            return [ColumnMeta("o_id", "INTEGER"), ColumnMeta("o_total", "DOUBLE")]
+
+    exp = MacroExpander(_Cat())
+    script = (
+        "INSERT OVERWRITE INTO delta_stage_orders (${columns:orders::%1$s})\n"
+        "SELECT ${columns:::m.%1$s AS %1$s} FROM (SELECT * FROM t) m"
+    )
+    out = exp.expand(script)
+    assert "(o_id, o_total)" in out
+    assert "m.o_id AS o_id, m.o_total AS o_total" in out
+
+
+def test_macro_empty_table_shorthand_without_insert_is_left_alone():
+    class _Cat:
+        def get_columns_for_table(self, table):
+            raise AssertionError("should not resolve")
+
+    exp = MacroExpander(_Cat())
+    script = "SELECT ${columns:::m.%1$s} FROM t m"
+    assert exp.expand(script) == script
+
+
+def test_hive_to_sf_table_and_insert_rules():
+    from sparkdiff.plans.dialect import hive_to_sf_script
+
+    src = (
+        "INSERT INTO TABLE udm_customer\n"
+        "SELECT c.* FROM udm_s_customer s\n"
+        "JOIN udm_pv_orders p ON p.id = s.id\n"
+        "JOIN udm_customer c ON c.id = s.id"
+    )
+    out = hive_to_sf_script(src)
+    assert "INSERT OVERWRITE INTO delta_stage_customer (${columns:customer::%1$s})" in out
+    assert "FROM delta_udm_customer s" in out
+    assert "JOIN PUBLIC.orders p" in out
+    assert "JOIN PUBLIC.customer c" in out
+    # not a main script -> no MD5Source
+    assert "MD5Source" not in out
+
+
+def test_hive_to_sf_existing_collist_kept_verbatim():
+    from sparkdiff.plans.dialect import hive_to_sf_script
+
+    src = "INSERT INTO TABLE udm_customer (${columns:::%1$s})\nSELECT 1"
+    out = hive_to_sf_script(src)
+    # rule 31: the shorthand is not touched, no second list appended
+    assert out.count("${columns") == 1
+    assert "delta_stage_customer (${columns:::%1$s})" in out
+
+
+def test_hive_to_sf_fixture_pair_is_converter_output():
+    """The committed sf MAIN_310 fixture is exactly what the converter
+    produces from the hive MAIN_310 fixture."""
+    from sparkdiff.plans.dialect import hive_to_sf_script
+    from sparkdiff.plans.parity import HIVE_SCRIPT_DIR, SF_SCRIPT_DIR
+    import os
+
+    hive = open(os.path.join(HIVE_SCRIPT_DIR, "nw_parity_customer_MAIN_310.hql")).read()
+    sf = open(os.path.join(SF_SCRIPT_DIR, "sf_dw_parity_customer_MAIN_310.sql")).read()
+    assert hive_to_sf_script(hive) == sf
+    for mark in (
+        "SET MD5Source='PUBLIC.parity_customer';",
+        "LEFT OUTER JOIN TABLE($MD5Source)",
+        "SUBSTRING(MAX(CONCAT(TO_NUMBER_CUSTOM(s.RowModified)",
+        "IFF(position('derived', LOWER(COALESCE(s.Source,''))) > 0",
+    ):
+        assert mark in sf, mark
+
+
+def test_main_fixture_hive_side_runs_on_spark(spark):
+    """The hive MAIN_310 fixture (INSERT stripped) macro-expands —
+    including the rule-31 shorthand resolved from the INSERT target —
+    and executes natively."""
+    import os
+    import re as _re
+    from sparkdiff.plans.parity import HIVE_SCRIPT_DIR
+
+    cat = _parity_catalog(spark)
+    exp = MacroExpander(cat)
+    hive = open(os.path.join(HIVE_SCRIPT_DIR, "nw_parity_customer_MAIN_310.hql")).read()
+    expanded = exp.expand(hive)
+    assert "${columns" not in expanded
+    assert "m.ID, m.Source, m.SourceCustomerNumber" in expanded
+    body = _re.sub(r"INSERT\s+INTO\s+TABLE\s+\S+\s*", "", expanded, flags=_re.I)
+    df = spark.sql(to_spark_sql(body))
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"ID", "Source", "SourceCustomerNumber", "LastName", "RowModified", "Batch"}
