@@ -17,8 +17,9 @@ partitions with no shuffle.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,35 +75,85 @@ def synthesize_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _fake_decode(content: bytes) -> tuple[int, str]:
-    return len(content or b""), hashlib.sha256(content or b"").hexdigest()
+#: A codec maps one Arrow batch of assets (content/mime/meta columns) to
+#: the decoded columns ``n_bytes, sha256, width, height``.
+Codec = Callable[[pd.DataFrame], pd.DataFrame]
+#: Factories defer library/model loading to first use on each executor
+#: (loading PIL/libav state on the driver and shipping it through the
+#: task closure is the anti-pattern this hook exists to avoid).
+CodecFactory = Callable[[], Codec]
 
 
-def decode_assets(assets: DataFrame, real_codec: bool = False) -> DataFrame:
+def _fake_codec() -> Codec:
+    """Deterministic stand-in: byte length + sha256, dims from metadata."""
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        content = pdf["content"].map(lambda c: c or b"")
+        return pd.DataFrame(
+            {
+                "n_bytes": content.map(len),
+                "sha256": content.map(lambda c: hashlib.sha256(c).hexdigest()),
+                "width": pdf["meta"].map(lambda m: m["width"]),
+                "height": pdf["meta"].map(lambda m: m["height"]),
+            }
+        )
+
+    return decode
+
+
+def _pil_codec() -> Codec:
+    """Real image decoding via Pillow (absent in this container — the
+    ImportError documents the swap-in path; the test suite skips on it)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - absent in this container
+        raise ImportError(
+            "the 'pil' codec needs Pillow; install it or register_codec() "
+            "a custom factory"
+        ) from e
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        content = pdf["content"].map(lambda c: c or b"")
+        dims = content.map(lambda c: Image.open(io.BytesIO(c)).size)
+        return pd.DataFrame(
+            {
+                "n_bytes": content.map(len),
+                "sha256": content.map(lambda c: hashlib.sha256(c).hexdigest()),
+                "width": dims.map(lambda wh: wh[0]),
+                "height": dims.map(lambda wh: wh[1]),
+            }
+        )
+
+    return decode
+
+
+_CODECS: dict[str, CodecFactory] = {"fake": _fake_codec, "pil": _pil_codec}
+
+
+def register_codec(name: str, factory: CodecFactory) -> None:
+    """Register a lazily-loaded codec under ``name`` for
+    :func:`decode_assets`."""
+    _CODECS[name] = factory
+
+
+def decode_assets(assets: DataFrame, codec: str | CodecFactory = "fake") -> DataFrame:
     """Decode pass over binary assets via ``mapInPandas`` (Arrow batches).
 
-    ``real_codec=True`` marks where PIL/libav would be invoked — not
-    available in this container, so it raises ``NotImplementedError``.
+    ``codec`` is a registered name (``"fake"``, ``"pil"``, or anything
+    added with :func:`register_codec`) or a factory callable, invoked
+    once per executor process on first batch.
     """
+    factory = _CODECS[codec] if isinstance(codec, str) else codec
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real_codec:
-            raise NotImplementedError(
-                "real image/audio decoding needs PIL/libav (not installed); "
-                "the deterministic fake below pins the operator contract"
-            )
+        decode = factory()
         for pdf in batches:
-            decoded = pdf["content"].map(_fake_decode)
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": decoded.map(lambda t: t[0]),
-                    "sha256": decoded.map(lambda t: t[1]),
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
-                }
-            )
+            out = decode(pdf)
+            out.insert(0, "mime", pdf["mime"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
 
     return assets.mapInPandas(op, schema=DECODED_SCHEMA)
 
@@ -136,18 +187,31 @@ def frame_sample(assets: DataFrame, every_n: int = 5) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"asset_id": [], "frame_idx": [], "frame_sha256": []}
-            for _, r in pdf.iterrows():
-                n_frames = int(r["meta"]["n_frames"] or 0)
-                for idx in range(0, n_frames, every_n):
-                    rows["asset_id"].append(r["asset_id"])
-                    rows["frame_idx"].append(idx)
-                    rows["frame_sha256"].append(
-                        hashlib.sha256(
-                            (r["content"] or b"") + idx.to_bytes(4, "big")
-                        ).hexdigest()
-                    )
-            yield pd.DataFrame(rows)
+            # vectorized fan-out (repeat + cumcount): one np.repeat per
+            # batch instead of a Python loop per row — the per-FRAME work
+            # below (the hash; a real sampler's decode) is the only
+            # per-element step left
+            n_frames = pdf["meta"].map(lambda m: int(m["n_frames"] or 0))
+            counts = np.ceil(n_frames.to_numpy() / every_n).astype(np.int64)
+            ids = np.repeat(pdf["asset_id"].to_numpy(), counts)
+            contents = np.repeat(
+                pdf["content"].map(lambda c: c or b"").to_numpy(object), counts
+            )
+            total = int(counts.sum())
+            cumcount = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            frame_idx = (cumcount * every_n).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": frame_idx,
+                    "frame_sha256": [
+                        hashlib.sha256(c + int(i).to_bytes(4, "big")).hexdigest()
+                        for c, i in zip(contents, frame_idx)
+                    ],
+                }
+            )
 
     return assets.filter(F.col("mime").startswith("video/")).mapInPandas(
         op, schema=FRAMES_SCHEMA

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkdiff.multimodal.binaryops import (
+    ASSET_SCHEMA,
     FEATURE_DIM,
     decode_assets,
     extract_features,
@@ -153,12 +154,55 @@ def test_decode_assets_shapes(assets):
         assert r.width is not None and r.height is not None
 
 
-def test_decode_real_codec_is_stubbed(assets):
-    with pytest.raises(Exception) as ei:
-        decode_assets(assets, real_codec=True).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+def test_decode_custom_codec_through_public_hook(assets):
+    """A codec injected via register_codec is actually used on executors
+    (the factory runs lazily, once per executor process)."""
+    import pandas as pd
+
+    from sparkdiff.multimodal.binaryops import register_codec
+
+    def const_codec():
+        def decode(pdf):
+            return pd.DataFrame(
+                {
+                    "n_bytes": pdf["content"].map(lambda c: len(c or b"")),
+                    "sha256": ["x" * 64] * len(pdf),
+                    "width": [42] * len(pdf),
+                    "height": [24] * len(pdf),
+                }
+            )
+
+        return decode
+
+    register_codec("const", const_codec)
+    rows = decode_assets(assets, codec="const").collect()
+    assert rows and all(r.width == 42 and r.height == 24 for r in rows)
+
+
+def test_pil_codec_loads_or_documents_requirement(assets):
+    """With Pillow installed the 'pil' codec decodes real images; without
+    it the factory raises an ImportError naming the dependency."""
+    from sparkdiff.multimodal.binaryops import _pil_codec
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            _pil_codec()
+        pytest.skip("Pillow not installed; swap-in path verified via error")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    spark = assets.sparkSession
+    png = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()), (7, 5, 1))],
+        ASSET_SCHEMA,
     )
+    r = decode_assets(png, codec="pil").collect()[0]
+    assert (r.width, r.height) == (7, 5)
 
 
 def test_feature_extraction_dim_and_determinism(assets):
@@ -217,3 +261,35 @@ def test_csv_roundtrip_and_json_records(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     js = to_json_records(df.limit(1)).collect()[0].json
     assert js.startswith('{"r_regionkey":')
+
+
+def test_encoder_registry_custom_model_through_public_hook(spark):
+    """A model injected via register_encoder is used by encoder_udf,
+    loaded lazily (factory call count == executor processes, not rows)."""
+    from sparkdiff.functions.embed import encoder_udf, register_encoder
+
+    def tiny_factory():
+        return lambda texts: [[float(len(t or "")), 1.0] for t in texts]
+
+    register_encoder("tiny", tiny_factory)
+    d = load_table(spark, SF_DIR_SMALL, "documents").limit(5)
+    rows = d.select(
+        "doc_id", encoder_udf("tiny")(F.col("text")).alias("e")
+    ).collect()
+    assert all(len(r.e) == 2 and r.e[1] == 1.0 and r.e[0] > 0 for r in rows)
+
+
+def test_minilm_encoder_loads_or_documents_requirement(spark):
+    """With sentence-transformers installed the 'minilm' encoder runs;
+    without it the factory raises an ImportError naming the dependency."""
+    from sparkdiff.functions.embed import _minilm_encoder, encoder_udf
+
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="sentence-transformers"):
+            _minilm_encoder()
+        pytest.skip("sentence-transformers not installed; hook verified via error")
+    d = load_table(spark, SF_DIR_SMALL, "documents").limit(3)
+    rows = d.select(encoder_udf("minilm")(F.col("text")).alias("e")).collect()
+    assert all(len(r.e) == 384 for r in rows)
