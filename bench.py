@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "sf": ...}.
+
+Each query is evaluated $SPARK_GRAFT_BENCH_N times (default 3) and the
+MEDIAN is reported, so round-over-round regressions are attributable to
+code rather than scheduler noise; per-run samples, row counts and
+rows/sec normalization ride along under "queries_detail".
 """
 
 from __future__ import annotations
@@ -9,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -20,6 +26,7 @@ from sparkdiff.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -28,13 +35,26 @@ def main() -> None:
     # the queries, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        # foreach-noop forces full evaluation without driver collect cost
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            # noop sink forces full evaluation without driver collect cost
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 4))
+        med = round(statistics.median(runs), 4)
+        rows = df.count()
+        timings[name] = med
+        detail[name] = {
+            "runs": runs,
+            "median": med,
+            "rows": rows,
+            "rows_per_sec": round(rows / med, 1) if med > 0 else None,
+        }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -44,6 +64,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_runs": n_runs,
+                "queries_detail": detail,
                 "sf": sf,
             }
         )
