@@ -101,6 +101,25 @@ def session_window_counts(
     )
 
 
+#: Spark's RocksDB state-store provider: spills streaming state to local
+#: disk instead of keeping it on-heap — the production choice once
+#: per-executor state (sessions, dedup sets) outgrows memory.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
+    """Toggle the RocksDB state store for queries started AFTER this call
+    (the provider is fixed per query at first checkpoint; restarting an
+    HDFS-backed checkpoint under RocksDB is not supported — pick the
+    provider before the first run)."""
+    if enabled:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def incremental_validation(
     changes: DataFrame,
     reference_df: DataFrame,
@@ -121,6 +140,44 @@ def incremental_validation(
         if not batch_df.isEmpty():
             diff = cell_diff(batch_df, reference_df, pk)
             on_batch(diff, batch_id)
+
+    return (
+        changes.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+    )
+
+
+def incremental_validation_to_parquet(
+    changes: DataFrame,
+    reference_df: DataFrame,
+    pk: str,
+    out_dir: str,
+):
+    """Exactly-once metrics sink for :func:`incremental_validation`.
+
+    ``foreachBatch`` is at-least-once: after a crash between "batch
+    written" and "offset committed", the batch replays.  Writing each
+    batch's diff under ``batch_id=<id>`` with DYNAMIC partition
+    overwrite makes the replay idempotent — the retry overwrites its own
+    partition and nothing else, so the sink converges to exactly-once
+    output without a transactional store (the standard Spark pattern for
+    idempotent foreachBatch sinks).
+    """
+    from sparkdiff.operators.diff import cell_diff
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        diff = cell_diff(batch_df, reference_df, pk).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            diff.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         changes.writeStream.outputMode("update")

@@ -293,3 +293,123 @@ def test_minilm_encoder_loads_or_documents_requirement(spark):
     d = load_table(spark, SF_DIR_SMALL, "documents").limit(3)
     rows = d.select(encoder_udf("minilm")(F.col("text")).alias("e")).collect()
     assert all(len(r.e) == 384 for r in rows)
+
+
+# --- streaming hardening --------------------------------------------------
+
+def _raw_events(spark):
+    """events with the RAW long ts (the stream-source schema)."""
+    return spark.read.parquet(os.path.join(SF_DIR_SMALL, "events.parquet"))
+
+
+def test_sessionizer_recovers_across_restart(spark, tmp_path):
+    """Stop-and-restart from the checkpoint must restore sessionizer
+    state: phase-2 events continue phase-1 sessions, and the merged final
+    snapshots equal the batch sessionization of the full table."""
+    from sparkdiff.queries import q29_sessionize
+    from sparkdiff.streaming.sessionize import stateful_sessionize
+    from sparkdiff.streaming.validate import read_events_stream
+
+    raw = _raw_events(spark)
+    cut = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    raw.filter(F.col("ts") <= cut).write.mode("append").parquet(src)
+
+    def run():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        got: dict = {}
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r.user_id] = (r.n_sessions, r.n_events)
+
+        stream = read_events_stream(spark, src, glob="*.parquet")
+        q = (
+            stateful_sessionize(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return got
+
+    first = run()
+    raw.filter(F.col("ts") > cut).write.mode("append").parquet(src)
+    second = run()
+
+    got = {**first, **second}  # newest snapshot per user wins
+    expected = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q29_sessionize(spark, SF_DIR_SMALL).collect()
+    }
+    assert second, "restart processed no new data"
+    assert got == expected
+
+
+def test_windowed_agg_under_rocksdb_state_store(spark, tmp_path):
+    """The watermarked windowed agg runs green with the RocksDB state
+    store provider (disk-backed state: the at-scale configuration)."""
+    from sparkdiff.streaming.validate import (
+        ROCKSDB_PROVIDER,
+        read_events_stream,
+        use_rocksdb_state_store,
+        windowed_event_counts,
+    )
+
+    use_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        stream = read_events_stream(spark, SF_DIR_SMALL)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_counts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT count(*) AS n FROM rocks_counts").collect()[0].n
+        assert n > 0
+    finally:
+        use_rocksdb_state_store(spark, enabled=False)
+
+
+def test_incremental_validation_parquet_sink_is_replay_idempotent(spark, tmp_path):
+    """Replaying the whole stream after losing the checkpoint must leave
+    the parquet metrics sink unchanged (dynamic partition overwrite by
+    batch_id = effective exactly-once)."""
+    from sparkdiff.streaming.validate import incremental_validation_to_parquet
+
+    reference = load_table(spark, SF_DIR_SMALL, "customer")
+    changed = reference.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_name", F.concat("c_name", F.lit("_changed"))
+    )
+    changes_dir = str(tmp_path / "changes")
+    out_dir = str(tmp_path / "metrics")
+    changed.write.parquet(changes_dir)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(changed.schema).parquet(changes_dir)
+        w = incremental_validation_to_parquet(stream, reference, "c_custkey", out_dir)
+        q = w.option("checkpointLocation", ckpt).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt_a"))
+    first = sorted(
+        map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect())
+    )
+    assert first, "sink is empty"
+    # lose the checkpoint -> full replay into the same sink
+    run(str(tmp_path / "ckpt_b"))
+    second = sorted(
+        map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect())
+    )
+    assert second == first, "replay duplicated or altered sink rows"
