@@ -870,5 +870,89 @@ def _simhash_oracle() -> str:
     """
 
 
+def _embedding_neardup_oracle() -> str:
+    """Replay q51's SRP-LSH pipeline: same plane literals (imported from
+    the same generator), same left-fold dot-product order (the numpy
+    accumulation in ``_srp_band_keys_udf`` is dimension-sequential, i.e.
+    the ``list_prepend(0.0, …)`` fold exactly), same verify formula."""
+    from sparkdiff.operators.similarity import _deterministic_planes
+
+    bands, rows_per_band, dim = 6, 12, 64
+    planes = _deterministic_planes(bands * rows_per_band, dim)
+
+    def fold_dot(vec: str, coefs: list[float]) -> str:
+        # flat left-associated sum: bit-identical to the 0.0-seeded fold
+        # (0.0 + x == x for the sign test) and ~100x faster in DuckDB
+        # than a lambda fold with a per-element list-literal index
+        return "(" + " + ".join(
+            f"{vec}[{i + 1}] * {float(c)!r}" for i, c in enumerate(coefs)
+        ) + ")"
+
+    keys = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {fold_dot('v', planes[b * rows_per_band + j])} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        keys.append(f"CAST({bits} AS INTEGER) AS k{b}")
+    key_cols = ",\n                   ".join(keys)
+    band_structs = ", ".join(
+        f"struct_pack(band := {b}, key := k{b})" for b in range(bands)
+    )
+    pair_fold = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {dim}), i -> va[i] * vb[i])), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+        "(acc, x) -> acc + x))"
+    )
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, v FROM raw
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(
+                       generate_series(1, {dim}),
+                       i -> v[i] * (1.0 + 0.01 * CAST(((i - 1) % 7) - 3 AS DOUBLE))
+                   ) AS v
+            FROM raw WHERE vec_id % 20 = 0
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   {key_cols}
+            FROM base
+        ),
+        band_keys AS (
+            SELECT vec_id, bk.band AS band, bk.key AS key
+            FROM (SELECT vec_id, unnest([{band_structs}]) AS bk FROM sigs)
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM band_keys a
+            JOIN band_keys b ON a.band = b.band AND a.key = b.key
+            WHERE a.vec_id < b.vec_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   {pair_fold} AS d,
+                   {norm.format(v='va')} AS na,
+                   {norm.format(v='vb')} AS nb
+            FROM cands c
+            JOIN (SELECT vec_id, v AS va FROM base) a ON a.vec_id = c.id_a
+            JOIN (SELECT vec_id, v AS vb FROM base) b ON b.vec_id = c.id_b
+        )
+        SELECT id_a, id_b,
+               CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
+        FROM verified
+        WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END) >= 0.99
+    """
+
+
 ORACLES["q25_minhash_neardup"] = _minhash_oracle()
 ORACLES["q27_simhash"] = _simhash_oracle()
+ORACLES["q51_embedding_neardup"] = _embedding_neardup_oracle()

@@ -1059,6 +1059,35 @@ def q50_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the vector-space dedup
+    family member): vectors with ``vec_id % 20 == 0`` are re-inserted at
+    ``vec_id + 100000`` with a deterministic ±3% per-element perturbation
+    (cosine ≈ 0.9995), and the SRP-LSH pipeline must recover exactly
+    those pairs at threshold 0.99.  The DuckDB oracle replays the full
+    signature→band→verify pipeline with the same plane literals."""
+    from sparkdiff.operators.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 100_000)
+        .withColumn(
+            "v",
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                * (F.lit(1.0) + F.lit(0.01) * (i % 7 - 3).cast("double")),
+            ),
+        )
+    )
+    corpus = e.unionByName(perturbed)
+    return embedding_near_dup_pairs(corpus, "vec_id", "v", threshold=0.99)
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1110,4 +1139,5 @@ QUERIES: dict[str, callable] = {
     "q48_local_supplier_volume": q48_local_supplier_volume,
     "q49_chunking": q49_chunking,
     "q50_quantiles": q50_quantiles,
+    "q51_embedding_neardup": q51_embedding_neardup,
 }

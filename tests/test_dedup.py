@@ -151,3 +151,36 @@ def test_char_shingles_empty_docs_produce_no_shingles(spark):
         for r in df.select("doc_id", shingles("text").alias("sh")).collect()
     }
     assert expr_rows[1] == [] and expr_rows[3] == []
+
+
+def test_embedding_near_dup_exact_duplicate_and_no_noise(spark):
+    """An exact duplicate pair must be recovered (cosine == 1.0) and
+    unrelated random vectors must not pair at a high threshold."""
+    from sparkdiff.operators.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dup = e.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(999_999).cast("long"))
+    corpus = e.unionByName(dup)
+    pairs = embedding_near_dup_pairs(corpus, "vec_id", "v", threshold=0.999).collect()
+    assert (3, 999_999) in {(r.id_a, r.id_b) for r in pairs}
+    exact = [r for r in pairs if (r.id_a, r.id_b) == (3, 999_999)]
+    assert abs(exact[0].cosine - 1.0) < 1e-12  # d/(n*n) rounding
+    # no random-pair noise at this threshold
+    assert all(r.id_b >= 999_999 or r.cosine >= 0.999 for r in pairs)
+
+
+def test_embedding_near_dup_plan_is_bucketed(spark):
+    """Candidate generation must be an equi-join on (band, key) — no
+    cartesian/NLJ all-pairs stage anywhere in the plan."""
+    from sparkdiff.queries import q51_embedding_neardup
+
+    plan = (
+        q51_embedding_neardup(spark, SF_DIR_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
