@@ -125,6 +125,54 @@ def _deterministic_planes(n_planes: int, dim: int, seed: int = 0x9E37) -> list[l
     return planes
 
 
+_PROBE_EXPR_MAX_NODES = 4096
+
+
+def _probe_cells(centroids: list[list[float]], n_probe: int):
+    """Column producing the ``n_probe`` best cells (by centroid dot
+    product, score desc / cell asc on ties) for the ``_nv`` query vector.
+
+    Two physical strategies behind one logical contract:
+
+    - **small codebooks** (n_clusters*dim ≤ 4096): a flat
+      whole-stage-codegen-able expression tree (``dot_const`` per
+      centroid, ``array_sort`` for top-n_probe).  Per-row, shuffle-free.
+    - **large codebooks** (thousands of cells — a real IVF at 100 TB):
+      the expression tree would put n_clusters*dim literal nodes into
+      Catalyst (analysis blows up long before execution), so probe via
+      one Arrow-batched numpy matmul — queries×centroids per batch,
+      task-broadcast codebook, still per-row and shuffle-free.
+    """
+    n_nodes = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if n_nodes <= _PROBE_EXPR_MAX_NODES:
+        cell_scores = F.array(
+            *[
+                F.struct(
+                    dot_const(F.col("_nv"), ctr).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+        # array_sort is (score asc, cell asc); reversed → score desc,
+        # cell desc on ties — mirrored below by lexsort's key order
+        return F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)[
+            "cell"
+        ]
+
+    C = np.array([list(map(float, c)) for c in centroids])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def top_cells(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        S = V @ C.T  # (n_queries_in_batch, n_clusters)
+        cells = np.arange(S.shape[1])
+        order = np.lexsort((-cells[None, :].repeat(S.shape[0], 0), -S), axis=1)
+        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+
+    return top_cells(F.col("_nv"))
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -175,24 +223,10 @@ def ivf_cosine_topk(
     ).select("corpus_id", F.col("_nv").alias("cv"), "cell")
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    cell_scores = F.array(
-        *[
-            F.struct(
-                dot(F.col("_nv"), F.array(*[F.lit(x) for x in ctr])).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
-    )
-    probed = (
-        q.select(
-            F.col("_id").alias("query_id"),
-            F.col("_nv").alias("qv"),
-            F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe).alias("_top"),
-        )
-        .select(
-            "query_id", "qv", F.explode(F.col("_top.cell")).alias("cell")
-        )
+    probed = q.select(
+        F.col("_id").alias("query_id"),
+        F.col("_nv").alias("qv"),
+        F.explode(_probe_cells(centroids, n_probe)).alias("cell"),
     )
     scored = c_cells.join(F.broadcast(probed), "cell").select(
         "query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")

@@ -104,6 +104,35 @@ def test_ivf_cosine_topk_self_recall_and_quality(spark):
     assert got == want
 
 
+def test_ivf_probe_strategies_agree(spark, monkeypatch):
+    """The large-codebook Arrow matmul probe must pick the same cells as
+    the codegen expression probe for the same codebook (ties included:
+    score desc, cell desc)."""
+    import sparkdiff.operators.similarity as sim
+
+    e = load_table(spark, SF_DIR_SMALL, "embeddings")
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_nv")
+    )
+    rng = __import__("random").Random(7)
+    centroids = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)]
+    # duplicated centroid -> identical scores -> exercises the tie-break
+    centroids[5] = list(centroids[2])
+
+    def probe(df):
+        return {
+            r.vec_id: list(r.cells)
+            for r in df.select(
+                "vec_id", sim._probe_cells(centroids, 4).alias("cells")
+            ).collect()
+        }
+
+    expr = probe(v)
+    monkeypatch.setattr(sim, "_PROBE_EXPR_MAX_NODES", 0)
+    arrow = probe(v)
+    assert expr == arrow
+
+
 def test_lsh_cosine_is_subset_and_ranked(spark):
     e = load_table(spark, SF_DIR_SMALL, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
