@@ -1018,22 +1018,10 @@ def q49_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: document chunking (500-char windows, 50 overlap — the
     reference's RAG chunker constants, ``tools/rag_tool.py:38-46``) as a
     native explode; chunk start positions stride by size-overlap."""
-    size, overlap = 500, 50
-    stride = size - overlap
+    from sparkdiff.sources.documents import chunk_documents
+
     d = load_table(spark, sf_dir, "documents")
-    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
-    chunks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(starts, lambda s: F.substring(F.col("text"), s, F.lit(size)))
-        ).alias("chunk_idx", "chunk"),
-    )
-    return chunks.select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "chunk",
-        F.length("chunk").cast("long").alias("chunk_len"),
-    )
+    return chunk_documents(d, ["doc_id"], "text", size=500, overlap=50)
 
 
 def q50_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
