@@ -164,6 +164,118 @@ def cell_diff(
     return stacked.filter(F.col("hive_value") != F.col("sf_value"))
 
 
+def dirty_pk_buckets(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str] = (),
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Buckets of pk-hash space whose content checksums differ between
+    the sides — the re-validation prefilter for repeated parity runs.
+
+    Each side is reduced to ``n_buckets`` summary rows: per bucket
+    (``pmod(xxhash64(pk), n_buckets)``), a row count plus a COMMUTATIVE
+    content checksum — the sum of per-row ``xxhash64(pk, fingerprint)``
+    accumulated as ``decimal(28,0)`` (so the 38-digit sum result never
+    overflows below ~10^10 rows *per bucket*; size ``n_buckets``
+    accordingly).  Order-independence makes the checksum partitioning-
+    invariant, and the sum (unlike xor) cannot be cancelled by an even
+    number of identical duplicate rows — the dup-pk case the rest of the
+    diff family hardens against.
+
+    A bucket whose (count, checksum) pair matches on both sides holds
+    identical content with probability 1 - 2^-64-ish; only mismatching
+    buckets need the wide re-diff.  The shuffle this job carries is
+    ``n_buckets`` summary rows per side — the wide columns never move.
+    """
+    cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
+
+    def summary(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        proj = df.select(
+            F.col(pk).cast("string").alias("pk_value"),
+            row_fingerprint(df, cols, decimal_scale, ts_format).alias("_fp"),
+        )
+        return proj.groupBy(
+            F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum(
+                F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")
+            ).alias(s_name),
+        )
+
+    h = summary(hive_df, "_hn", "_hs")
+    s = summary(sf_df, "_sn", "_ss")
+    j = h.join(s, "bucket", "full_outer")
+    clean = F.col("_hn").eqNullSafe(F.col("_sn")) & F.col("_hs").eqNullSafe(
+        F.col("_ss")
+    )
+    return j.filter(~clean).select("bucket")
+
+
+def refine_pair(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str] = (),
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> tuple[DataFrame, DataFrame]:
+    """Filter both sides down to the pk-buckets that actually changed.
+
+    ``presence_diff`` / ``cell_diff`` / ``diff_report`` over the refined
+    pair produce IDENTICAL output to a full run (every divergent or
+    one-sided pk lives in a dirty bucket by construction — q52 pins this
+    against the full-diff SQL oracle), but at a low drift rate the wide
+    shuffle covers only the dirty slice of the table.
+
+    The dirty bucket ids are collected to the driver (bounded by
+    ``n_buckets``, default 4096 ints — configuration-sized) and applied
+    as an ``isin`` literal on each side's bucket expression.  Collecting
+    beats a semi-join here for two reasons: the filter evaluates at the
+    scan with no join stage, and a lazy semi-join would recompute the
+    two checksum scans once per consumer, which at 100 TB is two extra
+    full passes.  All-clean pairs short-circuit to empty frames.
+    """
+    dirty = [
+        r.bucket
+        for r in dirty_pk_buckets(
+            hive_df, sf_df, pk, exclude_cols, n_buckets, decimal_scale, ts_format
+        ).collect()
+    ]
+    if not dirty:
+        return (hive_df.filter(F.lit(False)), sf_df.filter(F.lit(False)))
+    if len(dirty) == n_buckets:
+        return (hive_df, sf_df)
+
+    def keep(df: DataFrame) -> DataFrame:
+        b = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets))
+        return df.filter(b.isin(dirty))
+
+    return keep(hive_df), keep(sf_df)
+
+
+def refined_cell_diff(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str] = (),
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """:func:`cell_diff` through the checksum prefilter: same rows out,
+    but only dirty pk-buckets are fingerprint-joined and unpivoted."""
+    h, s = refine_pair(
+        hive_df, sf_df, pk, exclude_cols, n_buckets, decimal_scale, ts_format
+    )
+    return cell_diff(h, s, pk, exclude_cols, decimal_scale, ts_format)
+
+
 def diff_report(cell_diff_df: DataFrame) -> DataFrame:
     """Group-merge the cell diff per column into sorted deduped sets —
     ``(columnName, hive array, snowflake array, id array)``, the shape

@@ -956,3 +956,8 @@ def _embedding_neardup_oracle() -> str:
 ORACLES["q25_minhash_neardup"] = _minhash_oracle()
 ORACLES["q27_simhash"] = _simhash_oracle()
 ORACLES["q51_embedding_neardup"] = _embedding_neardup_oracle()
+
+# q52 is the checksum-refined physical path for the SAME logical diff as
+# q03 — refinement is lossless, so the oracle is the identical full-diff
+# SQL: any bucket the prefilter wrongly skips shows up as missing rows.
+ORACLES["q52_refined_diff"] = ORACLES["q03_cell_diff"]

@@ -1076,6 +1076,21 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, "vec_id", "v", threshold=0.99)
 
 
+def q52_refined_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03's cell diff through the checksum-refinement prefilter
+    (``operators.diff.refined_cell_diff``): per-bucket commutative
+    checksums pick the dirty pk-buckets, only those are fingerprint-
+    joined and unpivoted.  Lossless by construction — the oracle is the
+    same full-diff SQL as q03, so a bucket wrongly skipped fails the
+    driver hash."""
+    from sparkdiff.operators.diff import refined_cell_diff
+
+    hive, sf = testkit.hive_sf_pair(spark, sf_dir)
+    return refined_cell_diff(
+        hive, sf, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1128,4 +1143,5 @@ QUERIES: dict[str, callable] = {
     "q49_chunking": q49_chunking,
     "q50_quantiles": q50_quantiles,
     "q51_embedding_neardup": q51_embedding_neardup,
+    "q52_refined_diff": q52_refined_diff,
 }

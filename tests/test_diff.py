@@ -173,3 +173,59 @@ def test_diff_sensitivity_floor_is_tunable(spark):
         cell_diff(ht, st, "id", ts_format="yyyy-MM-dd HH:mm:ss.SSSSSS").count()
         == 1
     )
+
+
+def test_refined_cell_diff_equals_full(spark):
+    """Checksum refinement is lossless: same rows as the full cell diff,
+    and the prefilter actually prunes (dirty buckets << n_buckets)."""
+    from sparkdiff.operators.diff import dirty_pk_buckets, refined_cell_diff
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    full = sorted(
+        map(tuple, cell_diff(hive, sf, "c_custkey", testkit.EXCLUDE_COLS).collect())
+    )
+    refined = sorted(
+        map(
+            tuple,
+            refined_cell_diff(hive, sf, "c_custkey", testkit.EXCLUDE_COLS).collect(),
+        )
+    )
+    assert refined == full and full
+    n_dirty = dirty_pk_buckets(
+        hive, sf, "c_custkey", testkit.EXCLUDE_COLS
+    ).count()
+    assert 0 < n_dirty < 4096
+
+
+def test_refine_pair_covers_presence_rows(spark):
+    """One-sided pks land in dirty buckets too, so presence_diff over the
+    refined pair equals the full presence diff."""
+    from sparkdiff.operators.diff import refine_pair
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    full = sorted(map(tuple, presence_diff(hive, sf, "c_custkey").collect()))
+    h, s = refine_pair(hive, sf, "c_custkey", testkit.EXCLUDE_COLS)
+    got = sorted(map(tuple, presence_diff(h, s, "c_custkey").collect()))
+    assert got == full and full
+
+
+def test_refine_pair_identical_sides_short_circuit(spark):
+    from sparkdiff.operators.diff import refine_pair
+
+    cust = load_table(spark, SF_DIR_SMALL, "customer")
+    h, s = refine_pair(cust, cust, "c_custkey")
+    assert h.count() == 0 and s.count() == 0
+
+
+def test_dirty_buckets_catch_even_count_duplicate_drift(spark):
+    """An even number of identical dup-pk rows per side would cancel an
+    xor checksum; the decimal-sum checksum must still flag the bucket."""
+    from sparkdiff.operators.diff import dirty_pk_buckets
+
+    h = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "z")], "pk int, v string"
+    )
+    s = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (2, "z")], "pk int, v string"
+    )
+    assert dirty_pk_buckets(h, s, "pk").count() == 1
