@@ -164,6 +164,38 @@ def cell_diff(
     return stacked.filter(F.col("hive_value") != F.col("sf_value"))
 
 
+def _bucket_summaries(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    exclude_cols: Sequence[str],
+    n_buckets: int,
+    decimal_scale: int | None,
+    ts_format: str,
+) -> DataFrame:
+    """Joined per-bucket summaries: ``(bucket, _hn, _hd, _hs, _sn, _sd,
+    _ss)`` — row count, distinct-pk count, and commutative content
+    checksum per side."""
+    cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
+
+    def summary(df: DataFrame, suffix: str) -> DataFrame:
+        proj = df.select(
+            F.col(pk).cast("string").alias("pk_value"),
+            row_fingerprint(df, cols, decimal_scale, ts_format).alias("_fp"),
+        )
+        return proj.groupBy(
+            F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias(f"_{suffix}n"),
+            F.count_distinct(F.col("pk_value")).alias(f"_{suffix}d"),
+            F.sum(
+                F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")
+            ).alias(f"_{suffix}s"),
+        )
+
+    return summary(hive_df, "h").join(summary(sf_df, "s"), "bucket", "full_outer")
+
+
 def dirty_pk_buckets(
     hive_df: DataFrame,
     sf_df: DataFrame,
@@ -191,25 +223,9 @@ def dirty_pk_buckets(
     buckets need the wide re-diff.  The shuffle this job carries is
     ``n_buckets`` summary rows per side — the wide columns never move.
     """
-    cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
-
-    def summary(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
-        proj = df.select(
-            F.col(pk).cast("string").alias("pk_value"),
-            row_fingerprint(df, cols, decimal_scale, ts_format).alias("_fp"),
-        )
-        return proj.groupBy(
-            F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
-        ).agg(
-            F.count(F.lit(1)).alias(n_name),
-            F.sum(
-                F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")
-            ).alias(s_name),
-        )
-
-    h = summary(hive_df, "_hn", "_hs")
-    s = summary(sf_df, "_sn", "_ss")
-    j = h.join(s, "bucket", "full_outer")
+    j = _bucket_summaries(
+        hive_df, sf_df, pk, exclude_cols, n_buckets, decimal_scale, ts_format
+    )
     clean = F.col("_hn").eqNullSafe(F.col("_sn")) & F.col("_hs").eqNullSafe(
         F.col("_ss")
     )
@@ -257,6 +273,76 @@ def refine_pair(
         return df.filter(b.isin(dirty))
 
     return keep(hive_df), keep(sf_df)
+
+
+def refined_table_metrics(
+    hive_df: DataFrame,
+    sf_df: DataFrame,
+    pk: str,
+    table_name: str,
+    exclude_cols: Sequence[str] = (),
+    max_pk_values: int | None = None,
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """:func:`table_metrics` for re-validation runs: one bucket-summary
+    job yields BOTH the dirty buckets and the per-side totals (distinct
+    pks, summed over buckets), so the full-table wide join never runs —
+    only dirty buckets are re-joined for the discrepancy fields.  Output
+    row identical to :func:`table_metrics` (q53 pins it against the
+    full-metrics oracle); an all-clean pair emits the row from the
+    summary alone, with no second pass at all.
+    """
+    summ = _bucket_summaries(
+        hive_df, sf_df, pk, exclude_cols, n_buckets, decimal_scale, ts_format
+    )
+    clean = F.col("_hn").eqNullSafe(F.col("_sn")) & F.col("_hs").eqNullSafe(
+        F.col("_ss")
+    )
+    top = summ.agg(
+        F.sum("_hd").alias("ht"),
+        F.sum("_sd").alias("st"),
+        F.collect_list(F.when(~clean, F.col("bucket"))).alias("dirty"),
+    ).collect()[0]
+    h_total = int(top.ht or 0)
+    s_total = int(top.st or 0)
+    dirty = list(top.dirty)
+
+    if not dirty:
+        spark = hive_df.sparkSession
+        empty_arr = F.array().cast("array<string>")
+        return spark.range(1).select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(pk).alias("primary_column"),
+            F.lit(h_total).cast("long").alias("total_record_count_hive"),
+            F.lit(s_total).cast("long").alias("total_record_count_sf"),
+            F.lit(0).cast("long").alias("row_count_only_in_hive"),
+            empty_arr.alias("hive_only_pk_values"),
+            F.lit(0).cast("long").alias("row_count_only_in_sf"),
+            empty_arr.alias("sf_only_pk_values"),
+            F.lit(0).cast("long").alias("row_count_data_discrepancy"),
+            empty_arr.alias("data_discrepancy_pk_values"),
+            F.current_timestamp().alias("row_created"),
+        )
+
+    def keep(df: DataFrame) -> DataFrame:
+        b = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets))
+        return df.filter(b.isin(dirty))
+
+    m = table_metrics(
+        keep(hive_df),
+        keep(sf_df),
+        pk,
+        table_name,
+        exclude_cols,
+        max_pk_values,
+        decimal_scale,
+        ts_format,
+    )
+    return m.withColumn(
+        "total_record_count_hive", F.lit(h_total).cast("long")
+    ).withColumn("total_record_count_sf", F.lit(s_total).cast("long"))
 
 
 def refined_cell_diff(

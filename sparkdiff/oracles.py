@@ -961,3 +961,7 @@ ORACLES["q51_embedding_neardup"] = _embedding_neardup_oracle()
 # q03 — refinement is lossless, so the oracle is the identical full-diff
 # SQL: any bucket the prefilter wrongly skips shows up as missing rows.
 ORACLES["q52_refined_diff"] = ORACLES["q03_cell_diff"]
+
+# q53: bucket-summary fast path for the SAME metrics row as q04 —
+# lossless, so the oracle is q04's full-metrics SQL verbatim.
+ORACLES["q53_refined_metrics"] = ORACLES["q04_metrics_summary"]

@@ -1091,6 +1091,31 @@ def q52_refined_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_refined_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q04's ``dw_data_metrics`` row through the bucket-summary fast
+    path (``operators.diff.refined_table_metrics``): totals come from
+    the per-bucket distinct-pk sums, discrepancy fields from re-joining
+    only the dirty buckets.  Lossless — oracle is q04's full-metrics
+    SQL."""
+    from sparkdiff.operators.diff import refined_table_metrics
+
+    hive, sf = testkit.hive_sf_pair(spark, sf_dir)
+    m = refined_table_metrics(
+        hive, sf, "c_custkey", "customer", exclude_cols=testkit.EXCLUDE_COLS
+    )
+    return m.select(
+        "table_name",
+        "primary_column",
+        "total_record_count_hive",
+        "total_record_count_sf",
+        "row_count_only_in_hive",
+        F.array_join("hive_only_pk_values", ",").alias("hive_only_pks"),
+        "row_count_only_in_sf",
+        F.array_join("sf_only_pk_values", ",").alias("sf_only_pks"),
+        "row_count_data_discrepancy",
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1144,4 +1169,5 @@ QUERIES: dict[str, callable] = {
     "q50_quantiles": q50_quantiles,
     "q51_embedding_neardup": q51_embedding_neardup,
     "q52_refined_diff": q52_refined_diff,
+    "q53_refined_metrics": q53_refined_metrics,
 }

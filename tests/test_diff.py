@@ -229,3 +229,49 @@ def test_dirty_buckets_catch_even_count_duplicate_drift(spark):
         [(1, "b"), (1, "b"), (2, "z")], "pk int, v string"
     )
     assert dirty_pk_buckets(h, s, "pk").count() == 1
+
+
+def test_refined_table_metrics_equals_full(spark):
+    from sparkdiff.operators.diff import refined_table_metrics
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    cols = [
+        "table_name", "primary_column", "total_record_count_hive",
+        "total_record_count_sf", "row_count_only_in_hive",
+        "hive_only_pk_values", "row_count_only_in_sf",
+        "sf_only_pk_values", "row_count_data_discrepancy",
+        "data_discrepancy_pk_values",
+    ]
+    full = table_metrics(
+        hive, sf, "c_custkey", "customer", testkit.EXCLUDE_COLS
+    ).select(*cols).collect()[0]
+    fast = refined_table_metrics(
+        hive, sf, "c_custkey", "customer", testkit.EXCLUDE_COLS
+    ).select(*cols).collect()[0]
+    assert tuple(full) == tuple(fast)
+
+
+def test_refined_table_metrics_counts_distinct_pks_with_dups(spark):
+    """Totals are distinct-pk counts (table_metrics semantics), not raw
+    row counts, even when a side carries duplicated pks."""
+    from sparkdiff.operators.diff import refined_table_metrics
+
+    h = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "pk int, v string"
+    )
+    s = spark.createDataFrame([(1, "a"), (3, "c")], "pk int, v string")
+    full = table_metrics(h, s, "pk", "t").collect()[0]
+    fast = refined_table_metrics(h, s, "pk", "t").collect()[0]
+    assert (fast.total_record_count_hive, fast.total_record_count_sf) == (2, 2)
+    assert tuple(fast)[:-1] == tuple(full)[:-1]  # all but row_created
+
+
+def test_refined_table_metrics_clean_pair_skips_rejoin(spark):
+    from sparkdiff.operators.diff import refined_table_metrics
+
+    cust = load_table(spark, SF_DIR_SMALL, "customer")
+    row = refined_table_metrics(cust, cust, "c_custkey", "customer").collect()[0]
+    n = cust.count()
+    assert row.total_record_count_hive == n == row.total_record_count_sf
+    assert row.row_count_only_in_hive == 0 == row.row_count_data_discrepancy
+    assert row.hive_only_pk_values == [] == row.data_discrepancy_pk_values
