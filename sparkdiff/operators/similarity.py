@@ -293,6 +293,11 @@ def embedding_near_dup_pairs(
     pairs (θ≈π/2) pass a band with 0.5^12 ≈ 0.02% — the verify join
     stays linear in corpus size.
     """
+    if not 1 <= rows_per_band <= 31:
+        raise ValueError(
+            f"rows_per_band must be in [1, 31] (band keys are int32 bit "
+            f"packs), got {rows_per_band}"
+        )
     planes = _deterministic_planes(bands * rows_per_band, dim, seed)
     v = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
