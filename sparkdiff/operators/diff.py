@@ -164,6 +164,39 @@ def cell_diff(
     return stacked.filter(F.col("hive_value") != F.col("sf_value"))
 
 
+def bucket_summary(
+    df: DataFrame,
+    pk: str,
+    cols: Sequence[str],
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+    distinct_pks: bool = True,
+) -> DataFrame:
+    """One side's per-bucket summary: ``(bucket, n, checksum[, n_pks])``
+    — row count, commutative decimal-sum content checksum, and (batch
+    only) exact distinct-pk count.  Pure column expressions, so the same
+    lineage runs as a STREAMING aggregation (``distinct_pks=False``;
+    distinct aggregation isn't supported on streams) with state bounded
+    at ``n_buckets`` rows — see ``streaming.validate``.
+    """
+    proj = df.select(
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(df, list(cols), decimal_scale, ts_format).alias("_fp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")).alias(
+            "checksum"
+        ),
+    ]
+    if distinct_pks:
+        aggs.append(F.count_distinct(F.col("pk_value")).alias("n_pks"))
+    return proj.groupBy(
+        F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
+    ).agg(*aggs)
+
+
 def _bucket_summaries(
     hive_df: DataFrame,
     sf_df: DataFrame,
@@ -178,22 +211,17 @@ def _bucket_summaries(
     checksum per side."""
     cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
 
-    def summary(df: DataFrame, suffix: str) -> DataFrame:
-        proj = df.select(
-            F.col(pk).cast("string").alias("pk_value"),
-            row_fingerprint(df, cols, decimal_scale, ts_format).alias("_fp"),
-        )
-        return proj.groupBy(
-            F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
-        ).agg(
-            F.count(F.lit(1)).alias(f"_{suffix}n"),
-            F.count_distinct(F.col("pk_value")).alias(f"_{suffix}d"),
-            F.sum(
-                F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")
-            ).alias(f"_{suffix}s"),
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return bucket_summary(
+            df, pk, cols, n_buckets, decimal_scale, ts_format
+        ).select(
+            "bucket",
+            F.col("n").alias(f"_{suffix}n"),
+            F.col("n_pks").alias(f"_{suffix}d"),
+            F.col("checksum").alias(f"_{suffix}s"),
         )
 
-    return summary(hive_df, "h").join(summary(sf_df, "s"), "bucket", "full_outer")
+    return side(hive_df, "h").join(side(sf_df, "s"), "bucket", "full_outer")
 
 
 def dirty_pk_buckets(

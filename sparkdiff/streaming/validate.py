@@ -13,11 +13,13 @@ cluster scale — the plan is source-agnostic.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sparkdiff.operators.diff import bucket_summary
 
 #: Explicit schema for the driver's events table as a streaming source
 #: (streams cannot infer schemas).  ``ts`` arrives as nanos-epoch long
@@ -118,6 +120,102 @@ def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     else:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def streaming_bucket_checksums(
+    changes: DataFrame,
+    pk: str,
+    cols: Sequence[str],
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Per-bucket (count, commutative checksum) maintained as STREAMING
+    state over an append-only change stream — ``dirty_pk_buckets``
+    without the rescan.
+
+    The batch operator re-reads both full tables per validation run; at
+    100 TB that's two full scans per check.  Here the same bucket
+    summary lineage (``operators.diff.bucket_summary``) runs as a
+    streaming aggregation: each micro-batch folds its rows into the
+    per-bucket sums, and because the checksum is a commutative decimal
+    sum, the state after any prefix of the stream equals the batch
+    summary of the rows seen so far (pinned by the batch-twin test).
+    State is bounded at ``n_buckets`` rows BY CONSTRUCTION — no
+    watermark needed, safe under the RocksDB provider for huge
+    ``n_buckets``.
+    """
+    return bucket_summary(
+        changes,
+        pk,
+        cols,
+        n_buckets,
+        decimal_scale,
+        ts_format,
+        distinct_pks=False,  # distinct aggs unsupported on streams
+    )
+
+
+def checksum_drift_monitor(
+    changes: DataFrame,
+    reference_df: DataFrame,
+    pk: str,
+    cols: Sequence[str],
+    on_dirty: Callable[[DataFrame, int], None],
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+):
+    """Continuous drift detection: per micro-batch, the buckets whose
+    maintained stream-side checksum diverges from the (cached) reference
+    summary are handed to ``on_dirty`` as ``(bucket, n, checksum,
+    ref_n, ref_checksum)`` rows.
+
+    Semantics are "dirty so far": a bucket the stream has only partially
+    ingested reports dirty until its rows converge on the reference —
+    monotone convergence to the batch ``dirty_pk_buckets`` answer once
+    the stream catches up.  Update mode delivers only buckets touched by
+    the batch, so per-batch compare work is O(touched buckets), not
+    O(n_buckets).
+    """
+    ref = (
+        bucket_summary(
+            reference_df,
+            pk,
+            cols,
+            n_buckets,
+            decimal_scale,
+            ts_format,
+            distinct_pks=False,
+        )
+        .select(
+            "bucket",
+            F.col("n").alias("ref_n"),
+            F.col("checksum").alias("ref_checksum"),
+        )
+        .cache()  # one reference scan for the lifetime of the monitor
+    )
+    state = streaming_bucket_checksums(
+        changes, pk, cols, n_buckets, decimal_scale, ts_format
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        j = batch_df.join(ref, "bucket", "left_outer")
+        dirty = j.filter(
+            ~(
+                F.col("n").eqNullSafe(F.col("ref_n"))
+                & F.col("checksum").eqNullSafe(F.col("ref_checksum"))
+            )
+        )
+        on_dirty(dirty, batch_id)
+
+    return (
+        state.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+    )
 
 
 def incremental_validation(

@@ -413,3 +413,87 @@ def test_incremental_validation_parquet_sink_is_replay_idempotent(spark, tmp_pat
         map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect())
     )
     assert second == first, "replay duplicated or altered sink rows"
+
+
+def test_streaming_bucket_checksums_match_batch(spark, tmp_path):
+    """Streamed per-bucket checksum state after an availableNow drain
+    equals the batch bucket_summary over the same rows (commutativity =
+    stream/batch equivalence)."""
+    from sparkdiff.operators.diff import bucket_summary
+    from sparkdiff.streaming.validate import streaming_bucket_checksums
+
+    cols = ["event_type", "value"]
+    stream = read_events_stream(spark, SF_DIR_SMALL).drop("ts")
+    state = streaming_bucket_checksums(stream, "event_id", cols, n_buckets=64)
+
+    got = {}
+
+    def record(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.bucket] = (r.n, r.checksum)
+
+    q = (
+        state.writeStream.outputMode("update")
+        .foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = bucket_summary(
+        load_table(spark, SF_DIR_SMALL, "events"),
+        "event_id",
+        cols,
+        n_buckets=64,
+        distinct_pks=False,
+    )
+    expected = {r.bucket: (r.n, r.checksum) for r in batch.collect()}
+    assert got == expected and len(got) > 1
+
+
+def test_checksum_drift_monitor_finds_perturbed_buckets(spark, tmp_path):
+    """The monitor's dirty set after a full drain equals the batch
+    bucket-summary comparison between the stream's table and a perturbed
+    reference."""
+    from sparkdiff.operators.diff import bucket_summary
+    from sparkdiff.streaming.validate import checksum_drift_monitor
+
+    cols = ["event_type", "value"]
+    events = load_table(spark, SF_DIR_SMALL, "events")
+    reference = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 37 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    stream = read_events_stream(spark, SF_DIR_SMALL).drop("ts")
+
+    dirty_latest = {}
+
+    def on_dirty(df, batch_id):
+        for r in df.collect():
+            dirty_latest[r.bucket] = (r.n, r.checksum, r.ref_n, r.ref_checksum)
+
+    q = (
+        checksum_drift_monitor(
+            stream, reference, "event_id", cols, on_dirty, n_buckets=64
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def summ(df):
+        return {
+            r.bucket: (r.n, r.checksum)
+            for r in bucket_summary(
+                df, "event_id", cols, n_buckets=64, distinct_pks=False
+            ).collect()
+        }
+
+    s_side, r_side = summ(events), summ(reference)
+    expected = {b for b in s_side if s_side[b] != r_side.get(b)}
+    assert set(dirty_latest) == expected and expected
+    # and clean buckets stayed clean: none reported beyond the expected set
+    assert all(b in expected for b in dirty_latest)
