@@ -81,3 +81,82 @@ def normalized_not_like(col: str, pattern: str) -> Column:
     """P5: ``lower(COALESCE(col,'')) NOT LIKE pattern``
     (``nw_customer_PRE_300.hql:10,28``)."""
     return ~F.lower(F.coalesce(F.col(col), F.lit(""))).like(pattern)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.01,
+    hot_ratio: float = 0.01,
+    max_keys: int = 100,
+    seed: int = 42,
+) -> list:
+    """Join keys that dominate ``df``, estimated from a seeded sample.
+
+    A key is "hot" when its sampled share exceeds ``hot_ratio`` of the
+    sampled rows.  The sample aggregate is one narrow job (key + count);
+    the result is configuration-sized (≤ ``max_keys`` values) and feeds
+    :func:`salted_join` as a literal list — the sketch-driven version of
+    what AQE's skew-join does at runtime, available BEFORE the shuffle
+    exists (AQE can only split post-shuffle partitions; pre-salting
+    keeps any single reduce task from ever materializing the hot key).
+    """
+    s = df.select(key).sample(fraction=sample_fraction, seed=seed)
+    total = s.count()
+    if total == 0:
+        return []
+    rows = (
+        s.groupBy(key)
+        .count()
+        .filter(F.col("count") >= max(1.0, hot_ratio * total))
+        .orderBy(F.desc("count"), F.asc(key))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over ``salt``
+    sub-keys, with ``other``'s hot rows replicated to match — identical
+    rows to ``skewed.join(other, on, how)`` (pinned by test), but no
+    reduce task ever holds a hot key's full row set.
+
+    Differential salting: only detected hot keys pay the replication
+    cost — cold keys keep salt 0 and join exactly once.  The skewed
+    side's salt is a deterministic per-row hash (reproducible under any
+    partitioning); ``other`` explodes hot rows across all ``salt``
+    ids.  Supported ``how``: inner / left (the skewed side preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(skewed, on)
+    if not hot_keys:
+        return skewed.join(other, on, how)
+
+    is_hot_l = F.col(on).isin(hot_keys)
+    l = skewed.withColumn(
+        "_salt",
+        F.when(
+            is_hot_l,
+            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    is_hot_r = F.col(on).isin(hot_keys)
+    r = other.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                is_hot_r, F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")

@@ -91,3 +91,62 @@ def test_hot_key_is_combined_map_side(spark):
 def test_aqe_skew_backstop_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_detect_hot_keys_finds_the_hot_pk(spark):
+    hive, _ = _skewed_pair(spark)
+    hot = __import__("sparkdiff.operators.workload", fromlist=["x"]).detect_hot_keys(
+        hive, "c_custkey", sample_fraction=0.05
+    )
+    assert hot == [HOT_PK]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted fact-fact join returns exactly the plain join's rows, and
+    the skewed side's hot key is spread across salt sub-keys."""
+    from sparkdiff.operators.workload import salted_join
+
+    hive, _ = _skewed_pair(spark)
+    facts = hive.select("c_custkey", "c_name")
+    dims = (
+        load_table(spark, SF_DIR_SMALL, "customer")
+        .select("c_custkey", "c_acctbal")
+        .limit(200)
+    )
+    plain = sorted(map(tuple, facts.join(dims, "c_custkey").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(
+                facts, dims, "c_custkey", salt=8, hot_keys=[HOT_PK]
+            ).collect(),
+        )
+    )
+    assert salted == plain and plain
+
+    # hot rows actually spread: every salt id carries a share of HOT_PK
+    spread = (
+        facts.filter(F.col("c_custkey") == HOT_PK)
+        .select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(8))
+            .cast("int")
+            .alias("s")
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    counts = {r.s: r["count"] for r in spread}
+    assert len(counts) == 8
+    assert max(counts.values()) < HOT_COPIES  # no salt holds everything
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    from sparkdiff.operators.workload import salted_join
+
+    l = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    r = spark.createDataFrame([(1, "X")], "k int, w string")
+    got = sorted(
+        map(tuple, salted_join(l, r, "k", how="left", salt=4, hot_keys=[1]).collect())
+    )
+    assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", None)]
