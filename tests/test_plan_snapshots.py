@@ -1,0 +1,64 @@
+"""Whole-registry plan-shape pinning: every query's physical-plan
+signature (join strategies, shuffle/broadcast exchange counts, Python
+boundaries) must match ``plan_snapshots.json``.
+
+A failure here means the PLAN changed, not the values — if the change is
+intentional (e.g. an operator got a cheaper strategy), regenerate with:
+
+    SPARKDIFF_REGEN_PLANS=1 python -m pytest tests/test_plan_snapshots.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from sparkdiff.plans.signature import plan_signature
+from sparkdiff.queries import QUERIES
+
+from .conftest import SF_DIR_SMALL
+
+SNAPSHOT_PATH = Path(__file__).parent / "plan_snapshots.json"
+REGEN = os.environ.get("SPARKDIFF_REGEN_PLANS") == "1"
+
+
+def test_plan_signatures_match_snapshots(spark):
+    got = {name: plan_signature(fn(spark, SF_DIR_SMALL)) for name, fn in QUERIES.items()}
+    if REGEN or not SNAPSHOT_PATH.exists():
+        SNAPSHOT_PATH.write_text(json.dumps(got, indent=1, sort_keys=True) + "\n")
+        pytest.skip(f"regenerated {SNAPSHOT_PATH.name} for {len(got)} queries")
+    want = json.loads(SNAPSHOT_PATH.read_text())
+    assert set(got) == set(want), (
+        f"query registry changed: +{set(got) - set(want)} -{set(want) - set(got)}"
+        " — regenerate snapshots"
+    )
+    diffs = {
+        n: {"got": got[n], "want": want[n]} for n in got if got[n] != want[n]
+    }
+    assert not diffs, (
+        "plan shapes changed (intentional? SPARKDIFF_REGEN_PLANS=1):\n"
+        + json.dumps(diffs, indent=1, sort_keys=True)
+    )
+
+
+# Queries where a broadcast cross join is the DESIGN, not a regression:
+# q24's exact top-k broadcasts the (small) query set against the corpus
+# — the corpus is scanned once with no shuffle, which is the right plan;
+# the scale path for corpus×corpus is the LSH/IVF variants.
+_INTENTIONAL_NLJ = {"q24_cosine_topk"}
+
+
+def test_no_query_plans_a_cartesian_or_nlj(spark):
+    """Registry-wide hard invariant, independent of snapshots."""
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name in _INTENTIONAL_NLJ:
+            continue
+        sig = plan_signature(fn(spark, SF_DIR_SMALL))
+        for j in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if sig["joins"].get(j):
+                bad[name] = sig["joins"]
+    assert not bad, f"cartesian/NLJ in: {bad}"
