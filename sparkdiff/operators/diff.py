@@ -303,6 +303,64 @@ def refine_pair(
     return keep(hive_df), keep(sf_df)
 
 
+def write_bucket_store(
+    df: DataFrame,
+    pk: str,
+    cols: Sequence[str],
+    path: str,
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> None:
+    """Persist one side's bucket summary as the pair's checksum store.
+
+    Re-validating a pair where one side is stable (the classic
+    hive-snapshot vs live-snowflake setup) should not rescan the stable
+    side every run: store its summary once (``n_buckets`` rows — KBs),
+    then each run scans ONLY the changed side and compares against the
+    store (:func:`dirty_vs_store`).  Parameters (n_buckets, sensitivity)
+    must match between writer and reader; they are embedded in the data
+    only via the bucket count, so keep them in the pair's config.
+    """
+    bucket_summary(df, pk, cols, n_buckets, decimal_scale, ts_format).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def dirty_vs_store(
+    df: DataFrame,
+    store: DataFrame | str,
+    pk: str,
+    cols: Sequence[str],
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Dirty buckets of ``df`` vs a stored summary — identical answer to
+    :func:`dirty_pk_buckets` against the stored side's table (pinned by
+    test), at the cost of one scan of ``df`` plus a KB-sized store read.
+
+    The comparison is row-count + checksum (the store's ``n``/
+    ``checksum``); the distinct-pk column, when present in the store, is
+    ignored here — it only feeds :func:`refined_table_metrics` totals.
+    """
+    if isinstance(store, str):
+        store = df.sparkSession.read.parquet(store)
+    mine = bucket_summary(
+        df, pk, cols, n_buckets, decimal_scale, ts_format, distinct_pks=False
+    )
+    ref = store.select(
+        "bucket",
+        F.col("n").alias("_rn"),
+        F.col("checksum").alias("_rs"),
+    )
+    j = mine.join(ref, "bucket", "full_outer")
+    clean = F.col("n").eqNullSafe(F.col("_rn")) & F.col("checksum").eqNullSafe(
+        F.col("_rs")
+    )
+    return j.filter(~clean).select("bucket")
+
+
 def refined_table_metrics(
     hive_df: DataFrame,
     sf_df: DataFrame,

@@ -156,6 +156,44 @@ def streaming_bucket_checksums(
     )
 
 
+def streaming_bucket_checksums_cdc(
+    changes: DataFrame,
+    pk: str,
+    cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+    n_buckets: int = 4096,
+    decimal_scale: int | None = 4,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Bucket checksums over a CDC stream WITH retractions: rows whose
+    ``op_col`` equals ``delete_op`` subtract their contribution, all
+    others add (an update is the usual CDC delete(old)+insert(new)
+    pair).  Because the state is a signed commutative sum, the bucket
+    state after any prefix equals the batch :func:`~sparkdiff.operators.
+    diff.bucket_summary` of the table the CDC log materializes to —
+    append-only streams are the ``op``-free special case
+    (:func:`streaming_bucket_checksums`).  State stays bounded at
+    ``n_buckets`` rows regardless of churn.
+    """
+    from sparkdiff.functions.canonical import row_fingerprint
+
+    sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+    proj = changes.select(
+        sign.alias("_sign"),
+        F.col(pk).cast("string").alias("pk_value"),
+        row_fingerprint(changes, list(cols), decimal_scale, ts_format).alias("_fp"),
+    )
+    return proj.groupBy(
+        F.pmod(F.xxhash64("pk_value"), F.lit(n_buckets)).alias("bucket")
+    ).agg(
+        F.sum("_sign").alias("n"),
+        F.sum(
+            F.col("_sign") * F.xxhash64("pk_value", "_fp").cast("decimal(28,0)")
+        ).alias("checksum"),
+    )
+
+
 def checksum_drift_monitor(
     changes: DataFrame,
     reference_df: DataFrame,

@@ -275,3 +275,61 @@ def test_refined_table_metrics_clean_pair_skips_rejoin(spark):
     assert row.total_record_count_hive == n == row.total_record_count_sf
     assert row.row_count_only_in_hive == 0 == row.row_count_data_discrepancy
     assert row.hive_only_pk_values == [] == row.data_discrepancy_pk_values
+
+
+def test_dirty_vs_store_matches_pairwise_answer(spark, tmp_path):
+    """Comparing the changed side against a persisted summary must find
+    exactly the buckets the two-sided scan finds."""
+    from sparkdiff.operators.diff import (
+        _compared_columns,
+        dirty_pk_buckets,
+        dirty_vs_store,
+        write_bucket_store,
+    )
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_SMALL)
+    cols = _compared_columns(hive, sf, "c_custkey", testkit.EXCLUDE_COLS)
+    store = str(tmp_path / "hive_store")
+    write_bucket_store(hive, "c_custkey", cols, store)
+    got = {r.bucket for r in dirty_vs_store(sf, store, "c_custkey", cols).collect()}
+    want = {
+        r.bucket
+        for r in dirty_pk_buckets(
+            hive, sf, "c_custkey", testkit.EXCLUDE_COLS
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_cdc_checksums_retract_to_materialized_table(spark):
+    """Signed bucket sums over a CDC log equal the batch summary of the
+    table the log materializes to (delete(old)+insert(new) updates)."""
+    from sparkdiff.operators.diff import bucket_summary
+    from sparkdiff.streaming.validate import streaming_bucket_checksums_cdc
+
+    base = [(i, f"v{i}", "insert") for i in range(1, 101)]
+    deletes = [(i, f"v{i}", "delete") for i in range(10, 101, 10)]
+    inserts = [(i, f"w{i}", "insert") for i in range(10, 101, 10)]
+    log = spark.createDataFrame(
+        base + deletes + inserts, "pk int, v string, op string"
+    )
+    final = spark.createDataFrame(
+        [
+            (i, f"w{i}" if i % 10 == 0 else f"v{i}")
+            for i in range(1, 101)
+        ],
+        "pk int, v string",
+    )
+    got = {
+        r.bucket: (r.n, r.checksum)
+        for r in streaming_bucket_checksums_cdc(
+            log, "pk", ["v"], n_buckets=16
+        ).collect()
+    }
+    want = {
+        r.bucket: (r.n, r.checksum)
+        for r in bucket_summary(
+            final, "pk", ["v"], n_buckets=16, distinct_pks=False
+        ).collect()
+    }
+    assert got == want and sum(n for n, _ in got.values()) == 100

@@ -497,3 +497,57 @@ def test_checksum_drift_monitor_finds_perturbed_buckets(spark, tmp_path):
     assert set(dirty_latest) == expected and expected
     # and clean buckets stayed clean: none reported beyond the expected set
     assert all(b in expected for b in dirty_latest)
+
+
+def test_cdc_checksum_stream_drains_to_final_state(spark, tmp_path):
+    """The CDC checksum agg runs as a real stream: after draining a CDC
+    log directory, the maintained state equals the batch summary of the
+    materialized table."""
+    from sparkdiff.operators.diff import bucket_summary
+    from sparkdiff.streaming.validate import streaming_bucket_checksums_cdc
+    from pyspark.sql import types as T
+
+    base = [(i, f"v{i}", "insert") for i in range(1, 51)]
+    churn = [(i, f"v{i}", "delete") for i in range(5, 51, 5)] + [
+        (i, f"w{i}", "insert") for i in range(5, 51, 5)
+    ]
+    log_dir = tmp_path / "cdc"
+    spark.createDataFrame(base + churn, "pk int, v string, op string").write.parquet(
+        str(log_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(log_dir))
+    state = streaming_bucket_checksums_cdc(stream, "pk", ["v"], n_buckets=8)
+
+    got = {}
+
+    def record(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.bucket] = (r.n, r.checksum)
+
+    q = (
+        state.writeStream.outputMode("update")
+        .foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = spark.createDataFrame(
+        [(i, f"w{i}" if i % 5 == 0 else f"v{i}") for i in range(1, 51)],
+        "pk int, v string",
+    )
+    want = {
+        r.bucket: (r.n, r.checksum)
+        for r in bucket_summary(
+            final, "pk", ["v"], n_buckets=8, distinct_pks=False
+        ).collect()
+    }
+    assert got == want
