@@ -57,15 +57,80 @@ def _utf8_to_text(blob: bytes) -> str:
     return blob.decode("utf-8", errors="replace")
 
 
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "section", "article", "blockquote", "pre",
+}
+
+
+def html_to_text(blob: bytes) -> str:
+    """Visible text of an HTML binary: script/style dropped, block tags
+    become newlines, entities decoded (stdlib ``html.parser``), runs of
+    blank lines collapsed."""
+    from html.parser import HTMLParser
+
+    class _Text(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self._skip = max(0, self._skip - 1)
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.parts.append(data)
+
+    p = _Text()
+    p.feed(_utf8_to_text(blob))
+    lines = [ln.strip() for ln in "".join(p.parts).splitlines()]
+    out: list[str] = []
+    for ln in lines:
+        if ln:
+            out.append(ln)
+        elif out and out[-1] != "":
+            out.append("")
+    return "\n".join(out).strip("\n")
+
+
+def _pdf_to_text(blob: bytes) -> str:  # pragma: no cover - needs pypdf
+    from pypdf import PdfReader  # gated: registered only when importable
+
+    reader = PdfReader(io.BytesIO(blob))
+    return "\n\n".join(page.extract_text() or "" for page in reader.pages)
+
+
 #: extension (lowercase, with dot) -> bytes->str extractor.  Register new
 #: formats (pdf, html, ...) here; unknown extensions fall back to UTF-8
 #: text, mirroring the reference's TextLoader default.
 EXTRACTORS: dict[str, Callable[[bytes], str]] = {
     ".docx": docx_to_text,
+    ".html": html_to_text,
+    ".htm": html_to_text,
     ".txt": _utf8_to_text,
     ".md": _utf8_to_text,
     ".sql": _utf8_to_text,
 }
+
+# .pdf registers only when a parser is importable — otherwise the
+# extension falls back to utf-8 like any unknown format, and users
+# register their own extractor instead of hitting task-time failures.
+try:  # pragma: no cover - container lacks pypdf
+    import pypdf  # noqa: F401
+
+    EXTRACTORS[".pdf"] = _pdf_to_text
+except ImportError:
+    pass
 
 
 def load_documents(

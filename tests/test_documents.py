@@ -77,3 +77,36 @@ def test_unknown_extension_falls_back_to_utf8(spark, tmp_path):
     (tmp_path / "data.log").write_bytes("caf\xe9 ✓".encode("utf-8"))
     got = load_documents(spark, str(tmp_path)).collect()
     assert got[0].text == "caf\xe9 ✓"
+
+
+def test_html_to_text_strips_tags_scripts_entities():
+    from sparkdiff.sources.documents import html_to_text
+
+    html = b"""<html><head><style>p {color: red}</style>
+    <script>var x = "ignore me";</script></head>
+    <body><h1>Parity &amp; Drift</h1>
+    <p>First <b>bold</b> para.</p>
+    <ul><li>one</li><li>two</li></ul>
+    </body></html>"""
+    text = html_to_text(html)
+    assert "Parity & Drift" in text
+    assert "First bold para." in text
+    assert "one\n" in text and "two" in text
+    assert "ignore me" not in text and "color" not in text
+
+
+def test_html_loads_through_document_source(spark, tmp_path):
+    (tmp_path / "page.html").write_text("<p>hello <i>world</i></p>")
+    got = load_documents(spark, str(tmp_path)).collect()
+    assert got[0].doc_format == "html"
+    assert got[0].text == "hello world"
+
+
+def test_pdf_registration_tracks_importability():
+    from sparkdiff.sources.documents import EXTRACTORS
+
+    try:
+        import pypdf  # noqa: F401
+        assert ".pdf" in EXTRACTORS
+    except ImportError:
+        assert ".pdf" not in EXTRACTORS
