@@ -30,3 +30,10 @@ def test_parity_pipeline_example():
 def test_training_data_pipeline_example():
     stdout = _run("training_data_pipeline.py")
     assert "-> chunks" in stdout
+
+
+def test_revalidation_pipeline_example():
+    stdout = _run("revalidation_pipeline.py")
+    assert "dirty buckets:" in stdout
+    assert "cell diffs in drifted slice:" in stdout
+    assert "mismatch=" in stdout
