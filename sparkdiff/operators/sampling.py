@@ -1,0 +1,85 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+``randomSplit``/``sample`` are partition-order-dependent: the same row
+can land in different splits across runs, cluster sizes, or engines —
+unacceptable for reproducible train/val/test assignment and for the
+oracle gate.  These operators derive a uniform unit variate from a
+**content hash** of the key instead:
+
+    u(key) = (md5_60bit(concat(key, seed)) mod 10^6) / 10^6
+
+Pure column expressions (md5 + string slice + conv — the same
+oracle-representable 60-bit construction the MinHash family uses, see
+``operators/dedup.token_hash``), so assignment is identical on any
+partitioning, any cluster size, and any engine with md5 — the DuckDB
+oracle replays it bit-for-bit (q54).  Keys hash independently, so a row
+keeps its split under repartition, incremental append, or backfill —
+the property training pipelines actually need from a splitter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: modulus of the unit variate — 10^6 distinct levels is plenty for
+#: split weights expressed in fractions of a percent.
+_RESOLUTION = 1_000_000
+
+
+def unit_hash(key: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform variate in [0, 1) from a key's content."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(_RESOLUTION)).cast("double") / F.lit(float(_RESOLUTION))
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key content — stable across
+    runs/partitionings, and consistent for equal keys (all-or-nothing
+    per key, which is what you want when the key identifies a
+    document/user whose rows must not straddle the boundary)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(unit_hash(key, seed) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Mapping[str, float],
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative weight ranges over
+    the unit hash — e.g. ``{"train": .8, "val": .1, "test": .1}``.
+
+    Weights must sum to 1 (±1e-9).  Assignment is per-key deterministic
+    and engine-portable; the last split absorbs the top of the range so
+    coverage is total.
+    """
+    names = list(weights)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = unit_hash(key, seed)
+    expr = F.lit(names[-1])
+    hi = 0.0
+    # build WHEN chain over cumulative upper bounds for all but the last
+    conds = []
+    for name in names[:-1]:
+        hi += weights[name]
+        conds.append((name, hi))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

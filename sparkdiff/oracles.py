@@ -965,3 +965,24 @@ ORACLES["q52_refined_diff"] = ORACLES["q03_cell_diff"]
 # q53: bucket-summary fast path for the SAME metrics row as q04 —
 # lossless, so the oracle is q04's full-metrics SQL verbatim.
 ORACLES["q53_refined_metrics"] = ORACLES["q04_metrics_summary"]
+
+# q54: the md5 → 60-bit → mod-10^6 unit variate replayed exactly
+# (same construction as the q25/q27 token hash, so DuckDB agrees
+# bit-for-bit on every assignment).
+ORACLES["q54_hash_split"] = """
+    WITH u AS (
+        SELECT
+            length(text) AS len,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 15))
+                  AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM documents
+    )
+    SELECT
+        CASE WHEN u < 0.8 THEN 'train'
+             WHEN u < 0.9 THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len) AS BIGINT) AS sum_chars
+    FROM u
+    GROUP BY 1
+"""

@@ -1116,6 +1116,24 @@ def q53_refined_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the documents corpus
+    (``operators/sampling.hash_split``): md5-derived unit variate per
+    doc_id, 80/10/10 cumulative ranges, aggregated to per-split counts
+    and char totals.  Engine-portable by construction — the oracle
+    replays the same md5 → 60-bit → mod math."""
+    from sparkdiff.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r2"
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1170,4 +1188,5 @@ QUERIES: dict[str, callable] = {
     "q51_embedding_neardup": q51_embedding_neardup,
     "q52_refined_diff": q52_refined_diff,
     "q53_refined_metrics": q53_refined_metrics,
+    "q54_hash_split": q54_hash_split,
 }

@@ -1,0 +1,69 @@
+"""Deterministic hash sampling/splitting: partition-invariance, split
+totality, per-key stability, and weight validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.sampling import hash_sample, hash_split, unit_hash
+from sparkdiff.session import load_table
+
+from .conftest import SF_DIR_SMALL
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_is_total_and_partition_invariant(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    a = hash_split(d, "doc_id", WEIGHTS, seed="s")
+    b = hash_split(d.repartition(17), "doc_id", WEIGHTS, seed="s")
+    ga = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    gb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ga == gb
+    assert set(ga.values()) == {"train", "val", "test"}
+    assert len(ga) == d.count()
+
+
+def test_split_proportions_roughly_match_weights(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    n = d.count()
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(d, "doc_id", WEIGHTS).groupBy("split").count().collect()
+    }
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.08)
+    assert counts["val"] / n == pytest.approx(0.1, abs=0.06)
+
+
+def test_seed_changes_assignment_but_stays_deterministic(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    s1 = {r.doc_id: r.split for r in hash_split(d, "doc_id", WEIGHTS, "a").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(d, "doc_id", WEIGHTS, "b").collect()}
+    assert s1 != s2  # different seed, different shuffle of assignments
+    s1_again = {
+        r.doc_id: r.split for r in hash_split(d, "doc_id", WEIGHTS, "a").collect()
+    }
+    assert s1 == s1_again
+
+
+def test_hash_sample_is_consistent_subset(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    small = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(d, "doc_id", 0.5).select("doc_id").collect()}
+    assert small <= big  # nested samples: raising the rate only adds rows
+    assert 0 < len(small) < len(big) < d.count()
+
+
+def test_unit_hash_range_and_weight_validation(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents").select(
+        unit_hash("doc_id").alias("u")
+    )
+    mm = d.agg(F.min("u"), F.max("u")).collect()[0]
+    assert 0.0 <= mm[0] and mm[1] < 1.0
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(
+            load_table(spark, SF_DIR_SMALL, "documents"),
+            "doc_id",
+            {"a": 0.5, "b": 0.4},
+        )
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(load_table(spark, SF_DIR_SMALL, "documents"), "doc_id", 1.5)
