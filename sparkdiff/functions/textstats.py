@@ -93,6 +93,30 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return (words + punct).cast("long")
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from a MATERIALIZED token-array column
+    (materialize first — HOF lambdas re-evaluate captured expressions
+    per element, see SCALE.md).  Fewer than ``n`` tokens → empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction ``1 - distinct/total`` — the
+    Gopher-style repetition signal: boilerplate and looping generations
+    score high, natural prose low.  0.0 for docs shorter than ``n``
+    tokens."""
+    grams = word_ngrams(toks, n)
+    total = F.size(grams).cast("double")
+    uniq = F.size(F.array_distinct(grams)).cast("double")
+    return F.when(total > 0, F.lit(1.0) - uniq / total).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 over the normalized (lowercased,
     alnum-only) text — the reference's md5-row-hash idiom (F6) applied to

@@ -986,3 +986,35 @@ ORACLES["q54_hash_split"] = """
     FROM u
     GROUP BY 1
 """
+
+# q55: same tokenization as q17, n-grams via 1-based list indexing,
+# identical `1.0 - distinct/total` IEEE arithmetic.
+ORACLES["q55_repetition"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS g2,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i] || ' ' || toks[i + 1]
+                                             || ' ' || toks[i + 2])
+                    ELSE [] END AS g3
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS rep2,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS rep3
+    FROM g
+"""

@@ -1134,6 +1134,27 @@ def q54_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram repetition signal per document (Gopher-style
+    quality metric; ``functions/textstats.repetition_ratio``): tokens
+    materialized once, bigram and trigram duplicate fractions as pure
+    column expressions."""
+    from sparkdiff.functions.textstats import repetition_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        repetition_ratio(F.col("_toks"), 2).alias("rep2"),
+        repetition_ratio(F.col("_toks"), 3).alias("rep3"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1189,4 +1210,5 @@ QUERIES: dict[str, callable] = {
     "q52_refined_diff": q52_refined_diff,
     "q53_refined_metrics": q53_refined_metrics,
     "q54_hash_split": q54_hash_split,
+    "q55_repetition": q55_repetition,
 }

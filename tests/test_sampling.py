@@ -67,3 +67,31 @@ def test_unit_hash_range_and_weight_validation(spark):
         )
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(load_table(spark, SF_DIR_SMALL, "documents"), "doc_id", 1.5)
+
+
+def test_repetition_ratio_known_values(spark):
+    from sparkdiff.functions.textstats import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),     # trigrams: 2 total, 1 distinct
+            (2, "all words here differ"),   # no duplicate trigrams
+            (3, "ab"),                      # < 3 tokens
+        ],
+        "id int, text string",
+    )
+    toks = df.select(
+        "id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        ).alias("_t"),
+    )
+    got = {
+        r.id: r.rep
+        for r in toks.select(
+            "id", repetition_ratio(F.col("_t"), 3).alias("rep")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
