@@ -116,10 +116,30 @@ def detect_hot_keys(
     return [r[0] for r in rows]
 
 
+def _hot_predicate(keys: Sequence[str], hot_keys: list) -> Column:
+    """Literal membership test for single- or multi-column keys: a plain
+    ``isin`` for one column, an OR-of-AND chain for composites (bounded
+    by ``detect_hot_keys``'s ``max_keys``, so always pushdown-friendly)."""
+    if len(keys) == 1:
+        return F.col(keys[0]).isin(hot_keys)
+    preds = []
+    for tup in hot_keys:
+        preds.append(
+            __import__("functools").reduce(
+                lambda a, b: a & b,
+                [F.col(k) == F.lit(v) for k, v in zip(keys, tup)],
+            )
+        )
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
-    on: str,
+    on: str | Sequence[str],
     how: str = "inner",
     salt: int = 16,
     hot_keys: list | None = None,
@@ -132,31 +152,52 @@ def salted_join(
     Differential salting: only detected hot keys pay the replication
     cost — cold keys keep salt 0 and join exactly once.  The skewed
     side's salt is a deterministic per-row hash (reproducible under any
-    partitioning); ``other`` explodes hot rows across all ``salt``
-    ids.  Supported ``how``: inner / left (the skewed side preserved).
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    if hot_keys is None:
-        hot_keys = detect_hot_keys(skewed, on)
-    if not hot_keys:
-        return skewed.join(other, on, how)
+    partitioning); ``other`` explodes hot rows across all ``salt`` ids.
 
-    is_hot_l = F.col(on).isin(hot_keys)
+    ``on`` may be one column or a composite key (hot keys are tuples
+    then).  ``how``: inner / left run directly on the salted join;
+    right / full decompose into the salted inner/left part plus
+    ``other``'s unmatched rows (an anti-join — replicated hot rows can
+    never produce duplicate unmatched copies that way).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"salted_join supports inner/left/right/full, got {how!r}")
+    if hot_keys is None:
+        if len(keys) > 1:
+            raise ValueError("pass hot_keys explicitly for composite keys")
+        hot_keys = detect_hot_keys(skewed, keys[0])
+    if not hot_keys:
+        return skewed.join(other, keys, how)
+
+    is_hot = _hot_predicate(keys, hot_keys)
     l = skewed.withColumn(
         "_salt",
         F.when(
-            is_hot_l,
+            is_hot,
             F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)),
         ).otherwise(F.lit(0)).cast("int"),
     )
-    is_hot_r = F.col(on).isin(hot_keys)
     r = other.withColumn(
         "_salt",
         F.explode(
             F.when(
-                is_hot_r, F.sequence(F.lit(0), F.lit(salt - 1))
+                is_hot, F.sequence(F.lit(0), F.lit(salt - 1))
             ).otherwise(F.array(F.lit(0)))
         ),
     )
-    return l.join(r, [on, "_salt"], how).drop("_salt")
+    base_how = "inner" if how in ("inner", "right") else "left"
+    joined = l.join(r, keys + ["_salt"], base_how).drop("_salt")
+    if how in ("inner", "left"):
+        return joined
+
+    # right/full: append other's unmatched rows (null-filled skewed side)
+    unmatched = other.join(skewed.select(*keys).distinct(), keys, "left_anti")
+    skew_only = [c for c in skewed.columns if c not in keys]
+    other_only = [c for c in other.columns if c not in keys]
+    filled = unmatched.select(
+        *keys,
+        *[F.lit(None).cast(skewed.schema[c].dataType).alias(c) for c in skew_only],
+        *other_only,
+    )
+    return joined.unionByName(filled)

@@ -150,3 +150,45 @@ def test_salted_left_join_preserves_unmatched(spark):
         map(tuple, salted_join(l, r, "k", how="left", salt=4, hot_keys=[1]).collect())
     )
     assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", None)]
+
+
+def test_salted_right_and_full_join_equal_plain(spark):
+    from sparkdiff.operators.workload import salted_join
+
+    l = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    )
+    r = spark.createDataFrame([(1, "X"), (3, "Y")], "k int, w string")
+    for how in ("right", "full"):
+        plain = sorted(
+            map(tuple, l.join(r, ["k"], how).collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        salted = sorted(
+            map(tuple, salted_join(l, r, "k", how=how, salt=4, hot_keys=[1]).collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_composite_key(spark):
+    from sparkdiff.operators.workload import salted_join
+
+    l = spark.createDataFrame(
+        [(1, "x", i) for i in range(1000)] + [(2, "y", 0)],
+        "k1 int, k2 string, payload int",
+    )
+    r = spark.createDataFrame(
+        [(1, "x", "HOT"), (2, "y", "COLD"), (3, "z", "NONE")],
+        "k1 int, k2 string, tag string",
+    )
+    plain = sorted(map(tuple, l.join(r, ["k1", "k2"]).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(
+                l, r, ["k1", "k2"], salt=8, hot_keys=[(1, "x")]
+            ).collect(),
+        )
+    )
+    assert salted == plain and len(plain) == 1001
