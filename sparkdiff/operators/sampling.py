@@ -83,3 +83,61 @@ def hash_split(
     for name, bound in reversed(conds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Domain mixing: keep each row with a per-domain probability —
+    the "sample Wikipedia at 3 epochs, CommonCrawl at 0.3" knob of a
+    pretraining data recipe.  Rates are applied through the same
+    content-hash variate as ``hash_split``, so the kept set is
+    deterministic, engine-portable, and stable under appends: changing
+    one domain's rate only adds/removes rows of that domain."""
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for d, r in rates.items():
+        rate = F.when(F.col(domain_col) == F.lit(d), F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(unit_hash(key, seed) < rate)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: shard = hash(key) mod n, position = rank of the md5 digest
+    within the shard.  Reading shards round-robin replays one fixed
+    pseudo-random permutation of the corpus — same order on any cluster
+    size, any engine.  The window is partitioned by shard, so the sort
+    is n-way parallel and external-sortable (never a single-partition
+    global window)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    c = F.col(key)
+    h = F.md5(F.concat(c.cast("string"), F.lit(seed)))
+    hi = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    d = df.withColumn("_h", h).withColumn(
+        shard_col, F.pmod(hi, F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy(shard_col).orderBy("_h", key)
+    return d.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("_h")

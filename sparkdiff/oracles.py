@@ -987,6 +987,142 @@ ORACLES["q54_hash_split"] = """
     GROUP BY 1
 """
 
+def _pii_oracle() -> str:
+    """Replay q56: the enrichment CASEs, the per-pattern counts, and the
+    ordered redaction chain — patterns imported from the SAME constant
+    the Spark side uses, so the two engines share the regex literals."""
+    from sparkdiff.functions.pii import PII_PATTERNS, sql_pii_count, sql_redact_pii
+
+    counts = ",\n               ".join(
+        f"{sql_pii_count('t2', pat)} AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        sql_pii_count("t2", pat) for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 17 = 0
+                           THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               md5({sql_redact_pii('t2')}) AS redacted_md5
+        FROM enriched
+        WHERE ({total}) > 0
+    """
+
+
+ORACLES["q56_pii_scrub"] = _pii_oracle()
+
+# q57: whitespace tokens exactly as q17, per-shard cumulative sum, the
+# same floor((cum - tok) / 256.0) start-window arithmetic.
+ORACLES["q57_sequence_packing"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 AS BIGINT) AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT *,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS window_id,
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor((cum - 1) / 256.0)
+                          - floor((cum - n_tokens) / 256.0) + 1 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS spans
+    FROM w
+"""
+
+# q58: the q54 unit-variate construction with a per-source rate CASE.
+ORACLES["q58_domain_mix"] = """
+    WITH u AS (
+        SELECT source, length(text) AS len,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-r2'), 1, 15))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u,
+               CASE WHEN source = 'src1' THEN CAST(1.0 AS DOUBLE)
+                    WHEN source = 'src2' THEN CAST(0.5 AS DOUBLE)
+                    WHEN source = 'src3' THEN CAST(0.25 AS DOUBLE)
+                    ELSE CAST(0.1 AS DOUBLE) END AS rate
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len) AS BIGINT) AS sum_chars
+    FROM u
+    WHERE u < rate
+    GROUP BY source
+"""
+
+# q59: CUBE + GROUPING markers; money via the exact-cents idiom.
+ORACLES["q59_cube"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+# q60: explicit ROWS frames; percent_rank/cume_dist are deterministic
+# because the order has a total tiebreak.
+ORACLES["q60_window_frames"] = """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS pr,
+           cume_dist() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS cd,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+           SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS mov3_price
+    FROM orders
+    WHERE o_custkey % 20 = 0
+"""
+
+# q61: md5-keyed shard + in-shard rank — the same 60-bit construction
+# as q54, binary string ordering on the hex digest in both engines.
+ORACLES["q61_shuffle_export"] = """
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || 'shuf-r2') AS hh,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuf-r2'), 1, 15))
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+"""
+
 # q55: same tokenization as q17, n-grams via 1-based list indexing,
 # identical `1.0 - distinct/total` IEEE arithmetic.
 ORACLES["q55_repetition"] = """

@@ -1155,6 +1155,168 @@ def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents corpus
+    (``functions/pii.py``): deterministic PII enrichment (emails /
+    phones / IPs / SSN-shaped ids appended by doc_id residue, the q35
+    idiom), per-pattern occurrence counts, and an md5 of the fully
+    redacted text so the oracle checks the scrubbed bytes themselves."""
+    from sparkdiff.functions.pii import PII_PATTERNS, pii_count, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.withColumn(
+        "t2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" id 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = {
+        name: pii_count(F.col("t2"), pat) for name, pat, _ in PII_PATTERNS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return (
+        enriched.select(
+            "doc_id",
+            *[c.alias(f"n_{name}") for name, c in counts.items()],
+            F.md5(redact_pii(F.col("t2"))).alias("redacted_md5"),
+            total.alias("_total"),
+        )
+        .filter(F.col("_total") > 0)
+        .drop("_total")
+    )
+
+
+def q57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (``operators/packing.py``):
+    whitespace token counts, 4 packing shards, 256-token context
+    windows; each doc reports its starting window and span count.  The
+    per-shard window formulation is the scale-safe prefix sum."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.packing import pack_concat_chunks
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count("text").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("long").alias("shard_key"),
+    )
+    packed = pack_concat_chunks(
+        d, "doc_id", "n_tokens", capacity=256, shard_col="shard_key"
+    )
+    return packed.select("doc_id", "shard", "n_tokens", "window_id", "spans")
+
+
+def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted sampling (``operators/sampling.py``): per-source
+    keep rates applied through the content-hash variate (src1 kept
+    whole, src2 half, src3 quarter, everything else 10%), rolled up to
+    per-source counts/chars.  The recipe knob of pretraining data
+    mixing, deterministic and engine-portable."""
+    from sparkdiff.operators.sampling import weighted_domain_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = weighted_domain_sample(
+        d,
+        "doc_id",
+        "source",
+        {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        default_rate=0.1,
+        seed="mix-r2",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
+def q59_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with GROUPING markers — the
+    grouping-sets surface SURVEY §2.4 lists as a free Spark extension;
+    money totals in exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    price_c = _cents("o_totalprice")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(price_c) / F.lit(100.0)).alias("total_price"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+    )
+
+
+def q60_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame suite beyond q43: percent_rank / cume_dist (total
+    tiebreak order, so the rank fractions are deterministic),
+    first/last_value over explicit ROWS frames, and a 3-row moving sum
+    in exact cents."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    price_c = _cents("o_totalprice")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w_price).alias("pr"),
+        F.cume_dist().over(w_price).alias("cd"),
+        F.first("o_orderkey")
+        .over(w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("first_key"),
+        F.last("o_orderkey")
+        .over(w_time.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("last_key"),
+        (
+            F.sum(price_c).over(w_time.rowsBetween(-2, Window.currentRow))
+            / F.lit(100.0)
+        ).alias("mov3_price"),
+    )
+
+
+def q61_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export (``operators/sampling.shuffle_shards``): md5-keyed shard and
+    in-shard rank replay one fixed permutation of the corpus on any
+    cluster size; the rank window is per-shard, never global."""
+    from sparkdiff.operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8, seed="shuf-r2").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1211,4 +1373,10 @@ QUERIES: dict[str, callable] = {
     "q53_refined_metrics": q53_refined_metrics,
     "q54_hash_split": q54_hash_split,
     "q55_repetition": q55_repetition,
+    "q56_pii_scrub": q56_pii_scrub,
+    "q57_sequence_packing": q57_sequence_packing,
+    "q58_domain_mix": q58_domain_mix,
+    "q59_cube": q59_cube,
+    "q60_window_frames": q60_window_frames,
+    "q61_shuffle_export": q61_shuffle_export,
 }
