@@ -59,11 +59,22 @@ def hive_sf_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return hive, sf
 
 
-def lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Perturbed pair at the reference's production scale class
-    (TRANSACTION ≈ 408k rows/side, ``db-setup.sql:90-102``): lineitem
-    with a synthetic pk (orderkey*8 + linenumber) and the same
-    modulus-keyed edit classes as :func:`hive_sf_pair`."""
+#: Per-(session, sf_dir) memo of the persisted lineitem rollup.  The pair
+#: models two STORED warehouse tables (the reference diffs materialized
+#: Snowflake tables, not views); without this, every action over the pair
+#: re-runs the pk rollup — three sort-aggregate scans of lineitem per diff
+#: — and the bench ends up measuring fixture reconstruction instead of
+#: the diff join.  ~50 MB at sf0.1, MEMORY_AND_DISK.
+_LI_BASE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    base = _LI_BASE_MEMO.get(key)
+    if base is not None:
+        return base
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
     # the diff base is a deterministic per-key rollup (max per column —
@@ -79,7 +90,18 @@ def lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
                 if c not in ("l_orderkey", "l_linenumber")
             ]
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LI_BASE_MEMO[key] = base
+    return base
+
+
+def lineitem_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Perturbed pair at the reference's production scale class
+    (TRANSACTION ≈ 408k rows/side, ``db-setup.sql:90-102``): lineitem
+    with a synthetic pk (orderkey*8 + linenumber) and the same
+    modulus-keyed edit classes as :func:`hive_sf_pair`."""
+    base = _lineitem_base(spark, sf_dir)
     k = F.col("li_pk")
     hive = base
     mutated = (
