@@ -107,6 +107,8 @@ def cell_diff(
     exclude_cols: Sequence[str] = (),
     decimal_scale: int | None = 4,
     ts_format: str = "yyyy-MM-dd HH:mm:ss",
+    unique_sides: Sequence[str] = (),
+    broadcast_side: str | None = None,
 ) -> DataFrame:
     """Cell-level diff: ``(pk_value, column_name, hive_value, sf_value)``.
 
@@ -120,12 +122,30 @@ def cell_diff(
     sub-second timestamp drift are reported as EQUAL (see
     ``functions.canonical.canonical_col``).  Same-engine pairs can pass
     ``decimal_scale=None`` and a fractional ``ts_format`` to tighten it.
+
+    INCREMENTAL-BATCH KNOBS: ``unique_sides`` names sides
+    (``'hive'``/``'sf'``) whose pk is already unique — their duplicate-pk
+    min-struct rollup (a full shuffle of that side) is skipped.
+    ``broadcast_side`` pins a broadcast hash join on the named side.
+    Together they give the plan an incremental diff needs at 100 TB:
+    with ``unique_sides=('hive','sf'), broadcast_side='hive'`` (hive =
+    the small changed-rows batch) the big side is scanned in place —
+    ZERO exchanges — instead of being shuffled per batch, and AQE's
+    after-the-shuffle broadcast discovery is not relied upon.  Don't
+    broadcast a side that can grow past executor memory (backfills).
     """
+    bad = set(unique_sides) - {"hive", "sf"}
+    if bad:
+        raise ValueError(f"unique_sides must be from ('hive','sf'), got {bad}")
+    if broadcast_side not in (None, "hive", "sf"):
+        raise ValueError(
+            f"broadcast_side must be None, 'hive' or 'sf', got {broadcast_side!r}"
+        )
     cols = _compared_columns(hive_df, sf_df, pk, exclude_cols)
     if not cols:
         raise ValueError("no common non-excluded columns to diff")
 
-    def _side(df: DataFrame, fp_name: str, prefix: str) -> DataFrame:
+    def _side(df: DataFrame, fp_name: str, prefix: str, unique: bool) -> DataFrame:
         proj = df.select(
             F.col(pk).cast("string").alias("pk_value"),
             row_fingerprint(df, cols, decimal_scale, ts_format).alias(fp_name),
@@ -136,6 +156,9 @@ def cell_diff(
                 )
             ],
         )
+        if unique:
+            # caller guarantees one row per pk — no rollup, no shuffle
+            return proj
         # one deterministic row per pk (min over the full struct) — same
         # duplicate-pk hardening as table_metrics; co-partitioned with the
         # join key, so AQE plans no extra shuffle
@@ -147,8 +170,12 @@ def cell_diff(
             "pk_value", *[F.col(f"_r.{c}").alias(c) for c in value_cols]
         )
 
-    h = _side(hive_df, "_fp", "_h_")
-    s = _side(sf_df, "_fp_s", "_s_")
+    h = _side(hive_df, "_fp", "_h_", "hive" in unique_sides)
+    s = _side(sf_df, "_fp_s", "_s_", "sf" in unique_sides)
+    if broadcast_side == "hive":
+        h = F.broadcast(h)
+    elif broadcast_side == "sf":
+        s = F.broadcast(s)
 
     changed = h.join(s, "pk_value", "inner").filter(F.col("_fp") != F.col("_fp_s"))
 

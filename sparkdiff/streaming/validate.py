@@ -261,20 +261,30 @@ def incremental_validation(
     reference_df: DataFrame,
     pk: str,
     on_batch: Callable[[DataFrame, int], None],
+    broadcast_batch: bool = True,
 ):
     """Continuous re-validation: for each micro-batch of changed rows,
     cell-diff ONLY those pks against the reference snapshot and hand the
     per-batch diff to ``on_batch`` (append to a metrics sink in prod).
 
     This replaces the reference's 60 s polling loop with an incremental
-    plan: per batch the work is |batch| rows joined against the reference
-    (broadcast when small), never a full-table rescan.
+    plan: per batch the work is |batch| rows joined against the
+    reference.  ``broadcast_batch`` (default) pins the broadcast on the
+    micro-batch side so the reference is scanned in place every batch —
+    never shuffled — instead of waiting for AQE to discover the small
+    side after an exchange.  Disable it for backfill batches that may
+    not fit executor memory.
     """
     from sparkdiff.operators.diff import cell_diff
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            diff = cell_diff(batch_df, reference_df, pk)
+            diff = cell_diff(
+                batch_df,
+                reference_df,
+                pk,
+                broadcast_side="hive" if broadcast_batch else None,
+            )
             on_batch(diff, batch_id)
 
     return (
@@ -289,6 +299,7 @@ def incremental_validation_to_parquet(
     reference_df: DataFrame,
     pk: str,
     out_dir: str,
+    broadcast_batch: bool = True,
 ):
     """Exactly-once metrics sink for :func:`incremental_validation`.
 
@@ -305,9 +316,12 @@ def incremental_validation_to_parquet(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        diff = cell_diff(batch_df, reference_df, pk).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        diff = cell_diff(
+            batch_df,
+            reference_df,
+            pk,
+            broadcast_side="hive" if broadcast_batch else None,
+        ).withColumn("batch_id", F.lit(batch_id))
         (
             diff.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -63,3 +63,41 @@ def test_window_queries_single_shuffle(spark, name):
     # exchanges from misaligned partitioning
     plan = _plan(spark, name)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+def test_cell_diff_incremental_fastpath_plan_and_equivalence(spark):
+    """unique_sides + broadcast_side must produce a zero-exchange
+    broadcast plan (the incremental-batch shape: big side scanned in
+    place) AND the same rows as the default path."""
+    from sparkdiff import testkit
+    from sparkdiff.operators.diff import cell_diff
+    from sparkdiff.plans.signature import plan_signature
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_ORACLE)
+    # both sides of this pair are pk-unique, so the fast path is valid
+    fast = cell_diff(
+        hive,
+        sf,
+        "c_custkey",
+        exclude_cols=testkit.EXCLUDE_COLS,
+        unique_sides=("hive", "sf"),
+        broadcast_side="hive",
+    )
+    sig = plan_signature(fast)
+    assert sig["joins"].get("BroadcastHashJoin") == 1, sig
+    assert sig["shuffles"] == 0, sig
+
+    slow = cell_diff(hive, sf, "c_custkey", exclude_cols=testkit.EXCLUDE_COLS)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+
+def test_cell_diff_rejects_bad_hints(spark):
+    from sparkdiff import testkit
+    from sparkdiff.operators.diff import cell_diff
+
+    hive, sf = testkit.hive_sf_pair(spark, SF_DIR_ORACLE)
+    with pytest.raises(ValueError):
+        cell_diff(hive, sf, "c_custkey", unique_sides=("both",))
+    with pytest.raises(ValueError):
+        cell_diff(hive, sf, "c_custkey", broadcast_side="left")
