@@ -106,15 +106,23 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def dup_fraction(grams: Column) -> Column:
+    """``1 - distinct/total`` over a MATERIALIZED n-gram array column.
+    Materializing the grams in a prior projection matters: building them
+    inline duplicates the whole transform subtree into both the total
+    and the distinct count (measured ~2.3x slower at sf0.1)."""
+    total = F.size(grams).cast("double")
+    uniq = F.size(F.array_distinct(grams)).cast("double")
+    return F.when(total > 0, F.lit(1.0) - uniq / total).otherwise(F.lit(0.0))
+
+
 def repetition_ratio(toks: Column, n: int = 3) -> Column:
     """Duplicate word-n-gram fraction ``1 - distinct/total`` — the
     Gopher-style repetition signal: boilerplate and looping generations
     score high, natural prose low.  0.0 for docs shorter than ``n``
-    tokens."""
-    grams = word_ngrams(toks, n)
-    total = F.size(grams).cast("double")
-    uniq = F.size(F.array_distinct(grams)).cast("double")
-    return F.when(total > 0, F.lit(1.0) - uniq / total).otherwise(F.lit(0.0))
+    tokens.  Convenience form; for multiple n values per doc, project
+    ``word_ngrams`` to columns first and apply :func:`dup_fraction`."""
+    return dup_fraction(word_ngrams(toks, n))
 
 
 def fingerprint(text: Column | str) -> Column:

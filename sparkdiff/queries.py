@@ -1136,10 +1136,10 @@ def q54_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-n-gram repetition signal per document (Gopher-style
-    quality metric; ``functions/textstats.repetition_ratio``): tokens
-    materialized once, bigram and trigram duplicate fractions as pure
-    column expressions."""
-    from sparkdiff.functions.textstats import repetition_ratio
+    quality metric; ``functions/textstats.dup_fraction``): tokens AND
+    gram arrays materialized once each — inlining the gram transform
+    into both counts doubles the work per n (see dup_fraction)."""
+    from sparkdiff.functions.textstats import dup_fraction, word_ngrams
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -1148,10 +1148,15 @@ def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
         ).alias("_toks"),
     )
-    return toks.select(
+    grams = toks.select(
         "doc_id",
-        repetition_ratio(F.col("_toks"), 2).alias("rep2"),
-        repetition_ratio(F.col("_toks"), 3).alias("rep3"),
+        word_ngrams(F.col("_toks"), 2).alias("_g2"),
+        word_ngrams(F.col("_toks"), 3).alias("_g3"),
+    )
+    return grams.select(
+        "doc_id",
+        dup_fraction(F.col("_g2")).alias("rep2"),
+        dup_fraction(F.col("_g3")).alias("rep3"),
     )
 
 

@@ -37,3 +37,10 @@ def test_revalidation_pipeline_example():
     assert "dirty buckets:" in stdout
     assert "cell diffs in drifted slice:" in stdout
     assert "mismatch=" in stdout
+
+
+def test_curation_export_pipeline_example():
+    stdout = _run("curation_export_pipeline.py")
+    assert "after domain mixing:" in stdout
+    assert "windows of 512 tokens" in stdout
+    assert "export shards:" in stdout
