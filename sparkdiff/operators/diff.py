@@ -575,6 +575,49 @@ def exclude_columns_for(conf_df: DataFrame, table_name: str) -> list[str]:
     return [c.strip() for c in str(rows[0][0]).split(",") if c.strip()]
 
 
+def pk_skew_report(
+    df: DataFrame,
+    pk: str,
+    sample_fraction: float = 0.01,
+    hot_ratio: float = 0.01,
+    max_keys: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Pre-flight probe for one diff side: pk values that dominate the
+    table, estimated from a seeded sample — ``(pk_value, est_count,
+    est_share)``, heaviest first, empty when the side is healthy.
+
+    A non-empty report predicts two failure modes BEFORE the wide diff
+    runs: (a) duplicated pks — the min-struct rollup collapses them
+    deterministically, but ingestion-duplicated keys almost always mean
+    an upstream fault worth surfacing, not silently canonicalizing; and
+    (b) a skewed pk shuffle, where one reduce task materializes the hot
+    key (AQE's skew-join split helps the join stage but not the rollup
+    aggregation).  The probe is one narrow sampled job (pk + count),
+    lazy, and configuration-sized (``max_keys`` rows) — cheap enough to
+    run before every scheduled validation, same estimator as
+    ``workload.detect_hot_keys``."""
+    s = df.select(F.col(pk).cast("string").alias("pk_value")).sample(
+        fraction=sample_fraction, seed=seed
+    )
+    counted = s.groupBy("pk_value").agg(F.count(F.lit(1)).alias("est_count"))
+    total = s.count()
+    if total == 0:
+        return counted.withColumn(
+            "est_share", F.lit(0.0)
+        ).limit(0)
+    return (
+        counted.withColumn(
+            "est_share", F.col("est_count").cast("double") / F.lit(float(total))
+        )
+        # never flag a sampled singleton — a pk must at least repeat in
+        # the sample to be evidence of duplication/skew
+        .filter(F.col("est_count") >= max(2.0, hot_ratio * total))
+        .orderBy(F.desc("est_count"), F.asc("pk_value"))
+        .limit(max_keys)
+    )
+
+
 @dataclass
 class TableDiff:
     """Bundle of the three diff views for one table pair."""

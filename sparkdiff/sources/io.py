@@ -43,3 +43,28 @@ def clone_table(spark: SparkSession, source: str, target: str) -> None:
 def insert_overwrite(df: DataFrame, table: str) -> None:
     """S13: ``INSERT OVERWRITE`` sink (converter rule 28)."""
     df.write.mode("overwrite").insertInto(table, overwrite=True)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = False,
+) -> None:
+    """Hive-style partitioned parquet sink — the data-layout half of the
+    100 TB posture: a scan filtered on a partition column reads ONLY the
+    matching directories (partition pruning happens at the file index,
+    before any row is touched), and downstream date/tenant/table
+    predicates become directory listings instead of data scans.
+
+    ``dynamic=True`` switches overwrite to per-partition: only the
+    partitions present in ``df`` are replaced, the rest are untouched —
+    the idempotent-backfill / at-least-once-replay pattern the streaming
+    sink uses (``incremental_validation_to_parquet``)."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)

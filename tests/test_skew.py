@@ -192,3 +192,18 @@ def test_salted_join_composite_key(spark):
         )
     )
     assert salted == plain and len(plain) == 1001
+
+
+def test_pk_skew_report_flags_hot_pk_and_stays_quiet_on_clean(spark):
+    from sparkdiff.operators.diff import pk_skew_report
+
+    hive, _ = _skewed_pair(spark)
+    # sample 10% so the 50k-copy pk is certainly observed
+    report = pk_skew_report(hive, "c_custkey", sample_fraction=0.1).collect()
+    assert report, "hot pk not reported"
+    top = report[0]
+    assert top.pk_value == str(HOT_PK)
+    assert top.est_share > 0.5  # 50k copies vs 1.5k base rows
+
+    clean = load_table(spark, SF_DIR_SMALL, "customer")
+    assert pk_skew_report(clean, "c_custkey", sample_fraction=0.5).count() == 0
