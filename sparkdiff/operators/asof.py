@@ -68,3 +68,53 @@ def asof_join(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
         *[F.col(f"_vc_{c}").alias(c) for c in value_cols],
     )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Interval join: pairs where ``right_ts`` falls in
+    ``[left_ts + lower_ms, left_ts + upper_ms]`` (inclusive) for the same
+    key — expressed as a bucket EQUI-join plus an exact refine, never a
+    range-condition join (which Spark plans as a nested loop: every row
+    pair evaluated; the same O(n²) trap the n-gram dedup's block join
+    avoids).
+
+    Each right row lands in one time bucket; each left row explodes to
+    the few buckets its window can overlap (``span/bucket_ms + 1``
+    values, 2 at the default bucket width = window span).  The join is
+    then ``(key, bucket)`` equality — shuffle-partitionable, AQE-
+    plannable, skew-splittable — and the exact range predicate runs on
+    candidates only.  Each matching pair joins exactly once because a
+    right row has exactly one bucket.
+    """
+    if upper_ms < lower_ms:
+        raise ValueError(f"upper_ms {upper_ms} < lower_ms {lower_ms}")
+    if bucket_ms is None:
+        bucket_ms = max(upper_ms - lower_ms, 1)
+    if bucket_ms <= 0:
+        raise ValueError(f"bucket_ms must be positive, got {bucket_ms}")
+    lms = F.unix_millis(F.col(left_ts))
+    rms = F.unix_millis(F.col(right_ts))
+    l_buckets = F.sequence(
+        F.floor((lms + F.lit(lower_ms)) / F.lit(bucket_ms)),
+        F.floor((lms + F.lit(upper_ms)) / F.lit(bucket_ms)),
+    )
+    l = left.withColumn("_lms", lms).withColumn(
+        "_bucket", F.explode(l_buckets)
+    )
+    r = right.withColumn("_rms", rms).withColumn(
+        "_bucket", F.floor(rms / F.lit(bucket_ms))
+    )
+    joined = l.join(r, on=[key, "_bucket"], how="inner").filter(
+        (F.col("_rms") >= F.col("_lms") + F.lit(lower_ms))
+        & (F.col("_rms") <= F.col("_lms") + F.lit(upper_ms))
+    )
+    return joined.drop("_bucket", "_lms", "_rms")

@@ -1123,6 +1123,28 @@ ORACLES["q61_shuffle_export"] = """
     FROM h
 """
 
+# q62: the range condition stated directly — DuckDB's optimizer handles
+# the inequality join at oracle scale; the Spark side's bucketed
+# decomposition must produce the identical pair set.
+ORACLES["q62_range_join"] = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, ts AS err_ts, value AS err_value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id,
+           COUNT(*) AS n_errors_10m,
+           CAST(SUM(CAST(e.err_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_err_value
+    FROM clicks c JOIN errors e
+      ON c.user_id = e.user_id
+     AND epoch_ms(e.err_ts) >= epoch_ms(c.click_ts)
+     AND epoch_ms(e.err_ts) <= epoch_ms(c.click_ts) + 600000
+    GROUP BY c.user_id, c.click_id
+"""
+
 # q55: same tokenization as q17, n-grams via 1-based list indexing,
 # identical `1.0 - distinct/total` IEEE arithmetic.
 ORACLES["q55_repetition"] = """

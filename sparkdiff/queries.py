@@ -1322,6 +1322,38 @@ def q61_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (bucketed, §2.3 MISSING class): for each click,
+    the error events of the same user in the NEXT 10 minutes — count and
+    exact-decimal value sum.  ``range_join_bucketed`` turns the range
+    condition into a (key, time-bucket) equi-join + exact refine, so the
+    plan is a shuffle join, never a nested loop (guarded registry-wide
+    in tests/test_plan_snapshots.py)."""
+    from sparkdiff.operators.asof import range_join_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    j = range_join_bucketed(
+        clicks, errors, "user_id", "click_ts", "err_ts",
+        lower_ms=0, upper_ms=600_000,
+    )
+    return j.groupBy("user_id", "click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors_10m"),
+        F.sum(F.col("err_value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_err_value"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1384,4 +1416,5 @@ QUERIES: dict[str, callable] = {
     "q59_cube": q59_cube,
     "q60_window_frames": q60_window_frames,
     "q61_shuffle_export": q61_shuffle_export,
+    "q62_range_join": q62_range_join,
 }
