@@ -1145,6 +1145,44 @@ ORACLES["q62_range_join"] = """
     GROUP BY c.user_id, c.click_id
 """
 
+# q63/q64: corpus-statistics passes — same q17 tokenization, integer
+# counts throughout; q63's single division is two exact longs.
+ORACLES["q63_rare_tokens"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> length(t) > 0)) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS corpus_freq FROM toks GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN f.corpus_freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN f.corpus_freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+    FROM toks t JOIN freq f USING (token)
+    GROUP BY t.doc_id
+"""
+
+ORACLES["q64_distinctive_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> length(t) > 0)) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token, tf, df, rank
+    FROM (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY d.df ASC, t.tf DESC, t.token ASC) AS BIGINT) AS rank
+        FROM tf t JOIN df d USING (token)
+    ) WHERE rank <= 3
+"""
+
 # q55: same tokenization as q17, n-grams via 1-based list indexing,
 # identical `1.0 - distinct/total` IEEE arithmetic.
 ORACLES["q55_repetition"] = """

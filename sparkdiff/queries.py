@@ -1354,6 +1354,69 @@ def q62_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics pass: rare-token ratio per document.  Two-phase
+    shape every corpus-level quality signal shares — (1) explode tokens
+    and aggregate corpus frequencies (vocabulary-sized result), (2) join
+    the stats back and roll up per document.  All-integer arithmetic
+    until one final division, so the distributed partial aggregation is
+    exact.  At web scale the freq table broadcasts while the vocabulary
+    fits (~GBs); beyond that the token join shuffles on the token key —
+    both shapes are plain equi-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    joined = toks.join(F.broadcast(freq), "token")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("corpus_freq") <= 2).cast("long"))
+        .cast("long")
+        .alias("n_rare"),
+        (
+            F.sum((F.col("corpus_freq") <= 2).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rare_ratio"),
+    )
+
+
+def q64_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: the 3 tokens with the lowest
+    document frequency (tf-idf's ranking with exact integers — df asc ≈
+    idf desc, tf desc breaks ties, token asc totalizes).  Same two-phase
+    corpus-stats shape as q63, then a top-k-per-group window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", F.col("tf").cast("long"), F.col("df").cast("long"), "rank")
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1417,4 +1480,6 @@ QUERIES: dict[str, callable] = {
     "q60_window_frames": q60_window_frames,
     "q61_shuffle_export": q61_shuffle_export,
     "q62_range_join": q62_range_join,
+    "q63_rare_tokens": q63_rare_tokens,
+    "q64_distinctive_terms": q64_distinctive_terms,
 }

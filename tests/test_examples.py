@@ -44,3 +44,9 @@ def test_curation_export_pipeline_example():
     assert "after domain mixing:" in stdout
     assert "windows of 512 tokens" in stdout
     assert "export shards:" in stdout
+
+
+def test_search_rank_pipeline_example():
+    stdout = _run("search_rank_pipeline.py")
+    assert "top-7:" in stdout
+    assert "per-source insight:" in stdout
