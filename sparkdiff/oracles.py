@@ -1214,3 +1214,33 @@ ORACLES["q55_repetition"] = """
                 ELSE 0.0 END AS rep3
     FROM g
 """
+
+# q65: the q25 pair graph closed transitively by a recursive min-label
+# propagation — every (id, comp) pair where comp's label can reach id
+# through the symmetric edge set, then MIN per id.  Equivalent to the
+# large-star/small-star fixpoint on any finite graph.
+ORACLES["q65_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["q25_minhash_neardup"]}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, c.comp
+        FROM cc c JOIN edges e ON e.src = c.id
+        WHERE c.comp < e.dst
+    ),
+    labels AS (SELECT id, MIN(comp) AS cluster_id FROM cc GROUP BY id),
+    sized AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+    SELECT l.id AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           l.id = l.cluster_id AS is_canonical
+    FROM labels l JOIN sized s USING (cluster_id)
+"""

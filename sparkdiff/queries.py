@@ -1417,6 +1417,34 @@ def q64_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters* from the q25 near-dup pair graph: alternating
+    large-star/small-star connected components (`operators/cluster.py`)
+    label every paired doc with the minimum member id of its component —
+    the canonical representative a dedup pipeline keeps.  Pairs →
+    clusters is the step the pairwise dedup family (q25/q26/q51) needs
+    before it can actually drop rows: near-duplication chains (A~B~C
+    with A!~C) must collapse to ONE keeper, which only a transitive
+    closure provides."""
+    from sparkdiff.operators.cluster import dedup_clusters
+    from sparkdiff.operators.dedup import near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    pairs = near_dup_pairs(corpus, "doc_id", "text", threshold=0.6, hash_method="md5")
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        "is_canonical",
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1482,4 +1510,5 @@ QUERIES: dict[str, callable] = {
     "q62_range_join": q62_range_join,
     "q63_rare_tokens": q63_rare_tokens,
     "q64_distinctive_terms": q64_distinctive_terms,
+    "q65_dedup_clusters": q65_dedup_clusters,
 }
