@@ -1244,3 +1244,118 @@ ORACLES["q65_dedup_clusters"] = f"""
            l.id = l.cluster_id AS is_canonical
     FROM labels l JOIN sized s USING (cluster_id)
 """
+
+# q66: the same tokenization as q17/q55; word 8-grams via 1-based
+# inclusive list slices (DuckDB l[i:i+7] == Spark slice(l, i, 8)); test
+# snippets are toks[5:29] (Spark slice(_toks, 5, 25)); gram keys travel
+# as the md5-derived 60-bit long so both engines join on identical ints.
+ORACLES["q66_decontamination"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    train_g AS (
+        SELECT doc_id, {_md5_token_hash('g')} AS gh
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 8
+                               THEN list_transform(
+                                        generate_series(1, len(toks) - 7),
+                                        i -> array_to_string(toks[i:i+7], ' '))
+                               ELSE [] END) AS g
+            FROM t
+        )
+    ),
+    test_g AS (
+        SELECT DISTINCT test_id, {_md5_token_hash('g')} AS gh
+        FROM (
+            SELECT doc_id AS test_id,
+                   unnest(CASE WHEN len(toks) >= 8
+                               THEN list_transform(
+                                        generate_series(1, len(toks) - 7),
+                                        i -> array_to_string(toks[i:i+7], ' '))
+                               ELSE [] END) AS g
+            FROM (SELECT doc_id, toks[5:29] AS toks FROM t WHERE doc_id % 20 = 0)
+        )
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_hit_grams,
+           CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_test_items
+    FROM train_g JOIN test_g USING (gh)
+    GROUP BY doc_id
+"""
+
+
+def _q67_oracle() -> str:
+    """Funnel twin: same flags (q18 quality, q23 lang-id, q55 trigram
+    repetition, q56 PII patterns), same cumulative-AND survival, same
+    one-row aggregate fanned out by UNION ALL instead of stack."""
+    from sparkdiff.functions.pii import PII_PATTERNS, sql_pii_count
+    from sparkdiff.functions.textstats import sql_lang_id, sql_quality_score
+
+    pii_total = " + ".join(sql_pii_count("text", pat) for _, pat, _ in PII_PATTERNS)
+    ws_tok = (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'),"
+        " t -> length(t) > 0)) AS BIGINT)"
+    )
+    rep3 = (
+        "CASE WHEN len(g3) > 0"
+        " THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)"
+        " ELSE 0.0 END"
+    )
+    stages = ["lang", "length", "quality", "repetition", "pii"]
+    agg_cols = ["CAST(COUNT(*) AS BIGINT) AS n0"]
+    for i in range(1, 6):
+        agg_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN s{i} THEN 1 END), 0) AS BIGINT) AS n{i}"
+        )
+        agg_cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN s{i} THEN n_tok END), 0) AS BIGINT) AS t{i}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS stage_idx, '{name}' AS stage,"
+        f" n{i} AS n_in, n{i} - n{i + 1} AS n_dropped, n{i + 1} AS n_out,"
+        f" t{i + 1} AS tokens_out FROM a"
+        for i, name in enumerate(stages)
+    )
+    return f"""
+    WITH base AS (
+        SELECT text, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT *,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [] END AS g3
+        FROM base
+    ),
+    f AS (
+        SELECT {ws_tok} AS n_tok,
+               ({sql_lang_id('text')}) = 'en' AS f_lang,
+               n_chars BETWEEN 100 AND 100000 AS f_len,
+               ({sql_quality_score('text')}) >= 0.45 AS f_quality,
+               ({rep3}) <= 0.05 AS f_rep,
+               ({pii_total}) = 0 AS f_pii
+        FROM g
+    ),
+    s AS (
+        SELECT n_tok,
+               f_lang AS s1,
+               f_lang AND f_len AS s2,
+               f_lang AND f_len AND f_quality AS s3,
+               f_lang AND f_len AND f_quality AND f_rep AS s4,
+               f_lang AND f_len AND f_quality AND f_rep AND f_pii AS s5
+        FROM f
+    ),
+    a AS (SELECT {', '.join(agg_cols)} FROM s)
+    {rows}
+"""
+
+
+ORACLES["q67_filter_funnel"] = _q67_oracle()

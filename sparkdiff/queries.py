@@ -1445,6 +1445,132 @@ def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that contain
+    any word 8-gram from a held-out test set (the GPT-3/PaLM-style
+    n-gram overlap screen every LLM training pipeline runs before
+    training).  Test items here are verbatim 25-token snippets of every
+    20th document — exactly how contamination arises in practice.
+
+    Scale shape: the test side of the join is a benchmark suite (MBs)
+    against a TB-scale corpus, so the distinct test grams BROADCAST and
+    the corpus is scanned once with zero shuffle before the final
+    per-doc aggregation; grams travel as md5-derived 60-bit longs, not
+    strings, so the aggregation shuffle carries one long per hit."""
+    from sparkdiff.operators.dedup import token_hash
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.withColumn(
+        "_toks",
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0),
+    )
+
+    def grams(col):
+        n = F.size(col)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(col, i, k)),
+            )
+        )
+
+    test = base.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("test_id"), F.slice("_toks", 5, 25).alias("_toks")
+    )
+    test_grams = test.select(
+        "test_id", F.explode(F.array_distinct(grams(F.col("_toks")))).alias("g")
+    ).select("test_id", token_hash("g", "md5").alias("gh")).distinct()
+    train_grams = base.select(
+        "doc_id", F.explode(F.array_distinct(grams(F.col("_toks")))).alias("g")
+    ).select("doc_id", token_hash("g", "md5").alias("gh"))
+    hits = train_grams.join(F.broadcast(test_grams), "gh")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gh").cast("long").alias("n_hit_grams"),
+        F.countDistinct("test_id").cast("long").alias("n_test_items"),
+    )
+
+
+def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-cascade funnel: the pipeline-observability report
+    every large-scale curation run emits — an ordered filter chain
+    (language → length → quality → repetition → PII), with docs-in /
+    dropped / docs-out / surviving-token counts per stage, so retention
+    is attributable to a specific filter rather than to "the pipeline".
+
+    Scale shape: ONE corpus scan computes every stage flag as codegen'd
+    column expressions (no UDFs), one map-side-combined aggregation
+    reduces to a single row of funnel counters, and `stack` fans that
+    row out to one row per stage — aggregate state is a dozen longs, so
+    the shape is identical at 100 TB."""
+    from sparkdiff.functions.pii import PII_PATTERNS, pii_count
+    from sparkdiff.functions.textstats import (
+        dup_fraction,
+        lang_id,
+        quality_score,
+        word_ngrams,
+        ws_token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    pii_total = sum(
+        (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
+    )
+    flags = d.select(
+        ws_token_count("text").alias("n_tok"),
+        (lang_id("text") == "en").alias("f_lang"),
+        F.col("n_chars").between(100, 100_000).alias("f_len"),
+        (quality_score("text") >= 0.45).alias("f_quality"),
+        (dup_fraction(word_ngrams(toks, 3)) <= 0.05).alias("f_rep"),
+        (pii_total == 0).alias("f_pii"),
+    )
+    surv = flags.select(
+        "n_tok",
+        F.col("f_lang").alias("s1"),
+        (F.col("f_lang") & F.col("f_len")).alias("s2"),
+        (F.col("f_lang") & F.col("f_len") & F.col("f_quality")).alias("s3"),
+        (
+            F.col("f_lang") & F.col("f_len") & F.col("f_quality") & F.col("f_rep")
+        ).alias("s4"),
+        (
+            F.col("f_lang")
+            & F.col("f_len")
+            & F.col("f_quality")
+            & F.col("f_rep")
+            & F.col("f_pii")
+        ).alias("s5"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n0")]
+    for i in range(1, 6):
+        aggs.append(F.sum(F.col(f"s{i}").cast("long")).alias(f"n{i}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(f"s{i}"), F.col("n_tok"))), F.lit(0)
+            ).alias(f"t{i}")
+        )
+    one = surv.agg(*aggs)
+    stages = ["lang", "length", "quality", "repetition", "pii"]
+    stacked = one.selectExpr(
+        "stack(5, "
+        + ", ".join(
+            f"CAST({i + 1} AS BIGINT), '{name}', n{i}, n{i + 1}, t{i + 1}"
+            for i, name in enumerate(stages)
+        )
+        + ") as (stage_idx, stage, n_in, n_out, tokens_out)"
+    )
+    return stacked.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        "n_out",
+        "tokens_out",
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1511,4 +1637,6 @@ QUERIES: dict[str, callable] = {
     "q63_rare_tokens": q63_rare_tokens,
     "q64_distinctive_terms": q64_distinctive_terms,
     "q65_dedup_clusters": q65_dedup_clusters,
+    "q66_decontamination": q66_decontamination,
+    "q67_filter_funnel": q67_filter_funnel,
 }
