@@ -1513,18 +1513,29 @@ def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-    )
     pii_total = sum(
         (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
     )
-    flags = d.select(
+    # Materialize tokens, then grams, in separate projections: HOF
+    # lambdas re-evaluate captured expressions per element, so inlining
+    # the tokenizer into word_ngrams re-splits the text once per gram
+    # index — measured 11 s vs 0.4 s at sf0.1 (see word_ngrams/SCALE.md).
+    base = d.select(
+        "text",
+        "n_chars",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    grams = base.select(
+        "text", "n_chars", word_ngrams(F.col("_toks"), 3).alias("_g3")
+    )
+    flags = grams.select(
         ws_token_count("text").alias("n_tok"),
         (lang_id("text") == "en").alias("f_lang"),
         F.col("n_chars").between(100, 100_000).alias("f_len"),
         (quality_score("text") >= 0.45).alias("f_quality"),
-        (dup_fraction(word_ngrams(toks, 3)) <= 0.05).alias("f_rep"),
+        (dup_fraction(F.col("_g3")) <= 0.05).alias("f_rep"),
         (pii_total == 0).alias("f_pii"),
     )
     surv = flags.select(
