@@ -1288,10 +1288,11 @@ ORACLES["q66_decontamination"] = f"""
 """
 
 
-def _q67_oracle() -> str:
-    """Funnel twin: same flags (q18 quality, q23 lang-id, q55 trigram
-    repetition, q56 PII patterns), same cumulative-AND survival, same
-    one-row aggregate fanned out by UNION ALL instead of stack."""
+def _funnel_flags_sql() -> str:
+    """Per-document funnel-gate flags (shared by q67/q68): doc_id,
+    whitespace token count, one boolean per filter — the DuckDB replay
+    of ``queries._funnel_flags`` (q18 quality, q23 lang-id, q55 trigram
+    repetition, q56 PII patterns)."""
     from sparkdiff.functions.pii import PII_PATTERNS, sql_pii_count
     from sparkdiff.functions.textstats import sql_lang_id, sql_quality_score
 
@@ -1305,6 +1306,36 @@ def _q67_oracle() -> str:
         " THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)"
         " ELSE 0.0 END"
     )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT *,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [] END AS g3
+        FROM base
+    )
+    SELECT doc_id,
+           {ws_tok} AS n_tok,
+           ({sql_lang_id('text')}) = 'en' AS f_lang,
+           n_chars BETWEEN 100 AND 100000 AS f_len,
+           ({sql_quality_score('text')}) >= 0.45 AS f_quality,
+           ({rep3}) <= 0.05 AS f_rep,
+           ({pii_total}) = 0 AS f_pii
+    FROM g
+"""
+
+
+def _q67_oracle() -> str:
+    """Funnel twin: same per-doc flags (``_funnel_flags_sql``), same
+    cumulative-AND survival, same one-row aggregate fanned out by
+    UNION ALL instead of stack."""
     stages = ["lang", "length", "quality", "repetition", "pii"]
     agg_cols = ["CAST(COUNT(*) AS BIGINT) AS n0"]
     for i in range(1, 6):
@@ -1321,28 +1352,8 @@ def _q67_oracle() -> str:
         for i, name in enumerate(stages)
     )
     return f"""
-    WITH base AS (
-        SELECT text, n_chars,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> length(x) > 0) AS toks
-        FROM documents
-    ),
-    g AS (
-        SELECT *,
-               CASE WHEN len(toks) >= 3
-                    THEN list_transform(generate_series(1, len(toks) - 2),
-                                        i -> array_to_string(toks[i:i+2], ' '))
-                    ELSE [] END AS g3
-        FROM base
-    ),
-    f AS (
-        SELECT {ws_tok} AS n_tok,
-               ({sql_lang_id('text')}) = 'en' AS f_lang,
-               n_chars BETWEEN 100 AND 100000 AS f_len,
-               ({sql_quality_score('text')}) >= 0.45 AS f_quality,
-               ({rep3}) <= 0.05 AS f_rep,
-               ({pii_total}) = 0 AS f_pii
-        FROM g
+    WITH f AS (
+        SELECT * FROM ({_funnel_flags_sql()})
     ),
     s AS (
         SELECT n_tok,
@@ -1359,3 +1370,20 @@ def _q67_oracle() -> str:
 
 
 ORACLES["q67_filter_funnel"] = _q67_oracle()
+
+# q68: the curated-corpus manifest — funnel gates (q67's flags) minus
+# contaminated docs (q66) minus non-canonical near-dup cluster members
+# (q65), composed as subqueries of the exact oracle texts.
+ORACLES["q68_curated_corpus"] = f"""
+    SELECT f.doc_id, f.n_tok
+    FROM ({_funnel_flags_sql()}) f
+    WHERE f.f_lang AND f.f_len AND f.f_quality AND f.f_rep AND f.f_pii
+      AND NOT EXISTS (
+          SELECT 1 FROM ({ORACLES["q66_decontamination"]}) c
+          WHERE c.doc_id = f.doc_id
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM ({ORACLES["q65_dedup_clusters"]}) l
+          WHERE l.doc_id = f.doc_id AND NOT l.is_canonical
+      )
+"""

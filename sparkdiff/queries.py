@@ -1491,6 +1491,49 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_flags(d: DataFrame) -> DataFrame:
+    """Per-document curation-gate flags shared by q67/q68: doc_id,
+    whitespace token count, and one boolean per filter (language,
+    length, quality, repetition, PII) — all pure column expressions in
+    ONE corpus scan.  Tokens and trigram arrays are materialized in
+    separate projections first: HOF lambdas re-evaluate captured
+    expressions per element, so inlining the tokenizer into word_ngrams
+    re-splits the text once per gram index — measured 11 s vs 0.4 s at
+    sf0.1 (see word_ngrams / SCALE.md)."""
+    from sparkdiff.functions.pii import PII_PATTERNS, pii_count
+    from sparkdiff.functions.textstats import (
+        dup_fraction,
+        lang_id,
+        quality_score,
+        word_ngrams,
+        ws_token_count,
+    )
+
+    pii_total = sum(
+        (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
+    )
+    base = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+    grams = base.select(
+        "doc_id", "text", "n_chars", word_ngrams(F.col("_toks"), 3).alias("_g3")
+    )
+    return grams.select(
+        "doc_id",
+        ws_token_count("text").alias("n_tok"),
+        (lang_id("text") == "en").alias("f_lang"),
+        F.col("n_chars").between(100, 100_000).alias("f_len"),
+        (quality_score("text") >= 0.45).alias("f_quality"),
+        (dup_fraction(F.col("_g3")) <= 0.05).alias("f_rep"),
+        (pii_total == 0).alias("f_pii"),
+    )
+
+
 def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation filter-cascade funnel: the pipeline-observability report
     every large-scale curation run emits — an ordered filter chain
@@ -1503,41 +1546,8 @@ def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces to a single row of funnel counters, and `stack` fans that
     row out to one row per stage — aggregate state is a dozen longs, so
     the shape is identical at 100 TB."""
-    from sparkdiff.functions.pii import PII_PATTERNS, pii_count
-    from sparkdiff.functions.textstats import (
-        dup_fraction,
-        lang_id,
-        quality_score,
-        word_ngrams,
-        ws_token_count,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    pii_total = sum(
-        (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
-    )
-    # Materialize tokens, then grams, in separate projections: HOF
-    # lambdas re-evaluate captured expressions per element, so inlining
-    # the tokenizer into word_ngrams re-splits the text once per gram
-    # index — measured 11 s vs 0.4 s at sf0.1 (see word_ngrams/SCALE.md).
-    base = d.select(
-        "text",
-        "n_chars",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-        ).alias("_toks"),
-    )
-    grams = base.select(
-        "text", "n_chars", word_ngrams(F.col("_toks"), 3).alias("_g3")
-    )
-    flags = grams.select(
-        ws_token_count("text").alias("n_tok"),
-        (lang_id("text") == "en").alias("f_lang"),
-        F.col("n_chars").between(100, 100_000).alias("f_len"),
-        (quality_score("text") >= 0.45).alias("f_quality"),
-        (dup_fraction(F.col("_g3")) <= 0.05).alias("f_rep"),
-        (pii_total == 0).alias("f_pii"),
-    )
+    flags = _funnel_flags(d).drop("doc_id")
     surv = flags.select(
         "n_tok",
         F.col("f_lang").alias("s1"),
@@ -1579,6 +1589,40 @@ def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
         "n_out",
         "tokens_out",
+    )
+
+
+def q68_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curated-corpus manifest: the document set a training
+    run would actually tokenize — every funnel gate passed (q67's
+    language/length/quality/repetition/PII cascade), not contaminated
+    by the held-out test set (q66's 8-gram screen), and the canonical
+    representative of its near-dup cluster (q65's connected
+    components).  This is the composition the reference's users run the
+    individual tools for, expressed as one lazy plan.
+
+    Scale shape: one corpus scan computes the gates; the two exclusion
+    sets (contaminated ids, non-canonical cluster members) are per-doc
+    aggregates orders of magnitude smaller than the corpus, removed by
+    anti-joins on a long key — AQE converts them to broadcast anti-joins
+    whenever they fit, and they carry only doc_id either way."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = _funnel_flags(d)
+    keep = flags.filter(
+        F.col("f_lang")
+        & F.col("f_len")
+        & F.col("f_quality")
+        & F.col("f_rep")
+        & F.col("f_pii")
+    ).select("doc_id", "n_tok")
+    contaminated = q66_decontamination(spark, sf_dir).select("doc_id")
+    losers = (
+        q65_dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return keep.join(contaminated, "doc_id", "left_anti").join(
+        losers, "doc_id", "left_anti"
     )
 
 
@@ -1650,4 +1694,5 @@ QUERIES: dict[str, callable] = {
     "q65_dedup_clusters": q65_dedup_clusters,
     "q66_decontamination": q66_decontamination,
     "q67_filter_funnel": q67_filter_funnel,
+    "q68_curated_corpus": q68_curated_corpus,
 }
