@@ -36,18 +36,27 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     detail: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
-        df = fn(spark, sf_dir)
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            # noop sink forces full evaluation without driver collect cost
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 4))
-        med = round(statistics.median(runs), 4)
-        rows = df.count()
+        # One broken query must cost ONE null entry, never the whole
+        # bench: round 2 lost all 68 timings to a single failing scan.
+        try:
+            df = fn(spark, sf_dir)
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                # noop sink forces full evaluation without driver collect cost
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 4))
+            med = round(statistics.median(runs), 4)
+            rows = df.count()
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = med
         detail[name] = {
             "runs": runs,
@@ -56,20 +65,19 @@ def main() -> None:
             "rows_per_sec": round(rows / med, 1) if med > 0 else None,
         }
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "sparkdiff_total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_runs": n_runs,
-                "queries_detail": detail,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 4)
+    out = {
+        "metric": "sparkdiff_total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_runs": n_runs,
+        "queries_detail": detail,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

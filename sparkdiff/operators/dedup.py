@@ -106,6 +106,27 @@ def with_char_shingles(
     return norm_df.withColumn(out, _char_kgrams(F.col("_norm"), k)).drop("_norm")
 
 
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a MATERIALIZED token-array column.
+
+    Token-free docs get NO shingles (an [''] shingle would put every
+    empty/null doc in one LSH bucket -> quadratic candidate blowup and
+    content-free 'duplicates'); docs shorter than ``k`` tokens get one
+    whole-doc shingle.
+    """
+    n = F.size(toks)
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
 def with_word_shingles(
     df: DataFrame, text_col: str, k: int = 3, out: str = "sh"
 ) -> DataFrame:
@@ -117,21 +138,9 @@ def with_word_shingles(
             lambda t: F.length(t) > 0,
         ),
     )
-    n = F.size("_toks")
-    # token-free docs get NO shingles (an [''] shingle would put every
-    # empty/null doc in one LSH bucket -> quadratic candidate blowup and
-    # content-free 'duplicates')
-    grams = (
-        F.when(n == 0, F.array().cast("array<string>"))
-        .when(n < k, F.array(F.concat_ws(" ", F.col("_toks"))))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
-            )
-        )
-    )
-    return toks_df.withColumn(out, grams).drop("_toks")
+    return toks_df.withColumn(
+        out, word_shingles_from_tokens(F.col("_toks"), k)
+    ).drop("_toks")
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
@@ -244,10 +253,22 @@ def near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     hash_method: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification:
-    ``(id_a, id_b, jaccard)`` for shingle-Jaccard ≥ threshold."""
-    shingled = with_word_shingles(df, text_col, k, out="_shg")
+    ``(id_a, id_b, jaccard)`` for shingle-Jaccard ≥ threshold.
+
+    ``tokens_col`` names an already-materialized token-array column to
+    shingle from, skipping the tokenizer — the hook that lets a
+    multi-branch pipeline (e.g. q68) tokenize its corpus ONCE and share
+    the projection across dedup/decontamination/quality branches.
+    """
+    if tokens_col is not None:
+        shingled = df.withColumn(
+            "_shg", word_shingles_from_tokens(F.col(tokens_col), k)
+        )
+    else:
+        shingled = with_word_shingles(df, text_col, k, out="_shg")
     sh = shingled.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col("_shg")).alias("_sh"),

@@ -1354,27 +1354,39 @@ def q62_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenized_docs(d: DataFrame) -> DataFrame:
+    """THE shared corpus projection: doc_id/text/n_chars plus the
+    materialized lowercase token array every corpus-level pass (corpus
+    stats, funnel gates, decontamination grams, dedup shingles) derives
+    from.  One tokenizer definition -> branches computed from one scan
+    (and, in q68, one cached projection) stay bit-identical."""
+    return d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    )
+
+
 def q63_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics pass: rare-token ratio per document.  Two-phase
     shape every corpus-level quality signal shares — (1) explode tokens
     and aggregate corpus frequencies (vocabulary-sized result), (2) join
     the stats back and roll up per document.  All-integer arithmetic
     until one final division, so the distributed partial aggregation is
-    exact.  At web scale the freq table broadcasts while the vocabulary
-    fits (~GBs); beyond that the token join shuffles on the token key —
-    both shapes are plain equi-joins."""
+    exact.  The vocabulary table is unbounded at web scale, so the join
+    carries NO broadcast hint: AQE broadcasts it when its runtime size
+    fits ``autoBroadcastJoinThreshold`` and falls back to a shuffled
+    equi-join on the token key otherwise — forcing the broadcast would
+    be a driver OOM at web-corpus vocabulary sizes."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("token"),
+    toks = _tokenized_docs(d).select(
+        "doc_id", F.explode("_toks").alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_freq"))
-    joined = toks.join(F.broadcast(freq), "token")
+    joined = toks.join(freq, "token")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum((F.col("corpus_freq") <= 2).cast("long"))
@@ -1391,18 +1403,15 @@ def q64_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document distinctive terms: the 3 tokens with the lowest
     document frequency (tf-idf's ranking with exact integers — df asc ≈
     idf desc, tf desc breaks ties, token asc totalizes).  Same two-phase
-    corpus-stats shape as q63, then a top-k-per-group window."""
+    corpus-stats shape as q63, then a top-k-per-group window.  Like q63,
+    the document-frequency table is vocabulary-sized (unbounded at web
+    scale) so the join is unhinted: AQE picks broadcast only when the
+    runtime size allows."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("token"),
+    toks = _tokenized_docs(d).select(
+        "doc_id", F.explode("_toks").alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -1410,7 +1419,7 @@ def q64_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("df"), F.desc("tf"), F.asc("token")
     )
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", F.col("tf").cast("long"), F.col("df").cast("long"), "rank")
@@ -1426,17 +1435,37 @@ def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it can actually drop rows: near-duplication chains (A~B~C
     with A!~C) must collapse to ONE keeper, which only a transitive
     closure provides."""
+    d = load_table(spark, sf_dir, "documents")
+    return _dup_cluster_labels(_tokenized_docs(d))
+
+
+def _dup_cluster_labels(base: DataFrame) -> DataFrame:
+    """q65's body over an already-tokenized base (doc_id/text/_toks) so
+    q68 can feed its one cached corpus projection in.  The perturbed
+    dups' tokens are derived by appending the three suffix tokens —
+    equivalent to retokenizing the concatenated text (space-separated
+    suffix; no null texts), with zero extra tokenizer work."""
     from sparkdiff.operators.cluster import dedup_clusters
     from sparkdiff.operators.dedup import near_dup_pairs
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = (
-        d.filter(F.col("doc_id") % 25 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 20_000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    d = base.select("doc_id", "text", "_toks")
+    dups = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+        F.concat(
+            F.col("_toks"),
+            F.array(F.lit("extra"), F.lit("suffix"), F.lit("words")),
+        ).alias("_toks"),
     )
     corpus = d.unionByName(dups)
-    pairs = near_dup_pairs(corpus, "doc_id", "text", threshold=0.6, hash_method="md5")
+    pairs = near_dup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold=0.6,
+        hash_method="md5",
+        tokens_col="_toks",
+    )
     return dedup_clusters(pairs).select(
         F.col("id").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1457,14 +1486,14 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once with zero shuffle before the final
     per-doc aggregation; grams travel as md5-derived 60-bit longs, not
     strings, so the aggregation shuffle carries one long per hit."""
-    from sparkdiff.operators.dedup import token_hash
+    d = load_table(spark, sf_dir, "documents")
+    return _contamination_hits(_tokenized_docs(d))
 
-    k = 8
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = d.withColumn(
-        "_toks",
-        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0),
-    )
+
+def _contamination_hits(base: DataFrame, k: int = 8) -> DataFrame:
+    """q66's body over an already-tokenized base (doc_id/_toks) so q68
+    can feed its one cached corpus projection in."""
+    from sparkdiff.operators.dedup import token_hash
 
     def grams(col):
         n = F.size(col)
@@ -1491,15 +1520,16 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_flags(d: DataFrame) -> DataFrame:
-    """Per-document curation-gate flags shared by q67/q68: doc_id,
-    whitespace token count, and one boolean per filter (language,
-    length, quality, repetition, PII) — all pure column expressions in
-    ONE corpus scan.  Tokens and trigram arrays are materialized in
-    separate projections first: HOF lambdas re-evaluate captured
-    expressions per element, so inlining the tokenizer into word_ngrams
-    re-splits the text once per gram index — measured 11 s vs 0.4 s at
-    sf0.1 (see word_ngrams / SCALE.md)."""
+def _funnel_flags(base: DataFrame) -> DataFrame:
+    """Per-document curation-gate flags shared by q67/q68 over an
+    already-tokenized base (:func:`_tokenized_docs`): doc_id, whitespace
+    token count, and one boolean per filter (language, length, quality,
+    repetition, PII) — all pure column expressions in ONE corpus scan.
+    Tokens and trigram arrays are materialized in separate projections
+    first: HOF lambdas re-evaluate captured expressions per element, so
+    inlining the tokenizer into word_ngrams re-splits the text once per
+    gram index — measured 11 s vs 0.4 s at sf0.1 (see word_ngrams /
+    SCALE.md)."""
     from sparkdiff.functions.pii import PII_PATTERNS, pii_count
     from sparkdiff.functions.textstats import (
         dup_fraction,
@@ -1511,14 +1541,6 @@ def _funnel_flags(d: DataFrame) -> DataFrame:
 
     pii_total = sum(
         (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
-    )
-    base = d.select(
-        "doc_id",
-        "text",
-        "n_chars",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-        ).alias("_toks"),
     )
     grams = base.select(
         "doc_id", "text", "n_chars", word_ngrams(F.col("_toks"), 3).alias("_g3")
@@ -1547,7 +1569,7 @@ def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row out to one row per stage — aggregate state is a dozen longs, so
     the shape is identical at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    flags = _funnel_flags(d).drop("doc_id")
+    flags = _funnel_flags(_tokenized_docs(d)).drop("doc_id")
     surv = flags.select(
         "n_tok",
         F.col("f_lang").alias("s1"),
@@ -1601,13 +1623,19 @@ def q68_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components).  This is the composition the reference's users run the
     individual tools for, expressed as one lazy plan.
 
-    Scale shape: one corpus scan computes the gates; the two exclusion
-    sets (contaminated ids, non-canonical cluster members) are per-doc
-    aggregates orders of magnitude smaller than the corpus, removed by
-    anti-joins on a long key — AQE converts them to broadcast anti-joins
-    whenever they fit, and they carry only doc_id either way."""
+    Scale shape: the corpus is tokenized ONCE into a persisted
+    projection (MEMORY_AND_DISK — spills rather than OOMs on a real
+    cluster) that all three branches — funnel gates, decontamination
+    grams, dedup shingles — read, instead of each branch re-scanning
+    and re-tokenizing the corpus (the round-2 shape: 3 full scans,
+    14.1 s at sf0.1).  The two exclusion sets (contaminated ids,
+    non-canonical cluster members) are per-doc aggregates orders of
+    magnitude smaller than the corpus, removed by anti-joins on a long
+    key — AQE converts them to broadcast anti-joins whenever they fit,
+    and they carry only doc_id either way."""
     d = load_table(spark, sf_dir, "documents")
-    flags = _funnel_flags(d)
+    base = _tokenized_docs(d).persist()
+    flags = _funnel_flags(base)
     keep = flags.filter(
         F.col("f_lang")
         & F.col("f_len")
@@ -1615,9 +1643,9 @@ def q68_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("f_rep")
         & F.col("f_pii")
     ).select("doc_id", "n_tok")
-    contaminated = q66_decontamination(spark, sf_dir).select("doc_id")
+    contaminated = _contamination_hits(base).select("doc_id")
     losers = (
-        q65_dedup_clusters(spark, sf_dir)
+        _dup_cluster_labels(base)
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )

@@ -86,19 +86,42 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain UTC TIMESTAMP regardless of the
+    physical parquet encoding the driver used.
+
+    The driver has shipped events.ts under two encodings across rounds:
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) and
+    TIMESTAMP(MICROS) (read as a timestamp type directly). Branch on the
+    *actual* read schema instead of assuming one encoding.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # nanos epoch -> microsecond ts. Integer division: `/` is double
+        # division and a ~1.7e18 nanos value sits above 2^53, so the
+        # double round-trip can truncate a microsecond and move events
+        # across bucket boundaries.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # Session timezone is pinned to UTC, so NTZ -> instant is a no-op
+        # reinterpretation; the cast keeps every downstream timestamp
+        # idiom (unix_timestamp, window, oracle canonical) on the one
+        # TIMESTAMP type.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # plain TimestampType passes through unchanged (already micros).
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (column pruning + predicate
     pushdown come free from the parquet scan)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanos epoch (read as long under nanosAsLong) -> microsecond ts.
-        # Integer division: `/` is double division and a ~1.7e18 nanos
-        # value sits above 2^53, so the double round-trip can truncate a
-        # microsecond and move events across bucket boundaries.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

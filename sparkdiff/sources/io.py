@@ -32,6 +32,37 @@ def to_json_records(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
 
 
+def to_html_table(df: DataFrame, max_rows: int = 1000, classes: str = "data") -> str:
+    """S10: HTML table sink — the engine-side twin of the reference's
+    ``df.to_html(classes='data')`` (``main.py:65``).
+
+    Presentation-only by design: the reference renders a driver-sized
+    result page, so the collect is hard-capped at ``max_rows`` (+1 probe
+    row to detect truncation — rendering 100 TB as HTML is never the
+    plan).  Raises if the result exceeds the cap rather than silently
+    dropping rows."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; HTML rendering is for "
+            "driver-sized reports — aggregate or limit first"
+        )
+    import html as _html
+
+    def esc(v: object) -> str:
+        return _html.escape("" if v is None else str(v))
+
+    head = "".join(f"<th>{esc(c)}</th>" for c in df.columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{esc(v)}</td>" for v in row) + "</tr>"
+        for row in rows
+    )
+    return (
+        f'<table border="1" class="{_html.escape(classes)}">'
+        f"<thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+    )
+
+
 def clone_table(spark: SparkSession, source: str, target: str) -> None:
     """S12: ``CREATE TABLE … CLONE`` equivalent.  Spark has no zero-copy
     clone; a CTAS copy preserves the semantics the reference's test

@@ -21,36 +21,30 @@ from pyspark.sql import types as T
 
 from sparkdiff.operators.diff import bucket_summary
 
-#: Explicit schema for the driver's events table as a streaming source
-#: (streams cannot infer schemas).  ``ts`` arrives as nanos-epoch long
-#: (TESTDATA parquet) and is rebuilt to a microsecond timestamp.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, directory: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """Directory-based streaming source (file streams require a dir;
-    ``glob`` narrows to the events table inside a testdata sf dir)."""
-    from sparkdiff.session import ensure_session_confs
+    ``glob`` narrows to the events table inside a testdata sf dir).
+
+    Streams cannot infer schemas, so probe the actual physical encoding
+    with a one-file batch read and reuse the batch loader's ``ts``
+    normalization — the stream then survives driver testdata
+    re-encodings (nanos-as-long vs native micros) exactly like batch.
+    """
+    from sparkdiff.session import ensure_session_confs, normalize_events_ts
 
     ensure_session_confs(spark)
+    probe_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(probe_schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(

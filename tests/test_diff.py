@@ -84,6 +84,54 @@ def test_load_table_repairs_foreign_sessions(spark):
     assert df.count() > 0
 
 
+def test_load_table_events_both_ts_encodings(spark, tmp_path):
+    """The driver has regenerated events.parquet under two physical
+    encodings across rounds — TIMESTAMP(NANOS) (read as long under
+    nanosAsLong) and TIMESTAMP(MICROS). load_table must yield the same
+    UTC timestamp column for both, branching on the actual read schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_001, 1_700_000_123_456_789]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"a":1}', '{"b":2}'], pa.string()),
+    }
+    for enc, unit, vals in (
+        ("nanos", "ns", [m * 1000 for m in micros]),
+        ("micros", "us", micros),
+    ):
+        d = tmp_path / enc
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": base["event_id"],
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": base["user_id"],
+                "event_type": base["event_type"],
+                "value": base["value"],
+                "props": base["props"],
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+    results = {}
+    for enc in ("nanos", "micros"):
+        df = load_table(spark, str(tmp_path / enc), "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        rows = df.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).collect()
+        results[enc] = {r.event_id: r.us for r in rows}
+    assert results["nanos"] == results["micros"] == {
+        1: micros[0],
+        2: micros[1],
+    }
+
+
 def test_exclude_columns_conf_table(spark):
     """DW_SHADOW_RUN_CONF semantics: comma-split, case/space-insensitive
     table match, missing table -> no exclusions."""

@@ -263,6 +263,25 @@ def test_csv_roundtrip_and_json_records(spark, tmp_path):
     assert js.startswith('{"r_regionkey":')
 
 
+def test_html_table_sink(spark):
+    """S10: escaped, class-tagged, row-capped HTML — the reference's
+    ``df.to_html(classes='data')`` page (``main.py:65``)."""
+    import pytest
+
+    from sparkdiff.sources.io import to_html_table
+
+    df = spark.createDataFrame(
+        [(1, "a<b"), (2, None)], "id int, name string"
+    )
+    html_out = to_html_table(df.orderBy("id"))
+    assert html_out.startswith('<table border="1" class="data">')
+    assert "<th>id</th><th>name</th>" in html_out
+    assert "a&lt;b" in html_out  # values are escaped
+    assert html_out.count("<tr>") == 3  # header + 2 rows
+    with pytest.raises(ValueError, match="max_rows"):
+        to_html_table(df, max_rows=1)
+
+
 def test_encoder_registry_custom_model_through_public_hook(spark):
     """A model injected via register_encoder is used by encoder_udf,
     loaded lazily (factory call count == executor processes, not rows)."""
@@ -298,8 +317,18 @@ def test_minilm_encoder_loads_or_documents_requirement(spark):
 # --- streaming hardening --------------------------------------------------
 
 def _raw_events(spark):
-    """events with the RAW long ts (the stream-source schema)."""
+    """events with the RAW physical ts (the stream-source schema) —
+    long nanos in older driver testdata, TIMESTAMP(MICROS) in newer."""
     return spark.read.parquet(os.path.join(SF_DIR_SMALL, "events.parquet"))
+
+
+def _raw_ts_key(raw):
+    """Sortable long over the raw ts regardless of physical encoding."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return F.col("ts")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 def test_sessionizer_recovers_across_restart(spark, tmp_path):
@@ -311,10 +340,11 @@ def test_sessionizer_recovers_across_restart(spark, tmp_path):
     from sparkdiff.streaming.validate import read_events_stream
 
     raw = _raw_events(spark)
-    cut = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    key = _raw_ts_key(raw)
+    cut = raw.select(F.median(key)).first()[0]
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
-    raw.filter(F.col("ts") <= cut).write.mode("append").parquet(src)
+    raw.filter(key <= cut).write.mode("append").parquet(src)
 
     def run():
         # memory sink cannot recover from a checkpoint; foreachBatch can
@@ -337,7 +367,7 @@ def test_sessionizer_recovers_across_restart(spark, tmp_path):
         return got
 
     first = run()
-    raw.filter(F.col("ts") > cut).write.mode("append").parquet(src)
+    raw.filter(key > cut).write.mode("append").parquet(src)
     second = run()
 
     got = {**first, **second}  # newest snapshot per user wins
