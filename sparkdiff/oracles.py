@@ -1387,3 +1387,90 @@ ORACLES["q68_curated_corpus"] = f"""
           WHERE l.doc_id = f.doc_id AND NOT l.is_canonical
       )
 """
+
+# q69: same tokenization as q17/q55/q66; non-overlapping 20-token
+# passages via 1-based inclusive list slices, passage keys as the
+# md5-derived 60-bit long (identical ints in both engines).
+ORACLES["q69_passage_dedup"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, toks FROM t
+        UNION ALL
+        SELECT doc_id + 30000 AS doc_id, toks[1:40] AS toks
+        FROM t WHERE doc_id % 12 = 0
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 20
+                           THEN list_transform(
+                                    generate_series(1, len(toks) // 20),
+                                    i -> array_to_string(
+                                        toks[(i-1)*20+1:(i-1)*20+20], ' '))
+                           ELSE [] END) AS passage
+        FROM corpus
+    ),
+    h AS (SELECT doc_id, {_md5_token_hash('passage')} AS ph FROM p)
+    SELECT ph,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS keeper_doc
+    FROM h
+    GROUP BY ph
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+# q70: parallel unnest zips (value, 1-based index).  floor(v * 2^33)
+# is the float32 value as an EXACT integer (dyadic rationals; decimal
+# casts are not engine-portable — Spark rounds HALF_UP, DuckDB
+# half-even, and exact-tie floats exist in the data), so the sum is
+# plain BIGINT arithmetic, bit-identical to the Spark side.
+ORACLES["q70_label_centroids"] = """
+    SELECT label,
+           CAST(i - 1 AS INTEGER) AS dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 8589934592) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 8589934592 AS DOUBLE) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS val,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
+"""
+
+
+def _q71_oracle() -> str:
+    from sparkdiff.functions.textstats import sql_quality_score
+
+    ws_tok = (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'),"
+        " t -> length(t) > 0)) AS BIGINT)"
+    )
+    ths = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+    return f"""
+    WITH scored AS (
+        SELECT {sql_quality_score('text')} AS q, {ws_tok} AS n_tok
+        FROM documents
+    ),
+    th AS (SELECT unnest([{', '.join(str(t) for t in ths)}]) AS threshold),
+    agg AS (
+        SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+               CAST(SUM(CASE WHEN s.q >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(CASE WHEN s.q >= th.threshold THEN s.n_tok END), 0) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_total
+        FROM scored s CROSS JOIN th
+        GROUP BY th.threshold
+    )
+    SELECT threshold, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / n_total AS retained_frac
+    FROM agg
+"""
+
+
+ORACLES["q71_quality_sweep"] = _q71_oracle()

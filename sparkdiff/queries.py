@@ -1654,6 +1654,119 @@ def q68_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the passage-granularity form of exact
+    substring deduplication): chop every document's token stream into
+    non-overlapping 20-token passages, hash each passage to a 60-bit
+    md5 long, and report each passage that occurs in ≥2 distinct docs
+    with its occurrence counts and the canonical keeper (min doc_id).
+    Copied-prefix docs (doc_id % 12, re-inserted at +30000 with their
+    first two passages) make the shared-passage set deterministic.
+
+    Scale shape: explode + one groupBy on an 8-byte key with map-side
+    combine — shared passages across a 100 TB corpus cost one shuffle
+    of (hash, doc_id) pairs, never a pairwise comparison; the ≥2 filter
+    drops the (dominant) unique-passage groups before any output."""
+    from sparkdiff.operators.dedup import token_hash
+
+    W = 20
+    d = load_table(spark, sf_dir, "documents")
+    base = _tokenized_docs(d).select("doc_id", "_toks")
+    copies = base.filter(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        F.slice("_toks", 1, 2 * W).alias("_toks"),
+    )
+    corpus = base.unionByName(copies)
+    n_pass = F.floor(F.size("_toks") / W).cast("int")
+    passages = corpus.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_pass >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_pass),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), (i - 1) * W + 1, W)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("passage"),
+    )
+    hashed = passages.select("doc_id", token_hash("passage", "md5").alias("ph"))
+    return hashed.groupBy("ph").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("doc_id").alias("keeper_doc"),
+    ).filter(F.col("n_docs") >= 2)
+
+
+def q70_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the vector aggregation every
+    clustering / domain-balance / IVF-codebook step needs, in the shape
+    that scales: posexplode to (label, dim, value) rows, then ONE
+    map-side-combined aggregation.  No collect, no numpy on the driver,
+    no array-typed aggregation buffer — shuffle width is labels × dims
+    regardless of corpus size.  Exactness: float32 values are dyadic
+    rationals, so ``floor(v * 2^33)`` is the value itself as an exact
+    integer (the testdata's deepest value has 33 fractional bits;
+    deeper inputs quantize identically in both engines) — the sum is
+    plain long arithmetic, order-independent under any partitioning,
+    no decimal rounding ties (double→decimal casts round HALF_UP in
+    Spark but half-even in DuckDB — hit in testing on an exact-tie
+    float, so decimal routing is NOT engine-portable for floats)."""
+    scale = F.lit(8589934592)  # 2^33
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
+    return ex.groupBy("label", "dim_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("val").cast("double") * scale)).cast("double")
+            / (F.count(F.lit(1)) * scale).cast("double")
+        ).alias("centroid"),
+    )
+
+
+def q71_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold sweep: docs/tokens retained at each candidate
+    quality cutoff — the tuning report a curation team reads before
+    fixing q67's single threshold.  Same scale shape as the funnel: the
+    corpus is scanned ONCE with the score and token count as codegen'd
+    column expressions, conditional sums reduce everything to one row
+    of counters (map-side combined, state = 19 longs), and `stack` fans
+    out one row per threshold — no explode-per-threshold re-scan, no
+    join, identical plan at 100 TB."""
+    from sparkdiff.functions.textstats import quality_score, ws_token_count
+
+    thresholds = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        quality_score("text").alias("q"), ws_token_count("text").alias("n_tok")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for j, t in enumerate(thresholds):
+        aggs.append(F.sum((F.col("q") >= t).cast("long")).alias(f"d{j}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("q") >= t, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{j}")
+        )
+    one = scored.agg(*aggs)
+    stacked = one.selectExpr(
+        f"stack({len(thresholds)}, "
+        + ", ".join(
+            f"CAST({t} AS DOUBLE), d{j}, t{j}, n_total"
+            for j, t in enumerate(thresholds)
+        )
+        + ") as (threshold, n_docs, n_tokens, n_total)"
+    )
+    return stacked.select(
+        "threshold",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("retained_frac"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1723,4 +1836,7 @@ QUERIES: dict[str, callable] = {
     "q66_decontamination": q66_decontamination,
     "q67_filter_funnel": q67_filter_funnel,
     "q68_curated_corpus": q68_curated_corpus,
+    "q69_passage_dedup": q69_passage_dedup,
+    "q70_label_centroids": q70_label_centroids,
+    "q71_quality_sweep": q71_quality_sweep,
 }
