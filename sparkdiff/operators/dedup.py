@@ -193,26 +193,10 @@ def minhash_signatures(
     return toks.groupBy("_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    tokens_col: Column,
-    num_perm: int = 64,
-    bands: int = 16,
-    hash_method: str = "xxhash64",
-) -> DataFrame:
-    """Candidate near-dup pairs ``(id_a, id_b)`` with ``id_a < id_b``.
-
-    Signature → split into ``bands`` bands of ``num_perm // bands`` rows →
-    md5 band key → explode → self-equi-join on ``(band, key)``.  The join
-    shuffles on the band key only; bucket sizes stay tiny for non-dup
-    corpora, so this is the 100 TB-safe alternative to an O(n²) cross
-    join.
-    """
-    assert num_perm % bands == 0
-    rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, tokens_col, num_perm, hash_method)
-    band_keys = sig.select(
+def _band_keys(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """``(_id, band, key)`` rows from a signature frame: split into
+    ``bands`` bands of ``rows`` values, md5 band key, explode."""
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -234,6 +218,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Signature → split into ``bands`` bands of ``num_perm // bands`` rows →
+    md5 band key → explode → self-equi-join on ``(band, key)``.  The join
+    shuffles on the band key only; bucket sizes stay tiny for non-dup
+    corpora, so this is the 100 TB-safe alternative to an O(n²) cross
+    join.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, tokens_col, num_perm, hash_method)
+    band_keys = _band_keys(sig, bands, rows)
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "key")
     return (
@@ -286,6 +292,77 @@ def near_dup_pairs(
         inter.cast("double") / union.cast("double")
     )
     return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: which NEW-batch docs near-duplicate the
+    EXISTING corpus — the ingest-time dedup gate every continuously-fed
+    training pipeline runs.  Returns ``(corpus_id, batch_id, jaccard)``
+    with shingle-Jaccard ≥ threshold.
+
+    Scale shape vs the symmetric form: candidates come ONLY from
+    batch-side band keys equi-joined against corpus-side band keys —
+    corpus×corpus pairs are never generated, so an ingest batch against
+    a 100 TB corpus costs the corpus signature pass (amortizable: store
+    the signatures once and only scan the batch per ingest) plus a join
+    AQE broadcasts when the batch side is small.  Verification joins
+    shingle sets for candidate ids only.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    def prep(df: DataFrame) -> DataFrame:
+        if tokens_col is not None:
+            shg = df.withColumn(
+                "_shg", word_shingles_from_tokens(F.col(tokens_col), k)
+            )
+        else:
+            shg = with_word_shingles(df, text_col, k, out="_shg")
+        return shg.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col("_shg")).alias("_sh"),
+        )
+
+    sh_c, sh_b = prep(corpus), prep(batch)
+    bk_c = _band_keys(
+        minhash_signatures(sh_c, "_id", F.col("_sh"), num_perm, hash_method),
+        bands,
+        rows,
+    ).select(F.col("_id").alias("corpus_id"), "band", "key")
+    bk_b = _band_keys(
+        minhash_signatures(sh_b, "_id", F.col("_sh"), num_perm, hash_method),
+        bands,
+        rows,
+    ).select(F.col("_id").alias("batch_id"), "band", "key")
+    cands = (
+        bk_c.join(bk_b, ["band", "key"]).select("corpus_id", "batch_id").distinct()
+    )
+    verified = cands.join(
+        sh_c.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_c")),
+        "corpus_id",
+    ).join(
+        sh_b.select(F.col("_id").alias("batch_id"), F.col("_sh").alias("sh_b")),
+        "batch_id",
+    )
+    inter = F.size(F.array_intersect("sh_c", "sh_b"))
+    union = F.size("sh_c") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return verified.select("corpus_id", "batch_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 

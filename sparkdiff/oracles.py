@@ -756,8 +756,25 @@ def _md5_token_hash(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _minhash_oracle() -> str:
-    """Replay q25's full shingle→signature→band→verify pipeline in SQL.
+#: q25's perturbed corpus: every 25th doc re-inserted with a suffix.
+_Q25_BASE_SQL = """
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text || ' extra suffix words' AS text
+            FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _minhash_oracle(
+    base_sql: str = _Q25_BASE_SQL,
+    cand_cond: str = "a.doc_id < b.doc_id",
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> str:
+    """Replay the full shingle→signature→band→verify MinHash-LSH
+    pipeline in SQL over ``base_sql`` (a doc_id/text relation), with a
+    pluggable candidate-pair condition (q25: ordered self-pairs; q72:
+    cross-side corpus×batch pairs only).
 
     The 64 permutation coefficients are imported from the SAME generator
     the Spark operator uses (``_lcg_coefficients``), so the two sides stay
@@ -780,10 +797,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
         WITH base AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 20000 AS doc_id, text || ' extra suffix words' AS text
-            FROM documents WHERE doc_id % 25 = 0
+            {base_sql}
         ),
         toks AS (
             SELECT doc_id,
@@ -822,7 +836,7 @@ def _minhash_oracle() -> str:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM band_keys a
             JOIN band_keys b ON a.band = b.band AND a.key = b.key
-            WHERE a.doc_id < b.doc_id
+            WHERE {cand_cond}
         ),
         verified AS (
             SELECT c.id_a, c.id_b,
@@ -832,7 +846,7 @@ def _minhash_oracle() -> str:
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
         )
-        SELECT id_a, id_b,
+        SELECT id_a AS {out_a}, id_b AS {out_b},
                CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END AS jaccard
         FROM verified
         WHERE (CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END) >= 0.6
@@ -1474,3 +1488,18 @@ def _q71_oracle() -> str:
 
 
 ORACLES["q71_quality_sweep"] = _q71_oracle()
+
+# q72: the asymmetric ingest gate — same LSH replay as q25, but the
+# batch is every 17th doc re-inserted at +50000 with a 3-token suffix,
+# and candidates are restricted to cross-side (corpus × batch) pairs.
+ORACLES["q72_incremental_neardup"] = _minhash_oracle(
+    base_sql="""
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 50000 AS doc_id, text || ' new batch revision' AS text
+            FROM documents WHERE doc_id % 17 = 0
+""",
+    cand_cond="a.doc_id < 50000 AND b.doc_id >= 50000",
+    out_a="corpus_id",
+    out_b="batch_id",
+)

@@ -1767,6 +1767,38 @@ def q71_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup gate: which docs in a NEW batch near-duplicate
+    the EXISTING corpus (`operators/dedup.incremental_near_dup_pairs`).
+    The batch is every 17th doc re-inserted at +50000 with a 3-token
+    suffix (Jaccard vs its source ≈ 0.9), so each batch doc must pair
+    with exactly its origin.  Unlike the symmetric q25 shape, candidate
+    generation joins batch band keys against corpus band keys only —
+    corpus×corpus pairs are never enumerated, which is what makes
+    per-ingest dedup affordable against a 100 TB corpus."""
+    from sparkdiff.operators.dedup import incremental_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    base = _tokenized_docs(d).select("doc_id", "text", "_toks")
+    batch = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new batch revision")).alias("text"),
+        F.concat(
+            F.col("_toks"),
+            F.array(F.lit("new"), F.lit("batch"), F.lit("revision")),
+        ).alias("_toks"),
+    )
+    return incremental_near_dup_pairs(
+        base,
+        batch,
+        "doc_id",
+        "text",
+        threshold=0.6,
+        hash_method="md5",
+        tokens_col="_toks",
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1839,4 +1871,5 @@ QUERIES: dict[str, callable] = {
     "q69_passage_dedup": q69_passage_dedup,
     "q70_label_centroids": q70_label_centroids,
     "q71_quality_sweep": q71_quality_sweep,
+    "q72_incremental_neardup": q72_incremental_neardup,
 }

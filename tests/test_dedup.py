@@ -51,6 +51,32 @@ def test_near_dup_pairs_respects_threshold(spark):
     assert all(r.id_a < r.id_b for r in rows)
 
 
+def test_incremental_near_dup_finds_batch_origins(spark):
+    """The asymmetric gate must pair every injected batch doc with
+    exactly its corpus origin — and emit NO corpus×corpus pairs even
+    when the corpus itself contains near-dups."""
+    from sparkdiff.operators.dedup import incremental_near_dup_pairs
+
+    d, corpus = _corpus_with_neardups(spark)  # corpus has internal dups
+    batch = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" new batch revision")))
+    )
+    rows = incremental_near_dup_pairs(
+        corpus, batch, "doc_id", "text", threshold=0.6
+    ).collect()
+    found = {(r.corpus_id, r.batch_id) for r in rows}
+    expected = {
+        (r.doc_id, r.doc_id + 50_000)
+        for r in d.filter(F.col("doc_id") % 17 == 0).collect()
+    }
+    assert expected <= found, f"missed batch origins: {expected - found}"
+    # every emitted pair crosses sides
+    assert all(r.batch_id >= 50_000 > r.corpus_id for r in rows)
+    assert all(r.jaccard >= 0.6 for r in rows)
+
+
 def test_simhash_locality(spark):
     _, corpus = _corpus_with_neardups(spark)
     sh = simhash64(corpus, "doc_id", tokens("text"))
