@@ -296,8 +296,55 @@ def near_dup_pairs(
     )
 
 
+def _shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """``(_id, _sh)`` distinct word-shingle sets per row."""
+    if tokens_col is not None:
+        shg = df.withColumn(
+            "_shg", word_shingles_from_tokens(F.col(tokens_col), k)
+        )
+    else:
+        shg = with_word_shingles(df, text_col, k, out="_shg")
+    return shg.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col("_shg")).alias("_sh"),
+    )
+
+
+def corpus_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side dedup index: ``(shingle_sets, band_keys)``.
+
+    Compute ONCE per corpus, persist (or write to parquet) and reuse for
+    every ingest batch — the amortization that makes per-ingest dedup
+    against a 100 TB corpus affordable (``streaming_ingest_dedup`` does
+    exactly this per micro-batch).
+    """
+    assert num_perm % bands == 0
+    sh = _shingle_sets(df, id_col, text_col, k, tokens_col)
+    bk = _band_keys(
+        minhash_signatures(sh, "_id", F.col("_sh"), num_perm, hash_method),
+        bands,
+        num_perm // bands,
+    )
+    return sh, bk
+
+
 def incremental_near_dup_pairs(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
@@ -307,6 +354,7 @@ def incremental_near_dup_pairs(
     bands: int = 16,
     hash_method: str = "xxhash64",
     tokens_col: str | None = None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: which NEW-batch docs near-duplicate the
     EXISTING corpus — the ingest-time dedup gate every continuously-fed
@@ -316,32 +364,23 @@ def incremental_near_dup_pairs(
     Scale shape vs the symmetric form: candidates come ONLY from
     batch-side band keys equi-joined against corpus-side band keys —
     corpus×corpus pairs are never generated, so an ingest batch against
-    a 100 TB corpus costs the corpus signature pass (amortizable: store
-    the signatures once and only scan the batch per ingest) plus a join
-    AQE broadcasts when the batch side is small.  Verification joins
-    shingle sets for candidate ids only.
+    a 100 TB corpus costs the corpus signature pass (amortizable: pass
+    a precomputed/persisted :func:`corpus_dedup_index` via
+    ``corpus_index`` and only the batch is scanned per ingest) plus a
+    join AQE broadcasts when the batch side is small.  Verification
+    joins shingle sets for candidate ids only.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-
-    def prep(df: DataFrame) -> DataFrame:
-        if tokens_col is not None:
-            shg = df.withColumn(
-                "_shg", word_shingles_from_tokens(F.col(tokens_col), k)
-            )
-        else:
-            shg = with_word_shingles(df, text_col, k, out="_shg")
-        return shg.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(F.col("_shg")).alias("_sh"),
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need either corpus or corpus_index")
+        corpus_index = corpus_dedup_index(
+            corpus, id_col, text_col, k, num_perm, bands, hash_method, tokens_col
         )
-
-    sh_c, sh_b = prep(corpus), prep(batch)
-    bk_c = _band_keys(
-        minhash_signatures(sh_c, "_id", F.col("_sh"), num_perm, hash_method),
-        bands,
-        rows,
-    ).select(F.col("_id").alias("corpus_id"), "band", "key")
+    sh_c, bk_c_raw = corpus_index
+    bk_c = bk_c_raw.select(F.col("_id").alias("corpus_id"), "band", "key")
+    sh_b = _shingle_sets(batch, id_col, text_col, k, tokens_col)
     bk_b = _band_keys(
         minhash_signatures(sh_b, "_id", F.col("_sh"), num_perm, hash_method),
         bands,

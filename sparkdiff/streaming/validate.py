@@ -188,6 +188,58 @@ def streaming_bucket_checksums_cdc(
     )
 
 
+def streaming_ingest_dedup(
+    batches: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    on_duplicates: Callable[[DataFrame, int], None],
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+):
+    """Continuous ingest-time dedup: per micro-batch of NEW documents,
+    the docs that near-duplicate the EXISTING corpus are handed to
+    ``on_duplicates`` as ``(corpus_id, batch_id, jaccard)`` rows — the
+    streaming form of the q72 gate.
+
+    The corpus-side index (shingle sets + LSH band keys,
+    :func:`~sparkdiff.operators.dedup.corpus_dedup_index`) is computed
+    ONCE and persisted before the stream starts; each micro-batch then
+    pays only its own signatures plus a band-key equi-join (broadcast
+    under AQE for ingest-sized batches).  Corpus×corpus pairs are never
+    generated.  Returns the unstarted ``writeStream`` builder.
+    """
+    from sparkdiff.operators.dedup import (
+        corpus_dedup_index,
+        incremental_near_dup_pairs,
+    )
+
+    sh_c, bk_c = corpus_dedup_index(
+        corpus, id_col, text_col, k, num_perm, bands, hash_method
+    )
+    sh_c, bk_c = sh_c.persist(), bk_c.persist()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_near_dup_pairs(
+            None,
+            batch_df,
+            id_col,
+            text_col,
+            threshold,
+            k,
+            num_perm,
+            bands,
+            hash_method,
+            corpus_index=(sh_c, bk_c),
+        )
+        on_duplicates(pairs, batch_id)
+
+    return batches.writeStream.outputMode("append").foreachBatch(handle)
+
+
 def checksum_drift_monitor(
     changes: DataFrame,
     reference_df: DataFrame,

@@ -379,6 +379,56 @@ def test_sessionizer_recovers_across_restart(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_ingest_dedup_matches_batch_gate(spark, tmp_path):
+    """The micro-batched ingest gate must flag exactly the pairs the
+    batch-mode q72 operator finds over the same rows — across multiple
+    micro-batches against one precomputed corpus index."""
+    from sparkdiff.operators.dedup import incremental_near_dup_pairs
+    from sparkdiff.streaming.validate import streaming_ingest_dedup
+
+    corpus = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    batch = (
+        corpus.filter(F.col("doc_id") % 17 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" new batch revision")))
+    )
+    src = str(tmp_path / "src")
+    # two files -> maxFilesPerTrigger=1 forces at least two micro-batches
+    batch.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    batch.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: set = set()
+    batch_ids: set = set()
+
+    def collect(pairs, bid):
+        batch_ids.add(bid)
+        for r in pairs.collect():
+            got.add((r.corpus_id, r.batch_id, round(r.jaccard, 9)))
+
+    q = (
+        streaming_ingest_dedup(stream, corpus, "doc_id", "text", collect, threshold=0.6)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    expected = {
+        (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+        for r in incremental_near_dup_pairs(
+            corpus, batch, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert len(batch_ids) >= 2, "expected multiple micro-batches"
+    assert got == expected
+    assert expected, "batch gate found nothing — fixture broken"
+
+
 def test_windowed_agg_under_rocksdb_state_store(spark, tmp_path):
     """The watermarked windowed agg runs green with the RocksDB state
     store provider (disk-backed state: the at-scale configuration)."""
