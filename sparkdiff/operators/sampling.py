@@ -112,6 +112,38 @@ def weighted_domain_sample(
     return df.filter(unit_hash(key, seed) < rate)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    n_tok_col: str,
+    budget: int,
+    seed: str = "",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Per-domain token-budget sampling: rank each domain's docs by the
+    content-hash variate (a fixed pseudo-random order) and keep the
+    prefix whose cumulative token count stays within ``budget`` — how a
+    mixture recipe ("at most N tokens of domain X") is filled
+    deterministically.  Append-stable: new docs insert into the order
+    without reshuffling which earlier docs were kept, except by pushing
+    the boundary.  The window is partitioned by domain, so the sort is
+    n_domains-way parallel and external-sortable (the q57/q61 posture —
+    never a single-partition global window)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(unit_hash(key, seed), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        cum_col, F.sum(F.col(n_tok_col)).over(w).cast("long")
+    ).filter(F.col(cum_col) <= budget)
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,

@@ -1503,3 +1503,27 @@ ORACLES["q72_incremental_neardup"] = _minhash_oracle(
     out_a="corpus_id",
     out_b="batch_id",
 )
+
+# q73: same md5 unit variate as q54 (seed 'r3'); per-domain running
+# token sum over the (variate, doc_id) order, prefix kept within the
+# 10k budget.
+ORACLES["q73_token_budget_sample"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_tok,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 15))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 600
+"""

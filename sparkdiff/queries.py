@@ -1799,6 +1799,26 @@ def q72_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-recipe sampling: per source domain, keep a deterministic
+    pseudo-random prefix of documents totalling ≤ 600 whitespace tokens
+    (`operators/sampling.token_budget_sample`) — the "N tokens of
+    domain X" knob a data-mixture config turns.  One scan, one
+    per-domain window prefix-sum; the variate is the same md5 unit hash
+    as q54/q58/q61, so the kept set is identical on any cluster size or
+    engine."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", ws_token_count("text").alias("n_tok")
+    )
+    return token_budget_sample(
+        scored, "doc_id", "source", "n_tok", budget=600, seed="r3"
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1872,4 +1892,5 @@ QUERIES: dict[str, callable] = {
     "q70_label_centroids": q70_label_centroids,
     "q71_quality_sweep": q71_quality_sweep,
     "q72_incremental_neardup": q72_incremental_neardup,
+    "q73_token_budget_sample": q73_token_budget_sample,
 }

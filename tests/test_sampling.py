@@ -95,3 +95,34 @@ def test_repetition_ratio_known_values(spark):
     assert got[1] == pytest.approx(0.5)
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_token_budget_sample_respects_budget_and_partitioning(spark):
+    """Every domain's kept prefix stays within budget, keeps at least
+    one doc (budget >> single doc), and the kept set is identical under
+    a different physical partitioning (content-hash determinism)."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.sampling import token_budget_sample
+
+    scored = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "source", ws_token_count("text").alias("n_tok")
+    )
+    kept = token_budget_sample(scored, "doc_id", "source", "n_tok", budget=600)
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src, "nothing kept"
+    for src, rs in by_src.items():
+        assert max(r.cum_tokens for r in rs) <= 600
+        # cum of the heaviest row equals the sum of its domain's kept rows
+        assert max(r.cum_tokens for r in rs) == sum(r.n_tok for r in rs)
+    again = token_budget_sample(
+        scored.repartition(7), "doc_id", "source", "n_tok", budget=600
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        token_budget_sample(scored, "doc_id", "source", "n_tok", budget=0)
