@@ -30,6 +30,8 @@ def test_parity_pipeline_example():
 def test_training_data_pipeline_example():
     stdout = _run("training_data_pipeline.py")
     assert "-> chunks" in stdout
+    assert "-> ingest-flagged 20" in stdout  # every perturbed copy caught
+    assert "-> budgeted" in stdout
 
 
 def test_revalidation_pipeline_example():
