@@ -86,3 +86,51 @@ def test_canonical_rendering_matches_duckdb(spark, rows):
     finally:
         con.close()
     assert sorted(got) == sorted(map(tuple, expected))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_md5_token_hash_matches_duckdb(spark, toks):
+    """The 60-bit md5 token hash is the primitive every LSH oracle
+    (MinHash bands, SimHash votes, passage/gram keys) joins on — the two
+    engines must produce identical longs for arbitrary strings."""
+    from sparkdiff.operators.dedup import token_hash
+
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {r.t: r.h for r in df.select("t", token_hash("t", "md5").alias("h")).collect()}
+    con = duckdb.connect()
+    for t in toks:
+        (dh,) = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [t]
+        ).fetchone()
+        assert got[t] == dh, f"token hash diverged for {t!r}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=10, unique=True))
+def test_unit_hash_variate_matches_duckdb(spark, keys):
+    """The md5 unit variate drives every deterministic sampling oracle
+    (q54/q58/q61/q73) — its [0,1) values must agree bit-for-bit."""
+    from sparkdiff.operators.sampling import unit_hash
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.u for r in df.select("k", unit_hash("k", "sEEd").alias("u")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        (du,) = con.execute(
+            "SELECT (CAST(('0x' || substr(md5(CAST(? AS VARCHAR) || 'sEEd'), 1, 15))"
+            " AS BIGINT) % 1000000) / 1000000.0",
+            [k],
+        ).fetchone()
+        assert got[k] == du, f"unit variate diverged for key {k}"
