@@ -96,16 +96,30 @@ def connected_components(
     any edge) are by definition their own singleton component and are
     not emitted — union them in at the call site if needed.
     """
-    nodes = (
-        edges.select(F.col(src).cast("long").alias("id"))
-        .unionAll(edges.select(F.col(dst).cast("long").alias("id")))
-        .distinct()
-    )
-    e = _canonical(
+    # Evaluate the (possibly very expensive — LSH candidate generation,
+    # verify joins) pair lineage EXACTLY ONCE: checkpoint the undirected
+    # edge set WITH self-loops, then derive both the node set and the
+    # working edges from the checkpoint.  Deriving nodes from the raw
+    # `edges` frame instead would re-run the whole upstream pipeline on
+    # every downstream action (measured: q65's save re-paid the full
+    # MinHash-LSH pass per run).
+    base = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
-    ).localCheckpoint(eager=True)
+        .select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        base.select(F.col("u").alias("id"))
+        .unionAll(base.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = base.filter(F.col("u") != F.col("v"))
 
     prev = _signature(e)
     for _ in range(max_iter):
