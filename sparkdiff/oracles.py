@@ -1527,3 +1527,55 @@ ORACLES["q73_token_budget_sample"] = """
     SELECT doc_id, source, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens <= 600
 """
+
+# q74: winnowing — word 5-gram md5 hashes, 4-window minima, rare
+# (2..10 docs) fingerprints only, pairs by shared-count.
+ORACLES["q74_winnow_fingerprints"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, toks FROM t
+        UNION ALL
+        SELECT doc_id + 40000 AS doc_id, toks[1:60] AS toks
+        FROM t WHERE doc_id % 14 = 0
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 5
+                    THEN list_transform(generate_series(1, len(toks) - 4),
+                                        i -> array_to_string(toks[i:i+4], ' '))
+                    ELSE [] END AS gs
+        FROM corpus
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(gs, x -> {_md5_token_hash('x')}) AS gh
+        FROM g
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(gh) >= 4
+                   THEN list_transform(generate_series(1, len(gh) - 3),
+                                       i -> list_min(gh[i:i+3]))
+                   WHEN len(gh) > 0 THEN [list_min(gh)]
+                   ELSE CAST([] AS BIGINT[]) END) AS fps
+        FROM h
+    ),
+    fr AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    rare AS (
+        SELECT fp FROM (
+            SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fr GROUP BY fp
+        ) WHERE nd BETWEEN 2 AND 10
+    ),
+    s AS (SELECT fr.doc_id, fr.fp FROM fr JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(DISTINCT a.fp) >= 2
+"""

@@ -1819,6 +1819,83 @@ def q73_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., MOSS): per doc, hash
+    word 5-grams to 60-bit longs and keep the MINIMUM hash of every
+    4-window — position-robust local fingerprints that survive edits
+    the way whole-doc hashes (q20) and fixed passages (q69) don't.
+    Pairs sharing ≥ 2 rare fingerprints are reported with the shared
+    count; fingerprints appearing in > 10 docs are dropped first (the
+    standard boilerplate/stop-fingerprint guard — it is ALSO the scale
+    bound: the pair join fans out at most 10×9/2 pairs per fingerprint,
+    never quadratic in corpus size).  Copied-prefix docs (doc_id % 14,
+    re-inserted at +40000 with their first 60 tokens) make the shared
+    set deterministic.
+
+    The window minima are computed FLAT — posexplode the gram hashes
+    and take `min` over a per-doc ROWS window — not as a nested HOF
+    (`transform(sequence, i -> array_min(slice(_gh, i, W)))` re-inlines
+    the md5 gram-hash transform into every window lambda: measured 65 s
+    vs ~2 s at sf0.01 — the HOF CSE trap squared, see SCALE.md)."""
+    from pyspark.sql import Window
+    from sparkdiff.operators.dedup import token_hash
+
+    K, W = 5, 4
+    d = load_table(spark, sf_dir, "documents")
+    base = _tokenized_docs(d).select("doc_id", "_toks")
+    copies = base.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 40_000).alias("doc_id"),
+        F.slice("_toks", 1, 60).alias("_toks"),
+    )
+    corpus = base.unionByName(copies)
+    n = F.size("_toks")
+    grams = corpus.select(
+        "doc_id",
+        F.when(
+            n >= K,
+            F.transform(
+                F.sequence(F.lit(1), n - (K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, K)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_g"),
+    )
+    h_rows = grams.select(
+        "doc_id", F.posexplode("_g").alias("pos", "_gram")
+    ).select("doc_id", "pos", token_hash("_gram", "md5").alias("h"))
+    wspec = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    fp_rows = (
+        h_rows.withColumn("fp", F.min("h").over(wspec))
+        .withColumn("m", F.count(F.lit(1)).over(per_doc))
+        .filter(
+            (F.col("pos") <= F.col("m") - W)
+            | ((F.col("m") < W) & (F.col("pos") == 0))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fp_rows.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 10))
+        .select("fp")
+    )
+    shared = fp_rows.join(rare, "fp")
+    a = shared.select(F.col("doc_id").alias("id_a"), "fp")
+    b = shared.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1893,4 +1970,5 @@ QUERIES: dict[str, callable] = {
     "q71_quality_sweep": q71_quality_sweep,
     "q72_incremental_neardup": q72_incremental_neardup,
     "q73_token_budget_sample": q73_token_budget_sample,
+    "q74_winnow_fingerprints": q74_winnow_fingerprints,
 }
