@@ -1528,6 +1528,206 @@ ORACLES["q73_token_budget_sample"] = """
     FROM c WHERE cum_tokens <= 600
 """
 
+# q75: two unrolled Lloyd iterations, k=4, seeds vec_id 0..3.  Distance
+# folds run left-to-right over dims (list_reduce with a prepended 0.0 —
+# the q24 pattern) and centroid updates sum floor(v*2^33) BIGINTs (the
+# q70 exact-dyadic rail) before one double division, so both engines
+# compute bit-identical assignments.
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    scale = 8589934592  # 2^33
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(v)), i -> (v[i] - c[i]) * (v[i] - c[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+            SELECT vec_id, cluster, dist, v FROM (
+                SELECT e.vec_id, {prev}.cluster, {dist} AS dist, e.v,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {dist} ASC, {prev}.cluster ASC) AS rn
+                FROM e CROSS JOIN {prev}
+            ) WHERE rn = 1
+        )"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""s{it} AS (
+                SELECT cluster, i AS dim,
+                       SUM(CAST(floor(val * {scale}) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM (
+                    SELECT cluster, unnest(v) AS val,
+                           unnest(generate_series(1, len(v))) AS i
+                    FROM a{it}
+                ) GROUP BY cluster, i
+            )"""
+            )
+            ctes.append(
+                f"""c{it} AS (
+                SELECT cluster,
+                       list(CAST(s AS DOUBLE) / CAST(n * {scale} AS DOUBLE)
+                            ORDER BY dim) AS c
+                FROM s{it} GROUP BY cluster
+            )"""
+            )
+            prev = f"c{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, cluster, dist FROM a{iters}"
+    )
+
+
+ORACLES["q75_kmeans_embed"] = _kmeans_oracle()
+
+
+# q76: BM25 with the rational idf core (no log — libm log is not
+# correctly rounded, so the log form is not hash-portable); per-term
+# partial scores added in fixed term order.
+def _bm25_oracle() -> str:
+    terms = ["merge", "scan", "window"]
+    k1, b = 1.2, 0.75
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> length(x) > 0)"
+    )
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS BIGINT) AS tf{j}"
+        for j, w in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{j}"
+        for j in range(len(terms))
+    )
+    score = " + ".join(
+        f"(((n_docs - df{j} + 0.5) / (df{j} + 0.5))"
+        f" * ((CAST(tf{j} AS DOUBLE) * {k1 + 1.0}) /"
+        f" (CAST(tf{j} AS DOUBLE) + {k1} *"
+        f" ((1.0 - {b}) + ({b} * CAST(dl AS DOUBLE)) / (sum_dl / n_docs)))))"
+        for j in range(len(terms))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) AS sum_dl, {df_cols}
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, dl, tf0, tf1, tf2, 0.0 + {score} AS score
+        FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, dl, tf0, tf1, tf2, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 20
+"""
+
+
+ORACLES["q76_bm25_rank"] = _bm25_oracle()
+
+# q77: CDC merge — latest change per key wins, deletes drop, inserts
+# and updates override, untouched base rows pass through.
+ORACLES["q77_cdc_merge"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey, price_cents + 500 AS price_cents,
+               'U' AS op, 1 AS seq FROM o WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, price_cents + 900, 'U', 2
+        FROM o WHERE o_orderkey % 39 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'D', 3 FROM o WHERE o_orderkey % 29 = 0
+        UNION ALL
+        SELECT o_orderkey + 2000000, price_cents, 'I', 1
+        FROM o WHERE o_orderkey % 31 = 0
+    ),
+    latest AS (
+        SELECT o_orderkey, price_cents, op FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op IS NOT NULL THEN c.price_cents
+                    ELSE b.price_cents END AS price_cents,
+               COALESCE(c.op, 'B') AS src
+        FROM o b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+    )
+    SELECT o_orderkey, price_cents, src FROM merged WHERE src <> 'D'
+"""
+
+# q78: interval RANGE frames over epoch-micros longs; values sum as
+# floor(value*2^20) BIGINTs so the frame sum is exact in both engines.
+ORACLES["q78_rolling_events"] = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               CAST(floor(value * 1048576) AS BIGINT) AS val_s
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER hour AS BIGINT) AS n_1h,
+           CAST(SUM(val_s) OVER hour AS BIGINT) AS sum_val_1h,
+           CAST(COUNT(*) OVER quarter AS BIGINT) AS n_15m
+    FROM e
+    WINDOW hour AS (
+        PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    ),
+    quarter AS (
+        PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW
+    )
+"""
+
+# q79: posting lists for rare bigram terms only — df-first then
+# join-back, so the list aggregate never sees an over-cap group.
+ORACLES["q79_posting_lists"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS token
+        FROM t
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    ),
+    rare AS (SELECT token, df FROM freq WHERE df BETWEEN 2 AND 8)
+    SELECT t.token, MIN(r.df) AS df,
+           string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+               AS postings
+    FROM toks t JOIN rare r ON t.token = r.token
+    GROUP BY t.token
+"""
+
 # q74: winnowing — word 5-gram md5 hashes, 4-window minima, rare
 # (2..10 docs) fingerprints only, pairs by shared-count.
 ORACLES["q74_winnow_fingerprints"] = f"""

@@ -1896,6 +1896,288 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table (k=4, two
+    unrolled iterations, seeds = vec_id 0..3) — the IVF codebook trainer
+    (`operators/similarity.ivf_cosine_topk`) as an oracled query.  The
+    scalable Lloyd shape: the centroid table is k×d TINY regardless of
+    corpus size, so assignment is a broadcast cross join + one codegen'd
+    fold per (vector, centroid) — never a shuffle of the corpus — and
+    the update step is posexplode → one map-side-combined aggregation
+    (state = k×d rows), the q70 shape.  Exactness across engines: the
+    distance fold runs left-to-right over dims on both sides (the q24
+    pattern), and centroid updates sum ``floor(v·2^33)`` longs (float32
+    values are dyadic — exact, order-independent under any partitioning)
+    before ONE double division."""
+    from pyspark.sql import Window
+
+    scale = F.lit(8589934592)  # 2^33
+    k, iters = 4, 2
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cluster"), F.col("v").alias("c")
+    )
+    assigned = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist", "v")
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.floor(F.col("val") * scale)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: t["s"].cast("double")
+                / (t["n"] * scale).cast("double"),
+            ).alias("c")
+        )
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+def q76_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed 3-term query — the retrieval
+    scorer a RAG / search pipeline runs after the inverted index.  The
+    idf uses BM25's rational core ``(N - df + 0.5)/(df + 0.5)`` WITHOUT
+    the log wrap: libm ``log`` is not correctly-rounded and differs
+    between the JVM and DuckDB in the last ulp, so the log form is not
+    engine-portable at hash precision (monotone in the rational form, so
+    ranking is unchanged).  Scale shape: corpus stats (N, Σdl, per-term
+    df) reduce to ONE row (map-side combined) broadcast back over the
+    scan; tf/dl are codegen'd column expressions; the per-term partial
+    scores add in fixed term order so the double sum is associativity-
+    stable.  Top-20 by (score desc, doc_id) is TakeOrderedAndProject —
+    no global sort."""
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    terms = ["merge", "scan", "window"]
+    def _tf(word: str):
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda
+        # as (element, index).
+        return F.size(F.filter("_toks", lambda t: t == F.lit(word))).cast(
+            "long"
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = _tokenized_docs(d).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        *[_tf(w).alias(f"tf{j}") for j, w in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{j}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df{j}")
+            for j in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for j in range(len(terms)):
+        tf = F.col(f"tf{j}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"df{j}") + F.lit(0.5)) / (
+            F.col(f"df{j}") + F.lit(0.5)
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + (F.lit(b) * F.col("dl").cast("double"))
+            / (F.col("sum_dl") / F.col("n_docs"))
+        )
+        score = score + idf * ((tf * F.lit(k1 + 1.0)) / norm)
+    ranked = scored.select(
+        "doc_id", "dl", "tf0", "tf1", "tf2", score.alias("score")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 20)
+
+
+def q77_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE / SCD upsert-apply: fold a change batch (updates,
+    inserts, deletes — with multiple versions per key) into the orders
+    snapshot.  The warehouse op the reference's re-validation pipeline
+    sits downstream of: latest-change-per-key is W1's row_number dedup,
+    the apply is ONE full-outer join on the key — at 100 TB the change
+    batch is orders of magnitude smaller than the snapshot, so AQE
+    broadcasts it and the snapshot never shuffles; a partitioned base
+    table additionally prunes to touched partitions.  Money math rides
+    the q01 integer-cents rail (exact under any partitioning).
+    Change batch (deterministic, derived from the base): every 13th key
+    gets price+500 cents (seq 1), every 39th a second update +900 (seq
+    2, must win), every 29th a delete (seq 3, beats both), and every
+    31st key re-inserted at +2,000,000 (seq 1)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    upd1 = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (F.col("price_cents") + 500).alias("price_cents"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 39 == 0).select(
+        "o_orderkey",
+        (F.col("price_cents") + 900).alias("price_cents"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 29 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 31 == 0).select(
+        (F.col("o_orderkey") + 2_000_000).alias("o_orderkey"),
+        F.col("price_cents"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    latest = (
+        changes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = o.alias("b").join(
+        latest.alias("c"), "o_orderkey", "full_outer"
+    )
+    return merged.filter(
+        (F.col("c.op").isNull()) | (F.col("c.op") != "D")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("c.op").isNotNull(), F.col("c.price_cents"))
+        .otherwise(F.col("b.price_cents"))
+        .alias("price_cents"),
+        F.coalesce(F.col("c.op"), F.lit("B")).alias("src"),
+    )
+
+
+def q78_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames over the event stream: per user, the
+    trailing 1-hour event count + value sum and the trailing 15-minute
+    count at every event — the rate-limit / rolling-metrics shape (q60
+    covers ROWS frames; this is the interval-bounded RANGE family).
+    The frame orders by epoch MICROS (a long), so the range bound is
+    numeric and tie rows (same ts) are frame peers in both engines —
+    no tiebreak nondeterminism.  Values sum as ``floor(value·2^20)``
+    longs (double multiply + floor is IEEE-deterministic; the long sum
+    is exact), not raw doubles: a double RANGE sum depends on the
+    engine's sliding-accumulator strategy and is NOT hash-portable.
+    One shuffle on user_id serves all three frames."""
+    from pyspark.sql import Window
+
+    vscale = F.lit(1048576)  # 2^20
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * vscale).alias("val_s"),
+    )
+    hour = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    quarter = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-900_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(hour).cast("long").alias("n_1h"),
+        F.sum("val_s").over(hour).cast("long").alias("sum_val_1h"),
+        F.count(F.lit(1)).over(quarter).cast("long").alias("n_15m"),
+    )
+
+
+def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists for rare BIGRAM terms (document
+    frequency 2..8): term → df + comma-joined sorted doc_id list —
+    the phrase-index build a retrieval pipeline materializes.  Bigrams,
+    not unigrams: the testdata vocabulary is ~31 words that all appear
+    in hundreds of docs, so no unigram is ever rare.  Two-phase so the
+    collect is bounded: document frequencies first (term-space-sized
+    aggregate, map-side combined), THEN a semi-join restricts the
+    posting-list collect to terms whose df is within the cap — the cap
+    is the scale bound; no collect_list ever sees an unbounded group
+    (the df-first + join-back shape of q63/q64).  At 100 TB the frequent
+    tail that would blow a naive collect never reaches the aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    n = F.size("_toks")
+    toks = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.col("_toks")[i - 1],
+                            F.col("_toks")[i],
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    rare = freq.filter((F.col("df") >= 2) & (F.col("df") <= 8))
+    return (
+        toks.join(rare, "token")
+        .groupBy("token")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -1971,4 +2253,9 @@ QUERIES: dict[str, callable] = {
     "q72_incremental_neardup": q72_incremental_neardup,
     "q73_token_budget_sample": q73_token_budget_sample,
     "q74_winnow_fingerprints": q74_winnow_fingerprints,
+    "q75_kmeans_embed": q75_kmeans_embed,
+    "q76_bm25_rank": q76_bm25_rank,
+    "q77_cdc_merge": q77_cdc_merge,
+    "q78_rolling_events": q78_rolling_events,
+    "q79_posting_lists": q79_posting_lists,
 }

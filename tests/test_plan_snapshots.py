@@ -47,8 +47,12 @@ def test_plan_signatures_match_snapshots(spark):
 # Queries where a broadcast cross join is the DESIGN, not a regression:
 # q24's exact top-k broadcasts the (small) query set against the corpus
 # — the corpus is scanned once with no shuffle, which is the right plan;
-# the scale path for corpus×corpus is the LSH/IVF variants.
-_INTENTIONAL_NLJ = {"q24_cosine_topk"}
+# the scale path for corpus×corpus is the LSH/IVF variants.  q75's Lloyd
+# assignment broadcasts the k×d centroid table (tiny regardless of
+# corpus size) against the vectors; q76 broadcasts a ONE-ROW corpus-
+# stats aggregate back over the scan — both are the scalable fan-out,
+# not an accidental quadratic join.
+_INTENTIONAL_NLJ = {"q24_cosine_topk", "q75_kmeans_embed", "q76_bm25_rank"}
 
 
 def test_no_query_plans_a_cartesian_or_nlj(spark):
