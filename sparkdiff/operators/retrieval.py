@@ -1,0 +1,233 @@
+"""Retrieval-index building blocks: k-means codebook training, BM25
+scoring, and bounded posting-list construction.
+
+These are the library forms behind q75/q76/q79 — the operators a user
+composes into an index-build or search pipeline (posting lists → BM25
+candidate scoring → embedding rerank via ``operators/similarity``).
+
+Scale posture (each documented on the function):
+
+- ``kmeans_assign`` is distributed Lloyd: the centroid table is k×d —
+  tiny regardless of corpus size — so assignment is a broadcast fan-out
+  and the update step one map-side-combined aggregation.  This is the
+  IVF coarse-quantizer trainer (`similarity.ivf_cosine_topk` consumes a
+  codebook of exactly this shape).
+- ``bm25_score_expr`` builds ONE codegen'd column expression per query;
+  corpus stats ride a one-row broadcast.  No UDF, no shuffle beyond the
+  stats aggregate.
+- ``posting_lists`` collects lists only AFTER a df-band semi-join, so
+  no aggregation buffer ever holds an unbounded group.
+
+Determinism: every floating-point reduction either folds in a fixed
+order (distance folds, per-term score sums) or rides the dyadic-integer
+rail (centroid updates sum ``floor(v·2^33)`` longs), so results are
+identical under any partitioning and replayable by an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^33 — scales a float32 (≤ 33 fractional bits in the testdata; deeper
+#: inputs quantize identically in every engine) to an EXACT integer.
+DYADIC_SCALE = 8_589_934_592
+
+
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold of (a_i - b_i)^2 — associativity-stable, so
+    the double result is identical in any engine that folds in order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Lloyd: seeds are the k smallest ids,
+    runs ``iters`` assignment/update rounds, returns the final
+    ``(id_col, cluster, dist)`` assignment.
+
+    The per-round shape survives 100 TB: centroids (k×d rows) broadcast
+    against the vector table — the corpus never shuffles for assignment
+    — and the update is posexplode → ONE map-side-combined aggregation
+    whose state is k×d rows.  Centroid sums are dyadic-scaled longs
+    (exact, order-independent); only the final mean divides as double.
+    """
+    e = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed_ids = [
+        r[0] for r in e.select("_id").orderBy("_id").limit(k).collect()
+    ]  # k driver-side ids — bounded by k, never corpus-sized
+    cents = e.filter(F.col("_id").isin(seed_ids)).select(
+        F.col("_id").cast("long").alias("cluster"),
+        F.col("_v").alias("_c"),
+    )
+    # renumber seeds to dense 0..k-1 in id order for a stable contract
+    rank = Window.orderBy("cluster")
+    cents = cents.withColumn(
+        "cluster", (F.row_number().over(rank) - 1).cast("long")
+    )
+    assigned = None
+    for _ in range(iters):
+        rn = F.row_number().over(
+            Window.partitionBy("_id").orderBy("dist", "cluster")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("dist", squared_l2("_v", "_c"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("_id", "cluster", "dist", "_v")
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("_v").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.floor(F.col("val") * DYADIC_SCALE)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: t["s"].cast("double")
+                / (t["n"] * F.lit(DYADIC_SCALE)).cast("double"),
+            ).alias("_c")
+        )
+    return assigned.select(
+        F.col("_id").alias(id_col), "cluster", "dist"
+    )
+
+
+def term_frequency(tokens_col: Column | str, word: str) -> Column:
+    """Occurrences of ``word`` in a token array, as a long.  The lambda
+    must stay unary: ``F.filter`` treats a 2-arg lambda as
+    (element, index)."""
+    return F.size(
+        F.filter(tokens_col, lambda t: t == F.lit(word))
+    ).cast("long")
+
+
+def bm25_corpus_stats(
+    base: DataFrame, n_terms: int, dl_col: str = "dl"
+) -> DataFrame:
+    """One-row corpus aggregate: N, Σdl, and per-term document
+    frequencies over ``tf{j}`` columns.  Map-side combined; broadcast
+    it back over the scan (`F.broadcast`)."""
+    return base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(dl_col).cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{j}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df{j}")
+            for j in range(n_terms)
+        ],
+    )
+
+
+def bm25_score_expr(
+    n_terms: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dl_col: str = "dl",
+) -> Column:
+    """BM25 score over ``tf{j}``/``df{j}``/``n_docs``/``sum_dl``
+    columns, with the RATIONAL idf core ``(N - df + 0.5)/(df + 0.5)``
+    — no ``log``: libm log is not correctly rounded, so the log form
+    differs between engines in the last ulp and is not hash-portable
+    (idf is monotone in the rational form, so ranking is unchanged).
+    Per-term partials add in fixed term order."""
+    score = F.lit(0.0)
+    for j in range(n_terms):
+        tf = F.col(f"tf{j}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"df{j}") + F.lit(0.5)) / (
+            F.col(f"df{j}") + F.lit(0.5)
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + (F.lit(b) * F.col(dl_col).cast("double"))
+            / (F.col("sum_dl") / F.col("n_docs"))
+        )
+        score = score + idf * ((tf * F.lit(k1 + 1.0)) / norm)
+    return score
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "_toks",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Full BM25 ranking for one query: tf/dl projection → one-row
+    stats broadcast → codegen score → top-k (TakeOrderedAndProject —
+    never a global sort)."""
+    base = docs.select(
+        id_col,
+        F.size(tokens_col).cast("long").alias("dl"),
+        *[
+            term_frequency(tokens_col, w).alias(f"tf{j}")
+            for j, w in enumerate(terms)
+        ],
+    )
+    stats = bm25_corpus_stats(base, len(terms))
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "dl",
+        *[f"tf{j}" for j in range(len(terms))],
+        bm25_score_expr(len(terms), k1=k1, b=b).alias("score"),
+    )
+    rank = (
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .cast("int")
+    )
+    return scored.withColumn("rank", rank).filter(F.col("rank") <= top_k)
+
+
+def posting_lists(
+    term_rows: DataFrame,
+    id_col: str = "doc_id",
+    term_col: str = "token",
+    min_df: int = 2,
+    max_df: int = 8,
+) -> DataFrame:
+    """Posting lists for terms whose document frequency lies in
+    [min_df, max_df], from distinct ``(id, term)`` rows.  Two-phase so
+    the collect is bounded: df first (term-space aggregate), then a
+    semi-join restricts the list aggregation to in-band terms — the
+    ``max_df`` cap IS the scale bound; no collect_list ever sees an
+    unbounded group."""
+    freq = term_rows.groupBy(term_col).agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    rare = freq.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    )
+    return (
+        term_rows.join(rare, term_col)
+        .groupBy(term_col)
+        .agg(
+            F.first("df").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list(id_col)), ","
+            ).alias("postings"),
+        )
+    )

@@ -201,3 +201,43 @@ def salted_join(
         *other_only,
     )
     return joined.unionByName(filled)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC MERGE / upsert-apply: fold a change batch (possibly holding
+    several versions per key) into a snapshot.  Latest change per key
+    wins (W1 dedup on ``seq_col`` desc), ``delete_op`` rows drop the
+    key, anything else overrides/inserts; untouched base rows pass
+    through with ``src = 'B'``.
+
+    Output = base columns with change payload columns substituted where
+    a change won, plus ``src`` (the winning op, or 'B').
+
+    Scale: ONE full-outer join on the key.  A change batch is normally
+    orders of magnitude smaller than the snapshot, so AQE broadcasts it
+    and the snapshot side never shuffles; with a partitioned/bucketed
+    base table the join additionally prunes to touched partitions.
+    """
+    latest = dedup_latest(changes, [key], [F.desc(seq_col)])
+    payload = [
+        c for c in base.columns if c != key and c in latest.columns
+    ]
+    merged = base.alias("b").join(latest.alias("c"), key, "full_outer")
+    out = [F.col(key)]
+    for c in payload:
+        out.append(
+            F.when(F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+        )
+    out.append(F.coalesce(F.col(f"c.{op_col}"), F.lit("B")).alias("src"))
+    return merged.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != delete_op)
+    ).select(*out)

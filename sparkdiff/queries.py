@@ -1909,49 +1909,12 @@ def q75_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), and centroid updates sum ``floor(v·2^33)`` longs (float32
     values are dyadic — exact, order-independent under any partitioning)
     before ONE double division."""
-    from pyspark.sql import Window
+    from sparkdiff.operators.retrieval import kmeans_assign
 
-    scale = F.lit(8589934592)  # 2^33
-    k, iters = 4, 2
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").alias("v")
     )
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("long").alias("cluster"), F.col("v").alias("c")
-    )
-    assigned = None
-    for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("dist", dist)
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "dist", "v")
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum(F.floor(F.col("val") * scale)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        cents = sums.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
-                lambda t: t["s"].cast("double")
-                / (t["n"] * scale).cast("double"),
-            ).alias("c")
-        )
-    return assigned.select("vec_id", "cluster", "dist")
+    return kmeans_assign(e, "vec_id", "v", k=4, iters=2)
 
 
 def q76_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1967,55 +1930,16 @@ def q76_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores add in fixed term order so the double sum is associativity-
     stable.  Top-20 by (score desc, doc_id) is TakeOrderedAndProject —
     no global sort."""
-    from pyspark.sql import Window
-
-    k1, b = 1.2, 0.75
-    terms = ["merge", "scan", "window"]
-    def _tf(word: str):
-        # NB: the lambda must be unary — F.filter treats a 2-arg lambda
-        # as (element, index).
-        return F.size(F.filter("_toks", lambda t: t == F.lit(word))).cast(
-            "long"
-        )
+    from sparkdiff.operators.retrieval import bm25_rank
 
     d = load_table(spark, sf_dir, "documents")
-    base = _tokenized_docs(d).select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        *[_tf(w).alias(f"tf{j}") for j, w in enumerate(terms)],
+    return bm25_rank(
+        _tokenized_docs(d),
+        ["merge", "scan", "window"],
+        id_col="doc_id",
+        tokens_col="_toks",
+        top_k=20,
     )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").cast("double").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf{j}") > 0).cast("long"))
-            .cast("double")
-            .alias(f"df{j}")
-            for j in range(len(terms))
-        ],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
-    score = F.lit(0.0)
-    for j in range(len(terms)):
-        tf = F.col(f"tf{j}").cast("double")
-        idf = (F.col("n_docs") - F.col(f"df{j}") + F.lit(0.5)) / (
-            F.col(f"df{j}") + F.lit(0.5)
-        )
-        norm = tf + F.lit(k1) * (
-            F.lit(1.0 - b)
-            + (F.lit(b) * F.col("dl").cast("double"))
-            / (F.col("sum_dl") / F.col("n_docs"))
-        )
-        score = score + idf * ((tf * F.lit(k1 + 1.0)) / norm)
-    ranked = scored.select(
-        "doc_id", "dl", "tf0", "tf1", "tf2", score.alias("score")
-    ).withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .cast("int"),
-    )
-    return ranked.filter(F.col("rank") <= 20)
 
 
 def q77_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,7 +1956,7 @@ def q77_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets price+500 cents (seq 1), every 39th a second update +900 (seq
     2, must win), every 29th a delete (seq 3, beats both), and every
     31st key re-inserted at +2,000,000 (seq 1)."""
-    from pyspark.sql import Window
+    from sparkdiff.operators.workload import cdc_apply
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2065,28 +1989,7 @@ def q77_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("seq"),
     )
     changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
-    latest = (
-        changes.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    merged = o.alias("b").join(
-        latest.alias("c"), "o_orderkey", "full_outer"
-    )
-    return merged.filter(
-        (F.col("c.op").isNull()) | (F.col("c.op") != "D")
-    ).select(
-        "o_orderkey",
-        F.when(F.col("c.op").isNotNull(), F.col("c.price_cents"))
-        .otherwise(F.col("b.price_cents"))
-        .alias("price_cents"),
-        F.coalesce(F.col("c.op"), F.lit("B")).alias("src"),
-    )
+    return cdc_apply(o, changes, "o_orderkey")
 
 
 def q78_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,6 +2044,8 @@ def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scale bound; no collect_list ever sees an unbounded group
     (the df-first + join-back shape of q63/q64).  At 100 TB the frequent
     tail that would blow a naive collect never reaches the aggregation."""
+    from sparkdiff.operators.retrieval import posting_lists
+
     d = load_table(spark, sf_dir, "documents")
     t = _tokenized_docs(d)
     n = F.size("_toks")
@@ -2162,20 +2067,7 @@ def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
-    freq = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    rare = freq.filter((F.col("df") >= 2) & (F.col("df") <= 8))
-    return (
-        toks.join(rare, "token")
-        .groupBy("token")
-        .agg(
-            F.first("df").alias("df"),
-            F.array_join(
-                F.sort_array(F.collect_list("doc_id")), ","
-            ).alias("postings"),
-        )
-    )
+    return posting_lists(toks, "doc_id", "token", min_df=2, max_df=8)
 
 
 QUERIES: dict[str, callable] = {

@@ -1,0 +1,98 @@
+"""Unit tests for the retrieval operator library (kmeans / BM25 /
+posting lists) and the CDC merge operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.retrieval import (
+    bm25_rank,
+    kmeans_assign,
+    posting_lists,
+)
+from sparkdiff.operators.workload import cdc_apply
+
+from .conftest import SF_DIR_SMALL
+
+
+def _vectors(spark):
+    from sparkdiff.session import load_table
+
+    return load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+
+
+def test_kmeans_cost_non_increasing(spark):
+    """Lloyd's invariant: total within-cluster cost never rises with
+    more iterations."""
+    e = _vectors(spark)
+    costs = [
+        kmeans_assign(e, "vec_id", "v", k=4, iters=i)
+        .agg(F.sum("dist"))
+        .collect()[0][0]
+        for i in (1, 2, 3)
+    ]
+    assert costs[0] >= costs[1] >= costs[2]
+
+
+def test_kmeans_deterministic_and_covering(spark):
+    e = _vectors(spark)
+    a = kmeans_assign(e, "vec_id", "v", k=4, iters=2)
+    b = kmeans_assign(e, "vec_id", "v", k=4, iters=2)
+    ra, rb = sorted(a.collect()), sorted(b.collect())
+    assert ra == rb
+    assert len(ra) == e.count()  # every vector assigned exactly once
+    clusters = {r["cluster"] for r in ra}
+    assert clusters <= {0, 1, 2, 3} and len(clusters) >= 2
+
+
+def test_bm25_orders_by_term_frequency(spark):
+    """All else equal (same dl), more hits of a query term => higher
+    rank; a doc with zero hits scores 0."""
+    rows = [
+        (1, ["alpha", "beta", "gamma", "pad"]),
+        (2, ["alpha", "alpha", "beta", "pad"]),
+        (3, ["delta", "pad", "pad", "pad"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, _toks array<string>")
+    out = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_rank(docs, ["alpha", "beta"], top_k=10).collect()
+    }
+    assert out[2][0] > out[1][0] > out[3][0]
+    assert out[2][1] == 1 and out[3][0] == 0.0
+
+
+def test_posting_lists_df_band_and_sorted(spark):
+    rows = [
+        (10, "common"), (11, "common"), (12, "common"), (13, "common"),
+        (20, "pair"), (21, "pair"),
+        (30, "single"),
+    ]
+    tr = spark.createDataFrame(rows, "doc_id long, token string")
+    out = {
+        r["token"]: r
+        for r in posting_lists(tr, max_df=3).collect()
+    }
+    assert set(out) == {"pair"}  # 'common' over cap, 'single' under min
+    assert out["pair"]["df"] == 2
+    assert out["pair"]["postings"] == "20,21"
+
+
+def test_cdc_apply_latest_wins_delete_drops_insert_appears(spark):
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, val long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 111, "U", 1),
+            (1, 122, "U", 2),   # latest wins
+            (2, None, "D", 1),  # delete drops
+            (9, 900, "I", 1),   # insert appears
+        ],
+        "k long, val long, op string, seq int",
+    )
+    out = {r["k"]: (r["val"], r["src"]) for r in
+           cdc_apply(base, changes, "k").collect()}
+    assert out == {1: (122, "U"), 3: (300, "B"), 9: (900, "I")}
