@@ -1728,6 +1728,150 @@ ORACLES["q79_posting_lists"] = """
     GROUP BY t.token
 """
 
+# q80: boilerplate = top-50 bigrams by (df desc, gram asc); per-doc
+# fraction of bigram INSTANCES in the set.
+ORACLES["q80_boilerplate"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END) AS gram
+        FROM t
+    ),
+    top AS (
+        SELECT gram FROM (
+            SELECT gram, row_number() OVER (
+                ORDER BY COUNT(*) DESC, gram ASC) AS rnk
+            FROM g GROUP BY gram
+        ) WHERE rnk <= 50
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN top.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN top.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+    FROM g LEFT JOIN top ON g.gram = top.gram
+    GROUP BY g.doc_id
+"""
+
+# q81: top-2 most-cosine-similar DIFFERENT-label vectors per query —
+# the q24 fold pattern plus the label-inequality join condition.
+ORACLES["q81_hard_negatives"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS qlabel
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS cv,
+               label AS neg_label
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, qlabel, neg_id, neg_label,
+               list_reduce(
+                   list_prepend(0.0, list_transform(
+                       generate_series(1, len(qv)), i -> qv[i] * cv[i])),
+                   (acc, x) -> acc + x) AS d,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(qv, x -> x * x)),
+                   (acc, x) -> acc + x)) AS nq,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(cv, x -> x * x)),
+                   (acc, x) -> acc + x)) AS nc
+        FROM c JOIN q ON c.neg_label <> q.qlabel
+    ),
+    cos AS (
+        SELECT query_id, qlabel, neg_id, neg_label,
+               CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                    ELSE d / (nq * nc) END AS cosine
+        FROM scored
+    )
+    SELECT query_id, qlabel, neg_id, neg_label, cosine, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neg_id ASC) AS INTEGER) AS rank
+        FROM cos
+    ) WHERE rank <= 2
+"""
+
+# q82: distinct (passage-hash, source) pairs, stop-capped at 10
+# sources per passage, then the source-pair shared count.
+ORACLES["q82_cross_source_overlap"] = f"""
+    WITH t AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT DISTINCT source, ph FROM (
+            SELECT source, {_md5_token_hash('ps')} AS ph FROM (
+                SELECT source, unnest(
+                    CASE WHEN len(toks) >= 20
+                         THEN list_transform(
+                                  generate_series(1, len(toks) // 20),
+                                  i -> array_to_string(
+                                      toks[(i-1)*20+1:(i-1)*20+20], ' '))
+                         ELSE [] END) AS ps
+                FROM t
+            )
+        )
+    ),
+    keep AS (
+        SELECT ph FROM (
+            SELECT ph, COUNT(DISTINCT source) AS ns FROM p GROUP BY ph
+        ) WHERE ns BETWEEN 2 AND 10
+    ),
+    pk AS (SELECT p.source, p.ph FROM p JOIN keep USING (ph))
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(DISTINCT a.ph) AS BIGINT) AS n_shared_passages
+    FROM pk a JOIN pk b ON a.ph = b.ph AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+# q83: a distinct 8-gram is novel in the doc where its min(doc_id)
+# lives; per-doc novelty fraction.
+ORACLES["q83_ngram_novelty"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gh FROM (
+            SELECT doc_id, {_md5_token_hash('gm')} AS gh FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(toks) >= 8
+                         THEN list_transform(
+                                  generate_series(1, len(toks) - 7),
+                                  i -> array_to_string(toks[i:i+7], ' '))
+                         ELSE [] END) AS gm
+                FROM t
+            )
+        )
+    ),
+    fs AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN g.doc_id = fs.first_doc THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+    FROM g JOIN fs USING (gh)
+    GROUP BY g.doc_id
+"""
+
 # q74: winnowing — word 5-gram md5 hashes, 4-window minima, rare
 # (2..10 docs) fingerprints only, pairs by shared-count.
 ORACLES["q74_winnow_fingerprints"] = f"""

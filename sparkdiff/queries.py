@@ -1354,16 +1354,18 @@ def q62_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tokenized_docs(d: DataFrame) -> DataFrame:
+def _tokenized_docs(d: DataFrame, extra: tuple = ()) -> DataFrame:
     """THE shared corpus projection: doc_id/text/n_chars plus the
     materialized lowercase token array every corpus-level pass (corpus
     stats, funnel gates, decontamination grams, dedup shingles) derives
     from.  One tokenizer definition -> branches computed from one scan
-    (and, in q68, one cached projection) stay bit-identical."""
+    (and, in q68, one cached projection) stay bit-identical.  ``extra``
+    carries additional source columns (e.g. ``source``) through."""
     return d.select(
         "doc_id",
         "text",
         "n_chars",
+        *extra,
         F.filter(
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
         ).alias("_toks"),
@@ -2070,6 +2072,195 @@ def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posting_lists(toks, "doc_id", "token", min_df=2, max_df=8)
 
 
+def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-fraction cleaning signal (the RefinedWeb/C4-style
+    template-removal precursor): the TOP-50 most frequent word bigrams
+    form the boilerplate set; each doc reports what fraction of its
+    bigram instances are boilerplate.  Top-N, not a df threshold —
+    thresholds drift with corpus size, while the top-N set is bounded
+    BY CONSTRUCTION, which is also the scale story: the set is 50 rows,
+    so the membership join is a guilt-free explicit broadcast (contrast
+    q63/q64, where the unbounded vocabulary must NOT be hinted).
+    Tie-break on (df desc, gram asc) keeps the set deterministic."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    n = F.size("_toks")
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.col("_toks")[i - 1], F.col("_toks")[i]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("df"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rnk") <= 50)
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(top).withColumn("is_bp", F.lit(1)), "gram", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.coalesce(F.sum("is_bp"), F.lit(0)).cast("long").alias("n_boiler"),
+        (
+            F.coalesce(F.sum("is_bp"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("boiler_frac"),
+    )
+
+
+def q81_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 10), the top-2 most-similar vectors with a
+    DIFFERENT label — the negatives that actually teach the margin.
+    Same broadcast shape as q24 (query set broadcast over one corpus
+    scan; the label inequality rides the join condition so same-label
+    pairs never materialize); the 100 TB path swaps the scan for the
+    LSH/IVF candidate generators in `operators/similarity` and keeps
+    this ranking stage unchanged."""
+    from pyspark.sql import Window
+    from sparkdiff.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "qlabel",
+        "neg_id",
+        "neg_label",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neg_id")
+        )
+    )
+    return (
+        pairs.withColumn("rank", rank.cast("int"))
+        .filter(F.col("rank") <= 2)
+    )
+
+
+def q82_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct 20-token passages they share — the dataset-governance
+    report that catches one web source mirroring another before both
+    are sampled into a training mix.  Passages hash to 60-bit longs
+    (q69's rail); the per-(passage, source) projection is distinct-ed
+    BEFORE the pair join, and passages present in > 10 sources are
+    dropped first (same stop-cap argument as q74: the pair fan-out is
+    bounded at 10·9/2 per passage, never quadratic in source count)."""
+    from sparkdiff.operators.dedup import token_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d, extra=("source",)).select("source", "_toks")
+    n = F.size("_toks")
+    n_pass = F.floor(n / 20).cast("int")
+    p = t.select(
+        "source",
+        F.explode(
+            F.when(
+                n >= 20,
+                F.transform(
+                    F.sequence(F.lit(1), n_pass),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), (i - 1) * 20 + 1, 20)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("passage"),
+    ).select("source", token_hash("passage", "md5").alias("ph")).distinct()
+    spread = p.groupBy("ph").agg(
+        F.countDistinct("source").alias("ns")
+    )
+    keep = spread.filter(
+        (F.col("ns") >= 2) & (F.col("ns") <= 10)
+    ).select("ph")
+    pk = p.join(keep, "ph")
+    a = pk.select(F.col("source").alias("source_a"), "ph")
+    b = pk.select(F.col("source").alias("source_b"), "ph")
+    return (
+        a.join(b, "ph")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("ph").cast("long").alias("n_shared_passages"))
+    )
+
+
+def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order novelty: per document, the fraction of its distinct
+    word 8-grams never seen in any EARLIER document (smaller doc_id) —
+    the marginal-information curve that tells a curation team when a
+    source stops adding content.  One gram pass: min(doc_id) per gram
+    is a map-side-combined aggregate, the join back is on the 60-bit
+    gram hash, and a gram is novel exactly when its doc IS the
+    minimum — no per-doc history state, no iteration, identical shape
+    at 100 TB."""
+    from sparkdiff.operators.dedup import token_hash
+
+    K = 8
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    n = F.size("_toks")
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    n >= K,
+                    F.transform(
+                        F.sequence(F.lit(1), n - (K - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_toks"), i, K)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    ).select("doc_id", token_hash("gram", "md5").alias("gh"))
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "gh")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+        (
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_frac"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -2150,4 +2341,8 @@ QUERIES: dict[str, callable] = {
     "q77_cdc_merge": q77_cdc_merge,
     "q78_rolling_events": q78_rolling_events,
     "q79_posting_lists": q79_posting_lists,
+    "q80_boilerplate": q80_boilerplate,
+    "q81_hard_negatives": q81_hard_negatives,
+    "q82_cross_source_overlap": q82_cross_source_overlap,
+    "q83_ngram_novelty": q83_ngram_novelty,
 }

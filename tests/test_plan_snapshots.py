@@ -52,7 +52,15 @@ def test_plan_signatures_match_snapshots(spark):
 # corpus size) against the vectors; q76 broadcasts a ONE-ROW corpus-
 # stats aggregate back over the scan — both are the scalable fan-out,
 # not an accidental quadratic join.
-_INTENTIONAL_NLJ = {"q24_cosine_topk", "q75_kmeans_embed", "q76_bm25_rank"}
+_INTENTIONAL_NLJ = {
+    "q24_cosine_topk",
+    "q75_kmeans_embed",
+    "q76_bm25_rank",
+    # q81 broadcasts the 10-row query set with a label-inequality join
+    # condition — same q24 shape; scale path is the LSH/IVF candidate
+    # generators.
+    "q81_hard_negatives",
+}
 
 
 def test_no_query_plans_a_cartesian_or_nlj(spark):
