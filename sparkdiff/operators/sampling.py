@@ -173,3 +173,43 @@ def shuffle_shards(
     return d.withColumn(
         pos_col, F.row_number().over(w).cast("long")
     ).drop("_h")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    n_per_stratum: int,
+    seed: str = "",
+    rank_col: str = "pick_rank",
+) -> DataFrame:
+    """Exact-quota stratified sampling: the ``n_per_stratum`` rows with
+    the smallest content-hash rank in each stratum — the "equal slices
+    per (lang, source) cell" eval-set builder.
+
+    ``sample``-style fractional sampling cannot promise per-stratum
+    counts; ranking the deterministic md5 variate inside each stratum
+    does, and keeps the picks stable under appends (a new row changes a
+    stratum's sample only if it hash-ranks into the top n).  The window
+    is partitioned by the strata, so the sort is per-stratum parallel —
+    never a global sort; skew = the largest single stratum, which for
+    curation strata (language x source) is bounded by design.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*strata).orderBy(F.col("_h"), F.col(key))
+    return (
+        df.withColumn("_h", h)
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n_per_stratum)
+        .drop("_h")
+    )

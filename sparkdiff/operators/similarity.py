@@ -354,3 +354,167 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Pair dot product as a FLAT left-associated expression tree
+    (``a[0]*b[0] + a[1]*b[1] + …``) for a known dimension.
+
+    Bit-identical to the :func:`dot` fold (the fold's ``0.0 + x`` seed
+    is exact, and both add terms left-to-right), but whole-stage-
+    codegen-able — the :func:`dot` higher-order-function lambda runs
+    interpreted per element, which dominates once an all-pairs stage
+    multiplies the per-row work (see :func:`semdedup`).
+    """
+    out: Column | None = None
+    for i in range(dim):
+        term = a[i] * b[i]
+        out = term if out is None else out + term
+    return out if out is not None else F.lit(0.0)
+
+
+def norm_flat(a: Column, dim: int) -> Column:
+    """Codegen-able twin of :func:`norm` (same left-to-right order)."""
+    return F.sqrt(dot_flat(a, a, dim))
+
+
+def cosine_flat(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-able twin of :func:`cosine` (same guard, same order)."""
+    d = dot_flat(a, b, dim)
+    na, nb = norm_flat(a, dim), norm_flat(b, dim)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        d / (na * nb)
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, compare
+    vectors ONLY within their cluster, and drop every vector that has a
+    near-identical (cosine ≥ ``threshold``) neighbor with a smaller id.
+
+    Returns ``(id_col, cluster, n_near, kept)`` — one row per input
+    vector; ``n_near`` counts smaller-id within-cluster neighbors above
+    the threshold and ``kept`` is 1 iff there are none (the smallest id
+    of each semantic-duplicate group survives, matching the exact-dedup
+    keep-min contract of q19).
+
+    Scale shape: the k-means pass is the bounded Lloyd of
+    ``operators/retrieval.kmeans_assign`` (corpus never shuffles for
+    assignment).  The all-pairs stage is confined to one cluster per
+    pair — the cluster count is the knob that bounds the quadratic term
+    (SemDeDup runs k ≈ 10% of corpus size at production scale, making
+    expected cluster populations O(10)); the pair join itself is a plain
+    equi-join on the cluster id, so it shuffles each vector once.  The
+    cosine is :func:`cosine_flat`, a codegen'd flat tree — the fold
+    form was the hot spot at 3M+ candidate pairs.
+    """
+    from sparkdiff.operators.retrieval import kmeans_assign
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    dim = len(base.select("_v").first()[0])  # one row — bounded probe
+    assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
+        "_id", "cluster"
+    )
+    withv = assigned.join(base, "_id").select("_id", "cluster", "_v")
+    a = withv.select(
+        F.col("cluster"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = withv.select(
+        F.col("cluster"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            cosine_flat(F.col("_va"), F.col("_vb"), dim)
+            >= F.lit(float(threshold))
+        )
+        .groupBy(F.col("_idb").alias("_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return (
+        withv.join(near, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            (F.coalesce(F.col("n_near"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization with an exact,
+    engine-portable error report — the storage-compression step an
+    embedding store applies before ANN indexing (4x smaller, cache-
+    resident codebooks).
+
+    ``code_i = floor(v_i * 127 / amax)`` (amax = per-vector max |v_i|);
+    reconstruction ``code_i * amax / 127``.  Every step is IEEE-754
+    double multiply/divide/floor — correctly rounded and therefore
+    bit-identical across engines — and the per-vector error total sums
+    ``floor(|err_i| * 2^40)`` longs in array order, so the result is
+    hash-stable (a raw double error sum would not be).  Zero vectors
+    quantize to all-zero codes (guard against 0/0 -> NaN).
+
+    Returns ``(id_col, n_dims, max_code, min_code, qerr_s)``.  Purely
+    per-row column expressions: no shuffle, no UDF, identical plan at
+    any scale.
+    """
+    ERR_SCALE = float(1 << 40)
+    base = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    amax = F.array_max(F.transform(F.col("_v"), F.abs))
+    q = base.select(
+        "_id",
+        "_v",
+        amax.alias("_amax"),
+    )
+    codes = F.when(
+        F.col("_amax") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("_amax")),
+        )
+    )
+    c = q.select("_id", "_v", "_amax", codes.alias("_codes"))
+    qerr = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_codes"),
+            lambda x, cd: F.floor(
+                F.abs(x - cd.cast("double") * F.col("_amax") / F.lit(127.0))
+                * F.lit(ERR_SCALE)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return c.select(
+        F.col("_id").alias(id_col),
+        F.size("_v").cast("long").alias("n_dims"),
+        F.array_max("_codes").cast("long").alias("max_code"),
+        F.array_min("_codes").cast("long").alias("min_code"),
+        qerr.cast("long").alias("qerr_s"),
+    )

@@ -1533,7 +1533,20 @@ ORACLES["q73_token_budget_sample"] = """
 # the q24 pattern) and centroid updates sum floor(v*2^33) BIGINTs (the
 # q70 exact-dyadic rail) before one double division, so both engines
 # compute bit-identical assignments.
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+def _kmeans_oracle(
+    k: int = 4,
+    iters: int = 2,
+    base: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    extra_ctes: list[str] | None = None,
+    tail: str | None = None,
+) -> str:
+    """Replay of ``operators/retrieval.kmeans_assign`` as DuckDB CTEs.
+
+    ``base`` supplies the corpus (vec_id, v DOUBLE[]); seeds are the k
+    smallest ids (the WHERE vec_id < k shortcut is valid because every
+    corpus used keeps ids 0..k-1 present).  ``tail`` replaces the final
+    SELECT — the assignment CTE ``a{iters}`` (vec_id, cluster, dist, v)
+    and ``e`` stay in scope for composition (q88's semdedup)."""
     scale = 8589934592  # 2^33
     dist = (
         "list_reduce(list_prepend(0.0, list_transform("
@@ -1541,7 +1554,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
         "(acc, x) -> acc + x)"
     )
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS ({base})",
         f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM e WHERE vec_id < {k})",
     ]
     prev = "c0"
@@ -1579,10 +1592,12 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
             )"""
             )
             prev = f"c{it}"
+    final = tail or f"SELECT vec_id, cluster, dist FROM a{iters}"
     return (
         "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT vec_id, cluster, dist FROM a{iters}"
+        + ",\n    ".join(ctes + (extra_ctes or []))
+        + "\n    "
+        + final
     )
 
 
@@ -1923,3 +1938,196 @@ ORACLES["q74_winnow_fingerprints"] = f"""
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(DISTINCT a.fp) >= 2
 """
+
+
+# q84: weekly retention cohorts — all counting exact longs, one double
+# division; date_trunc('week') is Monday-start in both engines.
+ORACLES["q84_retention_cohorts"] = """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id),
+    c AS (SELECT user_id, cohort_d,
+                 CAST(date_trunc('week', cohort_d) AS DATE) AS cohort_week
+          FROM f),
+    s AS (SELECT cohort_week,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+          FROM c GROUP BY cohort_week),
+    a AS (SELECT c.cohort_week,
+                 CAST(floor(datediff('day', c.cohort_d, e.d) / 7) AS BIGINT)
+                     AS week_offset,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+          FROM e JOIN c USING (user_id)
+          GROUP BY 1, 2)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+    FROM a JOIN s USING (cohort_week)
+"""
+
+# q85: DSIR lexical importance — add-one-smoothed frequency ratios in
+# 2^20 fixed point (log-free: libm log is not hash-portable); // is
+# floor division on DuckDB integers, matching Spark's `div` for the
+# always-positive operands.
+ORACLES["q85_dsir_weights"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+    v AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tf_t,
+               CAST(COUNT(*) AS BIGINT) AS tf_s
+        FROM tok GROUP BY token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM((tf_t + 1) * 1048576 // (tf_s + 1)) AS BIGINT)
+               AS weight_s,
+           CAST(SUM((tf_t + 1) * 1048576 // (tf_s + 1)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_weight
+    FROM tok JOIN v USING (token)
+    GROUP BY doc_id
+"""
+
+# q86: one-pass lineitem profile — min/max aggregated in VALUE space
+# then canonicalized (floor-scaled longs for doubles, second-precision
+# timestamps), mirroring operators/profile.py.
+ORACLES["q86_profile"] = """
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(l_orderkey) AS BIGINT) AS nn1,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+            CAST(MIN(l_orderkey) AS VARCHAR) AS mn1,
+            CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+            CAST(COUNT(l_partkey) AS BIGINT) AS nn2,
+            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd2,
+            CAST(MIN(l_partkey) AS VARCHAR) AS mn2,
+            CAST(MAX(l_partkey) AS VARCHAR) AS mx2,
+            CAST(COUNT(l_quantity) AS BIGINT) AS nn3,
+            CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd3,
+            CAST(CAST(floor(MIN(l_quantity) * 10000) AS BIGINT) AS VARCHAR) AS mn3,
+            CAST(CAST(floor(MAX(l_quantity) * 10000) AS BIGINT) AS VARCHAR) AS mx3,
+            CAST(COUNT(l_extendedprice) AS BIGINT) AS nn4,
+            CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS nd4,
+            CAST(CAST(floor(MIN(l_extendedprice) * 10000) AS BIGINT) AS VARCHAR) AS mn4,
+            CAST(CAST(floor(MAX(l_extendedprice) * 10000) AS BIGINT) AS VARCHAR) AS mx4,
+            CAST(COUNT(l_returnflag) AS BIGINT) AS nn5,
+            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd5,
+            MIN(l_returnflag) AS mn5,
+            MAX(l_returnflag) AS mx5,
+            CAST(COUNT(l_shipdate) AS BIGINT) AS nn6,
+            CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS nd6,
+            strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mn6,
+            strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mx6
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS "column", n_rows, nn1 AS n_nonnull, nd1 AS ndv,
+           mn1 AS min_str, mx1 AS max_str FROM a
+    UNION ALL
+    SELECT 'l_partkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+    UNION ALL
+    SELECT 'l_quantity', n_rows, nn3, nd3, mn3, mx3 FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, nn5, nd5, mn5, mx5 FROM a
+    UNION ALL
+    SELECT 'l_shipdate', n_rows, nn6, nd6, mn6, mx6 FROM a
+"""
+
+# q87: stratified sample — md5 60-bit variate ranked per stratum, the
+# hash construction shared with q54 (property-pinned across engines).
+ORACLES["q87_stratified_sample"] = """
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'),
+                                   1, 15) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, lang, source, pick_rank FROM (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang, source ORDER BY h, doc_id
+               ) AS BIGINT) AS pick_rank
+        FROM d
+    ) WHERE pick_rank <= 3
+"""
+
+# q89: int8 symmetric quantization — floor/abs/divide are IEEE-
+# correctly-rounded (engine-exact); the error total sums scaled longs.
+ORACLES["q89_quantize_int8"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM e),
+    c AS (SELECT vec_id, v, amax,
+                 CASE WHEN amax = 0
+                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(
+                          v, x -> CAST(floor(x * 127.0 / amax) AS BIGINT))
+                 END AS codes
+          FROM q)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(list_max(codes) AS BIGINT) AS max_code,
+           CAST(list_min(codes) AS BIGINT) AS min_code,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(
+                   generate_series(1, len(v)),
+                   i -> CAST(floor(abs(v[i] - CAST(codes[i] AS DOUBLE)
+                                       * amax / 127.0)
+                                   * 1099511627776.0) AS BIGINT))),
+               (acc, x) -> acc + x) AS BIGINT) AS qerr_s
+    FROM c
+"""
+
+# q88: SemDeDup — the q75 Lloyd replay over the q51 perturbed corpus,
+# then within-cluster pairs at cosine >= 0.95 and keep-min verdicts.
+_Q88_COS = (
+    "(list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), "
+    "(acc, x) -> acc + x) / "
+    "(sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), "
+    "(acc, x) -> acc + x)) * "
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), "
+    "(acc, x) -> acc + x))))"
+)
+
+ORACLES["q88_semdedup"] = _kmeans_oracle(
+    k=4,
+    iters=2,
+    base="""
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(
+                   generate_series(1, 64),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (1.0 + 0.01 * CAST(((i - 1) % 7) - 3 AS DOUBLE)))
+                   AS v
+        FROM embeddings WHERE vec_id % 20 = 0
+    """,
+    extra_ctes=[
+        f"""p AS (
+            SELECT b.vec_id AS dup_id
+            FROM a2 a JOIN a2 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_Q88_COS} >= 0.95
+        )""",
+        """n AS (
+            SELECT dup_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_near
+            FROM p GROUP BY dup_id
+        )""",
+    ],
+    tail="""
+    SELECT a2.vec_id, a2.cluster,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+           CAST(CASE WHEN COALESCE(n.n_near, 0) = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS kept
+    FROM a2 LEFT JOIN n USING (vec_id)
+    """,
+)

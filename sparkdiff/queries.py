@@ -2261,6 +2261,178 @@ def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the event stream — the activation/
+    churn report every product warehouse runs: users cohorted by the
+    Monday-start week of their first event, then distinct active users
+    per (cohort, whole-week offset) with the retention fraction against
+    cohort size.  Three aggregations, two shuffle keys: user_id (first-
+    seen min — map-side combined) then (cohort_week, week_offset).  The
+    events->cohort join is a plain equi-join on user_id (AQE broadcasts
+    the first-seen table only while it fits); the per-cell division is
+    the single double op, after all counting is exact longs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    cohort = first.select(
+        "user_id",
+        "cohort_d",
+        F.to_date(F.date_trunc("week", "cohort_d")).alias("cohort_week"),
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").cast("long").alias("cohort_size")
+    )
+    act = (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+    return act.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
+
+
+def q85_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style lexical importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its tokens look
+    like a target domain (here lang='en') relative to the whole corpus,
+    for importance resampling toward the target mixture.  The classic
+    form sums per-token log-probability ratios; libm ``log`` is not
+    correctly rounded (not hash-portable across engines), so the score
+    sums the add-one-smoothed frequency RATIO in fixed point instead:
+    ``floor((tf_target+1) * 2^20 / (tf_corpus+1))`` — monotone in the
+    same per-token evidence, exact integer arithmetic end-to-end, one
+    final double division for the per-token mean.  Shape is the q63/q64
+    corpus-statistics rail: explode -> vocabulary aggregate (map-side
+    combined, NO broadcast hint — vocabulary is unbounded at web scale,
+    AQE decides) -> join back on token -> per-doc rollup."""
+    SCALE = 1 << 20
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokenized_docs(d, extra=("lang",)).select(
+        "doc_id", "lang", F.explode("_toks").alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("tf_t"),
+        F.count(F.lit(1)).alias("tf_s"),
+    )
+    ratio = F.expr(f"((tf_t + 1) * {SCALE}) div (tf_s + 1)")
+    return (
+        toks.select("doc_id", "token")
+        .join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(ratio).cast("long").alias("weight_s"),
+            (
+                F.sum(ratio).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_weight"),
+        )
+    )
+
+
+def q86_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of lineitem (`operators/profile.py`):
+    per column, non-null count, EXACT distinct count, canonicalized
+    min/max — the pre-diff table probe (pk candidates have
+    ndv == n_rows).  Single aggregation; the multi-distinct Expand is
+    the documented cost, with the HLL variant as the no-Expand path at
+    exploratory scale (pinned within rtol in tests, not oracled —
+    sketches are not engine-portable)."""
+    from sparkdiff.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_shipdate",
+        ],
+    )
+
+
+def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: the 3 lowest-hash-ranked documents
+    of every (lang, source) stratum (`operators/sampling.
+    stratified_sample`) — the deterministic eval-slice builder.  The
+    rank window partitions BY the strata, so parallelism is the stratum
+    count and no global sort exists; picks are stable under appends and
+    engine-portable (md5 variate, replayed by the oracle)."""
+    from sparkdiff.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_sample(
+        d, ["lang", "source"], "doc_id", 3, seed=":strat"
+    )
+
+
+def q88_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (`operators/similarity.
+    semdedup`): k-means cells bound the all-pairs comparison, cosine ≥
+    0.95 within a cell marks the larger id a duplicate.  Corpus = the
+    embeddings table plus every 20th vector re-inserted at +100000 with
+    the q51 ±3% deterministic perturbation (cosine ≈ 0.9995 to its
+    original — the planted positives; the natural pair max is 0.52, so
+    the planted set is exactly the expected answer).  The oracle
+    replays Lloyd + the within-cell pair scan bit-for-bit."""
+    from sparkdiff.operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 100_000)
+        .withColumn(
+            "v",
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                * (F.lit(1.0) + F.lit(0.01) * (i % 7 - 3).cast("double")),
+            ),
+        )
+    )
+    corpus = e.unionByName(perturbed)
+    return semdedup(corpus, "vec_id", "v", k=4, iters=2, threshold=0.95)
+
+
+def q89_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector exact error
+    accounting (`operators/similarity.quantize_int8`) — the compression
+    pass an embedding store runs before ANN indexing.  Pure per-row
+    column expressions (floor/abs/divide are IEEE-correctly-rounded and
+    engine-portable; the error total sums scaled longs): no shuffle, no
+    UDF, the plan is a single project at any scale."""
+    from sparkdiff.operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    return quantize_int8(e, "vec_id", "v")
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -2345,4 +2517,10 @@ QUERIES: dict[str, callable] = {
     "q81_hard_negatives": q81_hard_negatives,
     "q82_cross_source_overlap": q82_cross_source_overlap,
     "q83_ngram_novelty": q83_ngram_novelty,
+    "q84_retention_cohorts": q84_retention_cohorts,
+    "q85_dsir_weights": q85_dsir_weights,
+    "q86_profile": q86_profile,
+    "q87_stratified_sample": q87_stratified_sample,
+    "q88_semdedup": q88_semdedup,
+    "q89_quantize_int8": q89_quantize_int8,
 }

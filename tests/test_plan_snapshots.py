@@ -60,6 +60,9 @@ _INTENTIONAL_NLJ = {
     # condition — same q24 shape; scale path is the LSH/IVF candidate
     # generators.
     "q81_hard_negatives",
+    # q88's SemDeDup runs the q75 Lloyd assignment (k×d centroid
+    # broadcast); its pair stage is a plain cluster-id equi-join.
+    "q88_semdedup",
 }
 
 

@@ -1,0 +1,132 @@
+"""Unit pins for the q84–q89 operator family: profiling (exact + HLL
+twin), stratified quotas, SemDeDup planted-duplicate recovery, and int8
+quantization error bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.profile import profile_table
+from sparkdiff.operators.sampling import stratified_sample
+from sparkdiff.operators.similarity import (
+    cosine,
+    cosine_flat,
+    dot,
+    dot_flat,
+    quantize_int8,
+    semdedup,
+)
+from sparkdiff.session import load_table
+
+from .conftest import SF_DIR_SMALL
+
+
+def test_profile_exact_matches_groundtruth(spark):
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    prof = {
+        r["column"]: r.asDict()
+        for r in profile_table(li, ["l_orderkey", "l_quantity"]).collect()
+    }
+    n = li.count()
+    assert prof["l_orderkey"]["n_rows"] == n
+    assert prof["l_orderkey"]["ndv"] == li.select("l_orderkey").distinct().count()
+    assert prof["l_quantity"]["n_nonnull"] == li.filter(
+        F.col("l_quantity").isNotNull()
+    ).count()
+    lo, hi = li.agg(F.min("l_quantity"), F.max("l_quantity")).first()
+    assert prof["l_quantity"]["min_str"] == str(int(lo * 10000))
+    assert prof["l_quantity"]["max_str"] == str(int(hi * 10000))
+
+
+def test_profile_hll_twin_within_rtol(spark):
+    """The no-Expand HLL variant tracks exact ndv within the sketch's
+    documented ~5% relative error (exploratory-scale path)."""
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    exact = {r["column"]: r["ndv"] for r in profile_table(li, cols).collect()}
+    approx = {
+        r["column"]: r["ndv"]
+        for r in profile_table(li, cols, exact_ndv=False).collect()
+    }
+    for c in cols:
+        assert approx[c] == pytest.approx(exact[c], rel=0.1)
+
+
+def test_profile_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (None, 5.0)], "a: long, b: double"
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert prof["a"]["n_rows"] == 3
+    assert prof["a"]["n_nonnull"] == 2
+    assert prof["b"]["ndv"] == 1
+    assert prof["b"]["min_str"] == "50000"
+
+
+def test_stratified_sample_quotas_and_stability(spark):
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    s = stratified_sample(d, ["lang", "source"], "doc_id", 2, seed="x")
+    per = s.groupBy("lang", "source").count()
+    avail = d.groupBy("lang", "source").count().withColumnRenamed(
+        "count", "avail"
+    )
+    merged = per.join(avail, ["lang", "source"]).collect()
+    for r in merged:
+        assert r["count"] == min(2, r["avail"])
+    # partition-invariant picks
+    s2 = stratified_sample(
+        d.repartition(13), ["lang", "source"], "doc_id", 2, seed="x"
+    )
+    assert {r.doc_id for r in s.collect()} == {r.doc_id for r in s2.collect()}
+
+
+def test_dot_flat_bitwise_equals_fold(spark):
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    rows = e.select(
+        (dot(F.col("v"), F.col("v")) == dot_flat(F.col("v"), F.col("v"), 64))
+        .alias("dok"),
+        (
+            cosine(F.col("v"), F.col("v"))
+            == cosine_flat(F.col("v"), F.col("v"), 64)
+        ).alias("cok"),
+    ).collect()
+    assert all(r.dok and r.cok for r in rows)
+
+
+def test_semdedup_recovers_planted_duplicates(spark):
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 50_000)
+    )  # exact copies: cosine 1.0
+    out = semdedup(
+        e.unionByName(planted), "vec_id", "v", k=4, iters=2, threshold=0.99
+    )
+    dropped = {r.vec_id for r in out.filter(F.col("kept") == 0).collect()}
+    expect = {r.vec_id for r in planted.select("vec_id").collect()}
+    # every planted copy shares a cluster with its identical original
+    # (identical vectors can never split), so exactly the copies drop
+    assert dropped == expect
+    assert out.count() == e.count() + len(expect)
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = quantize_int8(e, "vec_id", "v")
+    rows = q.collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert -127 <= r.min_code <= r.max_code <= 127
+        # per-dim error < amax/127 <= 1/127 for unit-ish floats; the
+        # scaled total is bounded by n_dims * 2^40 * (max|v|/127)
+        assert r.qerr_s >= 0
+    # zero vector quantizes to all-zero codes with zero error
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id: long, v: array<double>")
+    rz = quantize_int8(z, "vec_id", "v").first()
+    assert rz.max_code == 0 and rz.min_code == 0 and rz.qerr_s == 0
