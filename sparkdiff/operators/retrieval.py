@@ -231,3 +231,53 @@ def posting_lists(
             ).alias("postings"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine N rankers'
+    top lists by ``score = Σ 1/(k + rank_i)``, the standard hybrid-
+    retrieval merge (BM25 + dense).  Missing entries contribute 0 and
+    surface as rank -1 in the per-ranker columns (not NULL: a nullable
+    int round-trips through Arrow/pandas as float64, which would poison
+    the hash contract).
+
+    Exactness: each reciprocal is one correctly-rounded double division
+    and the terms add in fixed ranker order, so the fused score is
+    bit-identical across engines.  Shape: the inputs are top-k lists
+    (bounded), so the N-way full-outer join is trivially small no matter
+    the corpus size behind the rankers.
+    """
+    fused = None
+    for i, rdf in enumerate(rankings):
+        side = rdf.select(
+            F.col(id_col).alias("_id"),
+            F.col(rank_col).cast("long").alias(f"r{i}"),
+        )
+        fused = side if fused is None else fused.join(side, "_id", "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rrf", score)
+        .select(
+            F.col("_id").alias(id_col),
+            *[
+                F.coalesce(F.col(f"r{i}"), F.lit(-1)).cast("long").alias(f"r{i}")
+                for i in range(len(rankings))
+            ],
+            "rrf",
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= top_k)
+    )

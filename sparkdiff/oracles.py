@@ -1607,7 +1607,7 @@ ORACLES["q75_kmeans_embed"] = _kmeans_oracle()
 # q76: BM25 with the rational idf core (no log — libm log is not
 # correctly rounded, so the log form is not hash-portable); per-term
 # partial scores added in fixed term order.
-def _bm25_oracle() -> str:
+def _bm25_oracle(top_k: int = 20) -> str:
     terms = ["merge", "scan", "window"]
     k1, b = 1.2, 0.75
     toks = (
@@ -1647,7 +1647,7 @@ def _bm25_oracle() -> str:
         SELECT *, CAST(row_number() OVER (
             ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
         FROM scored
-    ) WHERE rank <= 20
+    ) WHERE rank <= {top_k}
 """
 
 
@@ -2131,3 +2131,179 @@ ORACLES["q88_semdedup"] = _kmeans_oracle(
     FROM a2 LEFT JOIN n USING (vec_id)
     """,
 )
+
+
+# q90: fixed-point PageRank over the part<->supplier graph — integer
+# divisions and long sums only (// is floor division, matching Spark's
+# `div` on the always-positive rank mass), so both engines compute the
+# identical rank vector.
+ORACLES["q90_pagerank"] = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem
+    ),
+    e AS (
+        SELECT src, dst FROM ps
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ps
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    i0 AS (
+        SELECT src AS node, deg,
+               1125899906842624 // n AS base,
+               1125899906842624 // n AS rank_s
+        FROM deg CROSS JOIN nn
+    ),
+    c1 AS (
+        SELECT e.dst AS node, SUM(i0.rank_s // i0.deg) AS s
+        FROM e JOIN i0 ON e.src = i0.node GROUP BY e.dst
+    ),
+    i1 AS (
+        SELECT i0.node, i0.deg, i0.base,
+               (3 * i0.base) // 20 + (17 * COALESCE(c1.s, 0)) // 20 AS rank_s
+        FROM i0 LEFT JOIN c1 USING (node)
+    ),
+    c2 AS (
+        SELECT e.dst AS node, SUM(i1.rank_s // i1.deg) AS s
+        FROM e JOIN i1 ON e.src = i1.node GROUP BY e.dst
+    ),
+    i2 AS (
+        SELECT i1.node, i1.deg, i1.base,
+               (3 * i1.base) // 20 + (17 * COALESCE(c2.s, 0)) // 20 AS rank_s
+        FROM i1 LEFT JOIN c2 USING (node)
+    )
+    SELECT node, CAST(node % 2 AS INTEGER) AS is_supplier, deg,
+           CAST(rank_s AS BIGINT) AS rank_s
+    FROM i2
+    ORDER BY rank_s DESC, node ASC
+    LIMIT 20
+"""
+
+# q91: ordered view->click->purchase funnel; strict-after semantics at
+# each stage, the 3-row report normalizes via MAX() OVER ().
+ORACLES["q91_event_funnel"] = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    )
+    SELECT stage, n_users,
+           CAST(n_users AS DOUBLE) / CAST(MAX(n_users) OVER () AS DOUBLE)
+               AS conversion
+    FROM s
+"""
+
+# q92: Gini token diversity — exact long moments, one double division.
+ORACLES["q92_token_gini"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_toks,
+           CAST(SUM(tf * tf) AS BIGINT) AS sum_sq,
+           1.0 - CAST(SUM(tf * tf) AS DOUBLE)
+                 / CAST(SUM(tf) * SUM(tf) AS DOUBLE) AS gini
+    FROM tf GROUP BY doc_id
+"""
+
+# q93: reciprocal-rank fusion of the q76 BM25 top-50 and a raw term-
+# frequency top-50; reciprocals in fixed ranker order, missing -> -1.
+ORACLES["q93_rrf_fusion"] = f"""
+    WITH bm AS (
+        SELECT doc_id, CAST(rank AS BIGINT) AS rr0
+        FROM ({_bm25_oracle(top_k=50)})
+    ),
+    t2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    lexs AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, t -> t = 'merge'))
+                    + len(list_filter(toks, t -> t = 'scan'))
+                    + len(list_filter(toks, t -> t = 'window'))
+                    AS BIGINT) AS score
+        FROM t2
+    ),
+    lex AS (
+        SELECT doc_id, rr1 FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rr1
+            FROM lexs
+        ) WHERE rr1 <= 50
+    ),
+    f AS (
+        SELECT COALESCE(bm.doc_id, lex.doc_id) AS doc_id, bm.rr0, lex.rr1
+        FROM bm FULL OUTER JOIN lex ON bm.doc_id = lex.doc_id
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(COALESCE(rr0, -1) AS BIGINT) AS r0,
+               CAST(COALESCE(rr1, -1) AS BIGINT) AS r1,
+               (CASE WHEN rr0 IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(rr0 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN rr1 IS NOT NULL
+                       THEN 1.0 / (60.0 + CAST(rr1 AS DOUBLE)) ELSE 0.0 END)
+                   AS rrf
+        FROM f
+    )
+    SELECT doc_id, r0, r1, rrf, fused_rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+        FROM sc
+    ) WHERE fused_rank <= 20
+"""
+
+# q94: per-type z-score outliers — 2^10 fixed-point moments summed in
+# DECIMAL(38,0) (overflow-safe, exact), one fixed double expression for
+# mean/var/z on both engines.
+ORACLES["q94_value_zscores"] = """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1024) AS BIGINT) AS vs
+        FROM events
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(vs AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(vs * vs AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM e GROUP BY event_type
+    )
+    SELECT event_id, event_type,
+           (CAST(vs AS DOUBLE) - s1 / n)
+               / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+    FROM e JOIN st USING (event_type)
+    WHERE abs((CAST(vs AS DOUBLE) - s1 / n)
+              / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3.0
+"""

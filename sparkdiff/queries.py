@@ -2433,6 +2433,189 @@ def q89_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(e, "vec_id", "v")
 
 
+def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part↔supplier relationship graph
+    (`operators/graph.pagerank`): distinct (partkey, suppkey) pairs from
+    lineitem as undirected edges (both directions), two damped rounds,
+    top-20 nodes.  The curation analogue: centrality as a document/
+    entity quality prior.  Rank mass is fixed-point longs with rational
+    damping (17/20) — bit-exact under any partitioning, replayed by the
+    SQL oracle; per round one map-side-combined shuffle + one equi-join,
+    the Pregel shape at any scale.  Node ids: part = 2·partkey,
+    supplier = 2·suppkey+1."""
+    from sparkdiff.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = ps.unionAll(
+        ps.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    r = pagerank(edges, iters=2)
+    return (
+        r.select(
+            "node",
+            (F.col("node") % 2).cast("int").alias("is_supplier"),
+            "deg",
+            "rank_s",
+        )
+        .orderBy(F.desc("rank_s"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def q91_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user the
+    first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click; report users-reaching-stage and
+    the conversion fraction — the product-analytics query every event
+    warehouse runs.  Each stage is one filtered min-aggregate on
+    user_id plus an equi-join to the previous stage (AQE broadcasts the
+    shrinking stage tables); counts are exact longs, the fraction one
+    double division.  The 3-row stage report normalizes via a window
+    over itself — bounded by the funnel depth, never data-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit("3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return stages.select(
+        "stage",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.max("n_users").over(w).cast("double")
+        ).alias("conversion"),
+    )
+
+
+def q92_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-diversity (Gini-impurity) score per document:
+    ``1 - Σ tf² / n²`` over the doc's token distribution — the log-free
+    twin of token entropy (libm log is not hash-portable; the Gini form
+    is rational) and the diversity complement to q55's repetition
+    ratios.  Both Σtf² and n are exact longs from one explode +
+    two-level aggregation; the only double op is the final division."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        _tokenized_docs(d)
+        .select("doc_id", F.explode("_toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_toks"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_sq"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("tf") * F.col("tf")).cast("double")
+            / (F.sum("tf") * F.sum("tf")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (`operators/retrieval.rrf_fuse`):
+    BM25 top-50 (q76's scorer) fused with a raw term-frequency top-50
+    for the same 3-term query via reciprocal-rank fusion
+    ``Σ 1/(60+rank)`` — the standard lexical+second-signal merge.  The
+    fusion join runs on two BOUNDED top-k lists, so the full-outer join
+    and the final 100-row-max rank window cost nothing regardless of
+    corpus size; each reciprocal is one correctly-rounded division and
+    terms add in fixed ranker order (hash-portable)."""
+    from pyspark.sql import Window
+
+    from sparkdiff.operators.retrieval import bm25_rank, rrf_fuse, term_frequency
+
+    terms = ["merge", "scan", "window"]
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    bm = bm25_rank(t, terms, top_k=50).select("doc_id", "rank")
+    lex_scored = t.select(
+        "doc_id",
+        sum(
+            [term_frequency("_toks", w) for w in terms], F.lit(0).cast("long")
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lex_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([bm, lex], top_k=20)
+
+
+def q94_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3) over event values —
+    the numeric anomaly screen of a data-quality pipeline.  Exactness
+    rail: values quantize to ``floor(v·2^10)`` longs; per-type moment
+    sums run in DECIMAL(38,0) (overflow-safe at any row count, exact in
+    both engines); mean/variance/z then evaluate in one fixed double
+    expression order, so the flagged set is hash-identical.  One
+    aggregation + one equi-join back (AQE broadcasts the 5-row stats
+    table); never a window over the full stream."""
+    VS = 1024  # 2^10
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * VS).alias("vs"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("vs").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("vs") * F.col("vs")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("vs").cast("double") - mean) / F.sqrt(var)
+    return (
+        e.join(stats, "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -2523,4 +2706,9 @@ QUERIES: dict[str, callable] = {
     "q87_stratified_sample": q87_stratified_sample,
     "q88_semdedup": q88_semdedup,
     "q89_quantize_int8": q89_quantize_int8,
+    "q90_pagerank": q90_pagerank,
+    "q91_event_funnel": q91_event_funnel,
+    "q92_token_gini": q92_token_gini,
+    "q93_rrf_fusion": q93_rrf_fusion,
+    "q94_value_zscores": q94_value_zscores,
 }

@@ -1,0 +1,58 @@
+"""Unit pins for fixed-point PageRank and reciprocal-rank fusion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.graph import MASS, pagerank
+from sparkdiff.operators.retrieval import rrf_fuse
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def test_pagerank_star_center_dominates(spark):
+    # undirected star 0-1, 0-2, 0-3: the hub must outrank the leaves,
+    # leaves tie exactly (same integer arithmetic).
+    pairs = []
+    for leaf in (1, 2, 3):
+        pairs += [(0, leaf), (leaf, 0)]
+    r = {row.node: row.rank_s for row in pagerank(_edges(spark, pairs), 2).collect()}
+    assert r[0] > r[1]
+    assert r[1] == r[2] == r[3]
+
+
+def test_pagerank_mass_roughly_conserved(spark):
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)]
+    out = pagerank(_edges(spark, pairs), 3)
+    total = out.agg(F.sum("rank_s")).first()[0]
+    # integer floor losses only: within 0.1% of the full mass
+    assert total == pytest.approx(MASS, rel=1e-3)
+
+
+def test_pagerank_partition_invariant(spark):
+    pairs = [(i % 7, (i * 3) % 7) for i in range(40)] + [
+        ((i * 3) % 7, i % 7) for i in range(40)
+    ]
+    e = _edges(spark, pairs).distinct()
+    a = {r.node: r.rank_s for r in pagerank(e, 2).collect()}
+    b = {r.node: r.rank_s for r in pagerank(e.repartition(13), 2).collect()}
+    assert a == b
+
+
+def test_rrf_fuse_orders_by_summed_reciprocals(spark):
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id: long, rank: long"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id: long, rank: long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], top_k=10).collect()}
+    # 10 and 20 have symmetric (1,2)/(2,1) ranks: identical rrf, the
+    # smaller doc_id wins the tiebreak
+    assert out[10].rrf == out[20].rrf
+    assert out[10].fused_rank == 1 and out[20].fused_rank == 2
+    # single-list docs carry -1 for the missing ranker and score less
+    assert out[30].r1 == -1 and out[40].r0 == -1
+    assert out[30].rrf == pytest.approx(1.0 / 63.0)
+    assert set(out) == {10, 20, 30, 40}

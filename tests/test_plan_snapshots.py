@@ -63,6 +63,11 @@ _INTENTIONAL_NLJ = {
     # q88's SemDeDup runs the q75 Lloyd assignment (k×d centroid
     # broadcast); its pair stage is a plain cluster-id equi-join.
     "q88_semdedup",
+    # q90 broadcasts a ONE-ROW node-count aggregate over the rank table
+    # (the q76 stats shape) so N stays in-plan without a driver collect.
+    "q90_pagerank",
+    # q93 embeds q76's BM25 scorer (one-row stats broadcast).
+    "q93_rrf_fusion",
 }
 
 
