@@ -2307,3 +2307,54 @@ ORACLES["q94_value_zscores"] = """
     WHERE abs((CAST(vs AS DOUBLE) - s1 / n)
               / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3.0
 """
+
+
+# q95: self-trained bigram LM fluency — parallel unnests zip in DuckDB,
+# so w1/gram stay aligned; all-integer ratios until the final mean.
+ORACLES["q95_lm_score"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS gram
+        FROM t WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY gram),
+    cp AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cp FROM bi GROUP BY w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((cb * 1048576) // cp) AS BIGINT) AS score_s,
+           CAST(SUM((cb * 1048576) // cp) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS lm_score
+    FROM bi JOIN cb USING (gram) JOIN cp USING (w1)
+    GROUP BY doc_id
+"""
+
+# q96: top-10 3-step event paths — lead pair over (ts, event_id) order.
+ORACLES["q96_event_paths"] = """
+    WITH p AS (
+        SELECT user_id,
+               event_type AS s1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        FROM events
+    )
+    SELECT s1 || '>' || s2 || '>' || s3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p
+    WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+"""

@@ -2616,6 +2616,98 @@ def q94_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    KenLM-perplexity filtering step of CCNet-style curation (Wenzek et
+    al. 2020), self-trained on the corpus and made engine-exact: the
+    usual mean log-probability is replaced by the mean SCALED
+    conditional probability ``floor(c(w1,w2) · 2^20 / c_prefix(w1))``
+    (monotone per-bigram evidence, exact integer arithmetic; libm log
+    is not hash-portable).  Shape: one bigram explode feeds BOTH count
+    tables (bigram and prefix — map-side-combined aggregates), each
+    joined back on its key with no broadcast hint (bigram vocabulary is
+    unbounded at web scale; AQE decides).  Low scores = improbable
+    token transitions = the gibberish/boilerplate tail a curation
+    pipeline drops."""
+    SCALE = 1 << 20
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    n = F.size("_toks")
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.col("_toks")[i - 1].alias("w1"),
+                        F.concat_ws(
+                            " ", F.col("_toks")[i - 1], F.col("_toks")[i]
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,gram:string>>")
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.gram").alias("gram"))
+    cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+    cp = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    ratio = F.expr(f"(cb * {SCALE}) div cp")
+    return (
+        bi.join(cb, "gram")
+        .join(cp, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(ratio).cast("long").alias("score_s"),
+            (
+                F.sum(ratio).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("lm_score"),
+        )
+    )
+
+
+def q96_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top-10 most common 3-step event
+    sequences (per user, ordered by ts with event_id tiebreak) with
+    occurrence and distinct-user counts — the "what do users actually
+    do" companion to q91's fixed funnel.  One window (single shuffle on
+    user_id) produces the two leads; the trigram aggregate is map-side
+    combined and the top-10 is TakeOrderedAndProject over a
+    path-vocabulary-sized table (|event_types|³ max), never a global
+    sort of the stream."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "s1", "s2", "s3").alias("path"),
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -2711,4 +2803,6 @@ QUERIES: dict[str, callable] = {
     "q92_token_gini": q92_token_gini,
     "q93_rrf_fusion": q93_rrf_fusion,
     "q94_value_zscores": q94_value_zscores,
+    "q95_lm_score": q95_lm_score,
+    "q96_event_paths": q96_event_paths,
 }
