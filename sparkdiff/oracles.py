@@ -2358,3 +2358,211 @@ ORACLES["q96_event_paths"] = """
     ORDER BY n DESC, path ASC
     LIMIT 10
 """
+
+
+# q97: blocked fuzzy name match — block on the last token, refine with
+# levenshtein (unit-cost edit distance, identical in both engines).
+ORACLES["q97_fuzzy_name_match"] = """
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    ),
+    blk AS (
+        SELECT p_name, n_parts,
+               string_split(p_name, ' ')[-1] AS b
+        FROM names
+    )
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS lev,
+           a.n_parts AS n_a, c.n_parts AS n_b
+    FROM blk a JOIN blk c ON a.b = c.b AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 4
+"""
+
+# q98: sweep-line peak concurrency — q29 sessionization, +1/-1 minute
+# deltas, running sum over the bounded minute-bucket table.
+ORACLES["q98_peak_concurrency"] = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > 30 * 60 * 1000
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events
+    ),
+    sessed AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, sid, MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM sessed GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT m, SUM(d) AS delta FROM (
+            SELECT date_trunc('minute', t_start) AS m, 1 AS d FROM sess
+            UNION ALL
+            SELECT date_trunc('minute', t_end) + INTERVAL 1 MINUTE AS m,
+                   -1 AS d
+            FROM sess
+        ) GROUP BY m
+    )
+    SELECT m,
+           CAST(SUM(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS concurrent
+    FROM deltas
+    ORDER BY concurrent DESC, m ASC
+    LIMIT 10
+"""
+
+# q99: hourly LOCF gap-fill — per-user hour series via generate_series,
+# latest-in-hour representative, last_value IGNORE NULLS fill.
+ORACLES["q99_gapfill_locf"] = """
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 5 = 0
+    ),
+    obs AS (
+        SELECT user_id, h, value FROM (
+            SELECT user_id, h, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, h
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs
+        GROUP BY user_id
+    ),
+    series AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    )
+    SELECT s.user_id, s.h,
+           last_value(o.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+               ROWS UNBOUNDED PRECEDING) AS value_filled,
+           o.value IS NOT NULL AS is_observed
+    FROM series s
+    LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+"""
+
+# q100: positional phrase search — count adjacent ("hash","value")
+# token pairs per doc via 1-based list indexing (q95 idiom).
+ORACLES["q100_phrase_search"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(generate_series(1, len(toks) - 1),
+                    i -> toks[i] = 'hash' AND toks[i + 1] = 'value'))
+                AS BIGINT) AS n_hits
+    FROM t
+    WHERE len(toks) >= 2
+      AND len(list_filter(generate_series(1, len(toks) - 1),
+              i -> toks[i] = 'hash' AND toks[i + 1] = 'value')) > 0
+    ORDER BY n_hits DESC, doc_id ASC
+    LIMIT 20
+"""
+
+# q101: SCD2 intervals — change-row filter then lead for valid_to.
+ORACLES["q101_scd2_history"] = """
+    WITH changed AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changed
+"""
+
+# q102: degree-ordered triangle counting on the w>=2 co-purchase graph;
+# (deg,id) tuple comparisons orient edges exactly as the Spark structs.
+ORACLES["q102_triangle_count"] = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+        SELECT u, v FROM (
+            SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        ) WHERE w >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+                    THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+                    THEN dv.deg ELSE du.deg END AS deg_dst
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+        SELECT o1.dst AS wu, o2.dst AS wv
+        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+        WHERE (o1.deg_dst, o1.dst) < (o2.deg_dst, o2.dst)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM wedges w JOIN oriented o
+              ON o.src = w.wu AND o.dst = w.wv) AS n_triangles
+"""
+
+# q103: MAD outliers — interpolated medians on 1024-scaled integers
+# (quantile_cont == Spark percentile interpolation), doubled deviations
+# stay integral, flag dev2 > 3*mad2 in exact arithmetic.
+ORACLES["q103_mad_outliers"] = """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1024) AS BIGINT) AS vs
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(vs, 0.5) AS med
+        FROM e GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.vs,
+               abs(e.vs * 2 - CAST(m.med * 2 AS BIGINT)) AS dev2
+        FROM e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.vs, d.dev2, m.mad2
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE CAST(d.dev2 AS DOUBLE) > 3 * m.mad2
+"""

@@ -2708,6 +2708,338 @@ def q96_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join over the part-name
+    vocabulary: candidate pairs share a blocking key (the name's last
+    token — the noun) and are refined by edit distance ≤ 4, the classic
+    blocking→refine shape that replaces the quadratic all-pairs
+    comparison every naive record-linkage does.  The self-join runs on
+    the DISTINCT name vocabulary (bounded, ≪ corpus) with part counts
+    joined back as match weights; at 100 TB the block key caps each
+    candidate set at block size and `levenshtein` runs only inside
+    blocks — never across them."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("_blk"),
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "_blk",
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        "_blk",
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+            "n_a",
+            "n_b",
+        )
+        .filter(F.col("lev") <= 4)
+    )
+
+
+def q98_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: how many 30-min-gap sessions (q29
+    semantics) are simultaneously open, per minute — the top-10 busiest
+    minutes.  The scale shape is the interval-counting classic done
+    right: sessions emit +1/-1 boundary deltas, deltas aggregate onto
+    minute buckets (map-side combined; the shuffle carries one row per
+    DISTINCT minute, never one per event), and the running sum orders a
+    table bounded by the time range in minutes — a year is 526k rows —
+    not by the event stream."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        e.select("user_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    starts = sess.select(
+        F.date_trunc("minute", "t_start").alias("m"), F.lit(1).alias("d")
+    )
+    ends = sess.select(
+        (F.date_trunc("minute", "t_end") + F.expr("INTERVAL 1 MINUTE")).alias(
+            "m"
+        ),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        starts.unionAll(ends).groupBy("m").agg(F.sum("d").alias("delta"))
+    )
+    conc = deltas.select(
+        "m",
+        F.sum("delta")
+        .over(
+            Window.orderBy("m").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("concurrent"),
+    )
+    return conc.orderBy(F.desc("concurrent"), F.asc("m")).limit(10)
+
+
+def q99_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward: an
+    hourly purchase-value panel per user (a 1-in-5 user sample keeps
+    the panel honest without exploding it), missing hours filled from
+    the user's most recent observation.  `sequence()` generates each
+    user's own hour span (bounded by span, not by events), the
+    observation join is per (user, hour), and the LOCF window is
+    partitioned per user — every stage parallelizes on user_id.  The
+    within-hour representative is the LATEST event ((ts, event_id)
+    row_number), pinned so both engines pick the same row."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "h").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    obs = (
+        e.select("user_id", "h", "value", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    series = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    filled = series.join(obs, ["user_id", "h"], "left")
+    w = Window.partitionBy("user_id").orderBy("h")
+    return filled.select(
+        "user_id",
+        "h",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )
+
+
+def q100_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the distributed inverted index:
+    documents containing the exact phrase "hash value", ranked by hit
+    count — the positional-postings extension of q79's posting lists.
+    Both term filters push down BEFORE the position join, so the join
+    touches only the two terms' postings (each ≪ corpus); adjacency is
+    an equi-join on (doc_id, pos+1).  Top-20 is TakeOrderedAndProject
+    over the matched docs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    pos = t.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "w")
+    )
+    left = pos.filter(F.col("w") == "hash").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    right = pos.filter(F.col("w") == "value").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    hits = left.join(
+        right,
+        (left["doc_id"] == right["doc_id"])
+        & (right["p2"] == left["p1"] + 1),
+    ).select(left["doc_id"].alias("doc_id"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q101_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 history build from a change stream: collapse each
+    user's event sequence into state-validity intervals — a row per
+    state CHANGE with ``valid_from`` / ``valid_to`` (NULL = current) —
+    the slowly-changing-dimension reconstruction every warehouse runs
+    over CDC feeds (the interval twin of q77's snapshot merge).  Two
+    windows over the same (user_id | ts, event_id) spec → one shuffle;
+    the change filter drops repeat states before the lead, so the
+    second window sorts only the survivors."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("_prev"),
+        )
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("_prev") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+def q102_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts appearing in the
+    same order ≥ 2 times), via DEGREE-ORDERED edge orientation — the
+    compact-forward algorithm that makes distributed triangle counting
+    survive power-law graphs: every edge points from its lower-(deg,id)
+    endpoint to the higher, so each wedge is enumerated exactly once at
+    its lowest-degree apex and the per-node fan-out is capped at
+    O(√m) instead of max-degree.  Wedge generation and the closing-edge
+    check are plain equi-joins; the (deg,id) tuple order is a struct
+    comparison both engines share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = lp.select("ok", F.col("pk").alias("u"))
+    b = lp.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("deg_v")
+    )
+    ed = edges.join(du, "u").join(dv, "v")
+    ku = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
+    oriented = ed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ku < kv, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "deg_dst"
+        ),
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("c"), F.col("deg_dst").alias("deg_c")
+    )
+    wedges = (
+        o1.join(o2, "src")
+        .filter(
+            F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
+            < F.struct(F.col("deg_c").alias("d"), F.col("c").alias("i"))
+        )
+        .select(F.col("b").alias("wu"), F.col("c").alias("wv"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("wu"), F.col("dst").alias("wv")
+    )
+    tri = wedges.join(closing, ["wu", "wv"])
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(
+            wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+        )
+        .crossJoin(
+            tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    )
+
+
+def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe twin of q94's z-scores (one wild value corrupts a
+    mean + stddev; the median pair shrugs it off).  Values are
+    integer-scaled (×1024) so both medians interpolate on exact
+    integers (…0 or …5 halves — exact in doubles), and deviations are
+    kept DOUBLED (``|2·vs − 2·med|``) so they stay integral; the flag
+    is ``dev2 > 3·mad2`` in exact arithmetic.  Both medians use the
+    scale-safe distribution method (`operators/quantiles.py`): the
+    shuffle carries distinct values per event_type, never the raw
+    stream."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1024).cast("long").alias("vs"),
+    )
+    med = grouped_quantiles(
+        e, ["event_type"], [("med", "vs", 0.5)]
+    ).select("event_type", "med")
+    dev = e.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "vs",
+        F.abs(
+            F.col("vs") * 2 - (F.col("med") * 2).cast("long")
+        ).alias("dev2"),
+    )
+    mad = grouped_quantiles(
+        dev, ["event_type"], [("mad2", "dev2", 0.5)]
+    ).select("event_type", "mad2")
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("dev2").cast("double") > 3 * F.col("mad2"))
+        .select("event_id", "event_type", "vs", "dev2", "mad2")
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -2805,4 +3137,11 @@ QUERIES: dict[str, callable] = {
     "q94_value_zscores": q94_value_zscores,
     "q95_lm_score": q95_lm_score,
     "q96_event_paths": q96_event_paths,
+    "q97_fuzzy_name_match": q97_fuzzy_name_match,
+    "q98_peak_concurrency": q98_peak_concurrency,
+    "q99_gapfill_locf": q99_gapfill_locf,
+    "q100_phrase_search": q100_phrase_search,
+    "q101_scd2_history": q101_scd2_history,
+    "q102_triangle_count": q102_triangle_count,
+    "q103_mad_outliers": q103_mad_outliers,
 }

@@ -28,6 +28,7 @@ SENSITIVE = [
     "q75_kmeans_embed",
     "q76_bm25_rank",
     "q78_rolling_events",
+    "q103_mad_outliers",
 ]
 
 

@@ -68,6 +68,11 @@ _INTENTIONAL_NLJ = {
     "q90_pagerank",
     # q93 embeds q76's BM25 scorer (one-row stats broadcast).
     "q93_rrf_fusion",
+    # q102's summary row cross-joins four ONE-ROW aggregates
+    # (n_nodes × n_edges × n_wedges × n_triangles) — bounded 1×1 NLJs;
+    # the graph work itself (edges, wedges, closing check) is all
+    # equi-joins.
+    "q102_triangle_count",
 }
 
 
