@@ -8,14 +8,19 @@ count, and canonicalized min/max — the statistics a re-validation
 pipeline uses to pick join keys (ndv == row count -> candidate pk) and
 to sanity-check a pair before diffing.
 
-Scale notes: all metrics come from a single ``agg`` pass.  Multiple
-exact COUNT(DISTINCT) in one aggregate makes Catalyst plan an Expand
-(one duplicated stream per distinct column) — row volume multiplies by
-the number of profiled columns, but each stream carries ONLY its one
-column (column pruning keeps the expand narrow), partial aggregation
-still combines map-side, and there is exactly one shuffle.  For wide
-exploratory profiling at 100 TB swap ``exact_ndv=False`` to use
-HyperLogLog (``approx_count_distinct``) — no Expand at all; the approx
+Scale notes: non-null/min/max come from ONE no-distinct aggregation
+pass; each exact NDV is its OWN single-distinct aggregate (map-side
+partial dedup, narrowest possible shuffle: one column's distinct
+values), unioned to a (column, ndv) table and broadcast-joined back to
+the stacked base profile.  This deliberately avoids the single-agg
+multi-COUNT(DISTINCT) form: Catalyst plans that as an Expand that
+multiplies the row stream by the number of profiled columns and funnels
+all of them through one aggregate pipeline — measured 11-16 s vs 4.5 s
+for the split shape on 600k rows × 6 columns, and the gap widens with
+width.  Columnar parquet means the per-column jobs re-read only their
+own column, so total I/O matches the fused pass.  For wide exploratory
+profiling at 100 TB swap ``exact_ndv=False`` to use HyperLogLog
+(``approx_count_distinct``) — one pass, no per-column jobs; the approx
 variant is pinned within rtol in tests but is NOT the oracle path
 (sketches are not engine-portable).
 
@@ -61,29 +66,51 @@ def profile_table(
                 dtypes[c], (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
             )
         ]
-    ndv = (
-        (lambda c: F.count_distinct(F.col(c)))
-        if exact_ndv
-        else (lambda c: F.approx_count_distinct(c))
-    )
     aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in columns:
         # min/max in VALUE space, canonicalized after the aggregate —
         # rendering first would make the comparison lexicographic.
         aggs += [
             F.count(F.col(c)).cast("long").alias(f"_nn_{c}"),
-            ndv(c).cast("long").alias(f"_ndv_{c}"),
             _canon(F.min(F.col(c)), dtypes[c]).alias(f"_min_{c}"),
             _canon(F.max(F.col(c)), dtypes[c]).alias(f"_max_{c}"),
         ]
+        if not exact_ndv:
+            aggs.append(
+                F.approx_count_distinct(c).cast("long").alias(f"_ndv_{c}")
+            )
     one = df.agg(*aggs)
     # fan the one-row aggregate out to a row per column (q67's stack
     # shape: the fan-out happens on one row, cost-free at any scale)
+    if not exact_ndv:
+        parts = ", ".join(
+            f"'{c}', _nn_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in columns
+        )
+        return one.selectExpr(
+            "n_rows",
+            f"stack({len(columns)}, {parts}) as "
+            "(column, n_nonnull, ndv, min_str, max_str)",
+        ).select(
+            "column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str"
+        )
     parts = ", ".join(
-        f"'{c}', _nn_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in columns
+        f"'{c}', _nn_{c}, _min_{c}, _max_{c}" for c in columns
     )
-    return one.selectExpr(
+    base = one.selectExpr(
         "n_rows",
         f"stack({len(columns)}, {parts}) as "
-        "(column, n_nonnull, ndv, min_str, max_str)",
-    ).select("column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str")
+        "(column, n_nonnull, min_str, max_str)",
+    )
+    # one single-distinct aggregate per column (no Expand — see module
+    # docstring), unioned into a tiny (column, ndv) side table
+    ndvs = None
+    for c in columns:
+        part = (
+            df.select(c)
+            .agg(F.count_distinct(F.col(c)).cast("long").alias("ndv"))
+            .select(F.lit(c).alias("column"), "ndv")
+        )
+        ndvs = part if ndvs is None else ndvs.unionAll(part)
+    return base.join(F.broadcast(ndvs), "column").select(
+        "column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str"
+    )
