@@ -412,9 +412,24 @@ def semdedup(
     pair — the cluster count is the knob that bounds the quadratic term
     (SemDeDup runs k ≈ 10% of corpus size at production scale, making
     expected cluster populations O(10)); the pair join itself is a plain
-    equi-join on the cluster id, so it shuffles each vector once.  The
-    cosine is :func:`cosine_flat`, a codegen'd flat tree — the fold
-    form was the hot spot at 3M+ candidate pairs.
+    equi-join on the cluster id, so it shuffles each vector once.
+
+    The threshold test uses the MULTIPLICATIVE cosine form
+    ``dot(a,b) ≥ t · (‖a‖ · ‖b‖) AND dot(a,b) > 0`` with the norms
+    computed once per ROW (flat codegen'd sums, carried as scalar
+    columns through the pair join).  The ``‖a‖·‖b‖ > 0`` conjunct is
+    the zero-norm guard (rhs = 0 would make the threshold test
+    vacuously true for zero vectors); written as the PRODUCT it
+    references BOTH sides, so Catalyst cannot push it down.  (Split
+    per-side ``‖·‖ > 0`` guards get pushed into the scans with the norm
+    expression inlined over the raw cast-transform — the per-element
+    HOF re-evaluation hazard again, measured 2x slower.)
+    Earlier forms, measured at sf0.1: full ``cosine_flat`` in the pair
+    filter = three 64-term sums + two sqrts per pair (5.3 s);
+    pre-normalized vectors via a ``transform`` HOF = the pair join
+    consuming a CodegenFallback array column (80 s).  The scalar-norm
+    multiplicative form keeps per-pair work to ONE flat product sum +
+    two multiplies, all whole-stage-codegen'd.
     """
     from sparkdiff.operators.retrieval import kmeans_assign
 
@@ -425,29 +440,48 @@ def semdedup(
     assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
         "_id", "cluster"
     )
-    withv = assigned.join(base, "_id").select("_id", "cluster", "_v")
-    a = withv.select(
+    withnorm = base.select(
+        "_id", "_v", norm_flat(F.col("_v"), dim).alias("_n")
+    )
+    # Persist the assigned+norm projection: it feeds THREE consumers
+    # (both pair-join sides and the final outer join) whose lineages
+    # would otherwise each re-run the Lloyd assignment — 11 s vs 1.7 s
+    # at sf0.1.  At scale this is the (id, cluster, vec, norm) table
+    # SemDeDup materializes anyway; MEMORY_AND_DISK spills rather than
+    # OOMs.
+    withn = (
+        assigned.join(withnorm, "_id")
+        .select("_id", "cluster", "_v", "_n")
+        .persist()
+    )
+    a = withn.select(
         F.col("cluster"),
         F.col("_id").alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
-    b = withv.select(
+    b = withn.select(
         F.col("cluster"),
         F.col("_id").alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     near = (
         a.join(b, "cluster")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
-            cosine_flat(F.col("_va"), F.col("_vb"), dim)
-            >= F.lit(float(threshold))
+            (
+                dot_flat(F.col("_va"), F.col("_vb"), dim)
+                >= F.lit(float(threshold))
+                * (F.col("_na") * F.col("_nb"))
+            )
+            & ((F.col("_na") * F.col("_nb")) > F.lit(0.0))
         )
         .groupBy(F.col("_idb").alias("_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
     )
     return (
-        withv.join(near, "_id", "left")
+        withn.join(near, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "cluster",

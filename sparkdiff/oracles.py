@@ -2087,14 +2087,13 @@ ORACLES["q89_quantize_int8"] = """
 
 # q88: SemDeDup — the q75 Lloyd replay over the q51 perturbed corpus,
 # then within-cluster pairs at cosine >= 0.95 and keep-min verdicts.
-_Q88_COS = (
+# Engine-mirror of semdedup's multiplicative cosine test
+# ``dot ≥ t · (na · nb)`` on per-row scalar norms.  0.0-prepended
+# list_reduce matches Spark's flat sums bit-for-bit (0.0 + x == x).
+_Q88_DOT = (
     "(list_reduce(list_prepend(0.0, list_transform("
     "generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), "
-    "(acc, x) -> acc + x) / "
-    "(sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), "
-    "(acc, x) -> acc + x)) * "
-    "sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), "
-    "(acc, x) -> acc + x))))"
+    "(acc, x) -> acc + x))"
 )
 
 ORACLES["q88_semdedup"] = _kmeans_oracle(
@@ -2112,11 +2111,20 @@ ORACLES["q88_semdedup"] = _kmeans_oracle(
         FROM embeddings WHERE vec_id % 20 = 0
     """,
     extra_ctes=[
+        """a2n AS (
+            SELECT vec_id, cluster, v,
+                   sqrt(list_reduce(
+                       list_prepend(0.0,
+                           list_transform(v, y -> y * y)),
+                       (acc, y) -> acc + y)) AS n
+            FROM a2
+        )""",
         f"""p AS (
             SELECT b.vec_id AS dup_id
-            FROM a2 a JOIN a2 b
+            FROM a2n a JOIN a2n b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            WHERE {_Q88_COS} >= 0.95
+            WHERE {_Q88_DOT} >= 0.95 * (a.n * b.n)
+              AND (a.n * b.n) > 0.0
         )""",
         """n AS (
             SELECT dup_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_near
