@@ -78,5 +78,10 @@ def pagerank(
                 "r0",
                 F.expr("(3 * r0) div 20 + (17 * _s) div 20").alias("rank_s"),
             )
+            # per-round persist: each round references the previous rank
+            # table twice (contribution join + state join), so an
+            # unpersisted lineage doubles per iteration; the state is
+            # one row per node — the standard Pregel checkpoint
+            .persist()
         )
     return r.select("node", "deg", "rank_s")

@@ -1870,6 +1870,10 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, W - 1)
     )
     per_doc = Window.partitionBy("doc_id")
+    # persisted: three consumers (rarity filter + both pair-join sides)
+    # would otherwise each re-run tokenize→gram→hash→window (13 s vs
+    # 2 s at sf0.1); the fingerprint table is ~docs × fingerprints,
+    # MEMORY_AND_DISK spills rather than OOMs
     fp_rows = (
         h_rows.withColumn("fp", F.min("h").over(wspec))
         .withColumn("m", F.count(F.lit(1)).over(per_doc))
@@ -1879,6 +1883,7 @@ def q74_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "fp")
         .distinct()
+        .persist()
     )
     rare = (
         fp_rows.groupBy("fp")
@@ -2941,6 +2946,9 @@ def q102_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = lp.select("ok", F.col("pk").alias("u"))
     b = lp.select("ok", F.col("pk").alias("v"))
+    # persisted: the edge list feeds degree counting, orientation, and
+    # the closing-edge check — unpersisted, each consumer re-runs the
+    # order self-join + weight aggregate; the w>=2 filter keeps it tiny
     edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -2948,6 +2956,7 @@ def q102_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        .persist()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -2964,13 +2973,15 @@ def q102_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.join(du, "u").join(dv, "v")
     ku = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i"))
     kv = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
+    # also persisted: consumed by both wedge sides and the closing-edge
+    # check; edge-list-sized (the graph, not the corpus)
     oriented = ed.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(ku < kv, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
             "deg_dst"
         ),
-    )
+    ).persist()
     o1 = oriented.select(
         "src", F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
     )
