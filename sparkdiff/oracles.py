@@ -2574,3 +2574,192 @@ ORACLES["q103_mad_outliers"] = """
     FROM dev d JOIN mad m USING (event_type)
     WHERE CAST(d.dev2 AS DOUBLE) > 3 * m.mad2
 """
+
+
+# q104: skyline — the oracle states the SPEC (naive NOT EXISTS dominance
+# over all pairs); the engine's bucket-prune + bounded-refine plan must
+# reproduce it exactly.
+ORACLES["q104_skyline"] = f"""
+    WITH pts AS (
+        SELECT doc_id, n_chars AS x,
+               {sql_quality_score('text')} AS y
+        FROM documents
+    )
+    SELECT p.doc_id, p.x, p.y
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.x >= p.x AND q.y >= p.y
+          AND (q.x > p.x OR q.y > p.y)
+    )
+"""
+
+
+def _dist_cut_sql(src: str, col: str, pre: str, pcts: tuple) -> str:
+    """Distribution-method percentile CTEs for one metric column,
+    mirroring ``operators/quantiles._dist_quantiles`` verbatim (the q50
+    oracle idiom): distinct-value counts, cumulative window, then the
+    lo/hi/frac/cofrac blend per percentile."""
+    quads = []
+    sel = []
+    for p in pcts:
+        tag = f"{pre}_{int(p * 100)}"
+        pos = f"CAST({p} AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+        quads.append(
+            f"CAST(MIN(CASE WHEN cum >= floor({pos}) + 1 THEN v END)"
+            f" AS DOUBLE) AS {tag}_lo,\n"
+            f"  CAST(MIN(CASE WHEN cum >= ceil({pos}) + 1 THEN v END)"
+            f" AS DOUBLE) AS {tag}_hi,\n"
+            f"  MIN({pos} - floor({pos})) AS {tag}_frac,\n"
+            f"  MIN(ceil({pos}) - {pos}) AS {tag}_cofrac"
+        )
+        sel.append(
+            f"CASE WHEN {tag}_frac = 0 THEN {tag}_lo"
+            f" ELSE {tag}_cofrac * {tag}_lo + {tag}_frac * {tag}_hi END"
+            f" AS {tag}"
+        )
+    return (
+        f"{pre}_cnt AS (SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS c"
+        f" FROM {src} WHERE {col} IS NOT NULL GROUP BY {col}),\n"
+        f"{pre}_dist AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,"
+        f" SUM(c) OVER () AS n FROM {pre}_cnt),\n"
+        f"{pre}_agg AS (SELECT " + ",\n  ".join(quads) + f" FROM {pre}_dist),\n"
+        f"{pre}_cut AS (SELECT " + ",\n  ".join(sel) + f" FROM {pre}_agg)"
+    )
+
+
+_RFM_SCORE = {
+    "r": "(1 + CAST(CAST(recency_d AS DOUBLE) <= r_80 AS INTEGER)"
+    " + CAST(CAST(recency_d AS DOUBLE) <= r_60 AS INTEGER)"
+    " + CAST(CAST(recency_d AS DOUBLE) <= r_40 AS INTEGER)"
+    " + CAST(CAST(recency_d AS DOUBLE) <= r_20 AS INTEGER))",
+    "f": "(1 + CAST(CAST(freq AS DOUBLE) > f_20 AS INTEGER)"
+    " + CAST(CAST(freq AS DOUBLE) > f_40 AS INTEGER)"
+    " + CAST(CAST(freq AS DOUBLE) > f_60 AS INTEGER)"
+    " + CAST(CAST(freq AS DOUBLE) > f_80 AS INTEGER))",
+    "m": "(1 + CAST(CAST(monetary_s AS DOUBLE) > m_20 AS INTEGER)"
+    " + CAST(CAST(monetary_s AS DOUBLE) > m_40 AS INTEGER)"
+    " + CAST(CAST(monetary_s AS DOUBLE) > m_60 AS INTEGER)"
+    " + CAST(CAST(monetary_s AS DOUBLE) > m_80 AS INTEGER))",
+}
+
+# q105: RFM quintile scoring — cuts via the distribution method (q50
+# idiom) so both engines run the identical interpolation expressions.
+ORACLES["q105_rfm_segments"] = f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(floor(value * 1024) AS BIGINT) AS vs
+        FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(d) AS d_max FROM e),
+    rfm AS (
+        SELECT user_id,
+               CAST(MIN(date_diff('day', d, d_max)) AS BIGINT) AS recency_d,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(vs) AS BIGINT) AS monetary_s
+        FROM e CROSS JOIN anchor
+        GROUP BY user_id
+    ),
+    {_dist_cut_sql('rfm', 'recency_d', 'r', (0.2, 0.4, 0.6, 0.8))},
+    {_dist_cut_sql('rfm', 'freq', 'f', (0.2, 0.4, 0.6, 0.8))},
+    {_dist_cut_sql('rfm', 'monetary_s', 'm', (0.2, 0.4, 0.6, 0.8))}
+    SELECT user_id, recency_d, freq, monetary_s,
+           {_RFM_SCORE['r']} AS r_score,
+           {_RFM_SCORE['f']} AS f_score,
+           {_RFM_SCORE['m']} AS m_score,
+           'R' || CAST({_RFM_SCORE['r']} AS VARCHAR)
+               || 'F' || CAST({_RFM_SCORE['f']} AS VARCHAR)
+               || 'M' || CAST({_RFM_SCORE['m']} AS VARCHAR) AS segment
+    FROM rfm CROSS JOIN r_cut CROSS JOIN f_cut CROSS JOIN m_cut
+"""
+
+# q106: collocation lift through HUGEINT intermediates — `//` floors,
+# matching Spark's DECIMAL(38,0) `div` on the always-positive counts.
+ORACLES["q106_collocations"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i + 1])) AS w2
+        FROM t WHERE len(toks) >= 2
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni),
+    cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 20
+    )
+    SELECT w1 || ' ' || w2 AS gram, cb, c1, c2,
+           CAST((CAST(cb AS HUGEINT) * n_uni * 1048576)
+                // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS lift_s
+    FROM cb
+    JOIN (SELECT w AS w1, c AS c1 FROM cu) USING (w1)
+    JOIN (SELECT w AS w2, c AS c2 FROM cu) USING (w2)
+    CROSS JOIN ntot
+    ORDER BY lift_s DESC, gram ASC
+    LIMIT 20
+"""
+
+
+def _profile_side_sql(side: str, suffix: str) -> str:
+    """q86-style one-pass profile of one lineitem-pair side for the four
+    drift-probed columns (canonical renderings mirror
+    ``operators/profile._canon``)."""
+    cols = [
+        ("l_quantity", "dbl"),
+        ("l_extendedprice", "dbl"),
+        ("l_returnflag", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    aggs, rows = [], []
+    for i, (c, kind) in enumerate(cols, 1):
+        aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS nn{i}")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}")
+        if kind == "dbl":
+            aggs.append(
+                f"CAST(CAST(floor(MIN({c}) * 10000) AS BIGINT) AS VARCHAR)"
+                f" AS mn{i}"
+            )
+            aggs.append(
+                f"CAST(CAST(floor(MAX({c}) * 10000) AS BIGINT) AS VARCHAR)"
+                f" AS mx{i}"
+            )
+        elif kind == "ts":
+            aggs.append(f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S') AS mn{i}")
+            aggs.append(f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S') AS mx{i}")
+        else:
+            aggs.append(f"MIN({c}) AS mn{i}")
+            aggs.append(f"MAX({c}) AS mx{i}")
+        rows.append(
+            f"SELECT '{c}' AS \"column\", nn{i} AS nn_{suffix},"
+            f" nd{i} AS ndv_{suffix}, mn{i} AS mn_{suffix},"
+            f" mx{i} AS mx_{suffix} FROM p_{suffix}"
+        )
+    return (
+        f"p_{suffix} AS (SELECT "
+        + ", ".join(aggs)
+        + f" FROM {side}),\n prof_{suffix} AS ("
+        + "\n UNION ALL ".join(rows)
+        + ")"
+    )
+
+
+# q107: profile drift over the perturbed lineitem pair — two one-pass
+# profiles joined per column with drift flags.
+ORACLES["q107_profile_drift"] = f"""
+    WITH {LINEITEM_PAIR_SQL_CTES},
+    {_profile_side_sql('hive_li', 'h')},
+    {_profile_side_sql('sf_li', 's')}
+    SELECT h."column", nn_h, nn_s, ndv_h, ndv_s,
+           nn_h <> nn_s AS count_drift,
+           ndv_h <> ndv_s AS ndv_drift,
+           (mn_h <> mn_s OR mx_h <> mx_s) AS range_drift
+    FROM prof_h h JOIN prof_s s ON h."column" = s."column"
+"""

@@ -3051,6 +3051,232 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of documents on (length, quality) —
+    "longest AND highest-quality" curation picks with no weighting
+    knob.  The scale shape is bucket-prune + bounded refine: bucket on
+    length, per-bucket max quality (map-side combined), a strictly-
+    higher-bucket running max over the BOUNDED bucket table, then only
+    the docs beating that bound survive to the exact pairwise dominance
+    check — the refine set is frontier-sized, so its non-equi self-join
+    is guilt-free (contrast the naive all-pairs NOT EXISTS, quadratic
+    in corpus).  Pruning is lossless: any doc at or under the
+    higher-bucket bound has a strictly-longer, no-worse-quality
+    dominator by construction."""
+    from pyspark.sql import Window
+    from sparkdiff.functions.textstats import quality_score
+
+    W = 200
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        quality_score("text").alias("y"),
+    )
+    bkt = pts.withColumn("b", F.floor(F.col("x") / W).cast("long"))
+    bmax = bkt.groupBy("b").agg(F.max("y").alias("ymax"))
+    w = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    smax = bmax.select("b", F.max("ymax").over(w).alias("smax"))
+    cand = (
+        bkt.join(smax, "b")
+        .filter(F.col("smax").isNull() | (F.col("y") > F.col("smax")))
+        .select("doc_id", "x", "y")
+    )
+    c2 = cand.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    dominated = (
+        (F.col("x2") >= F.col("x"))
+        & (F.col("y2") >= F.col("y"))
+        & ((F.col("x2") > F.col("x")) | (F.col("y2") > F.col("y")))
+    )
+    return cand.join(c2, dominated, "left_anti")
+
+
+def q105_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream — the
+    warehouse-classic recency/frequency/monetary quintile scoring.
+    Monetary sums are 1024-scaled longs (exact under any partitioning);
+    the 12 quintile cuts come from ONE distribution-method quantile
+    pass (`operators/quantiles.py` — never `ntile`, whose global sort
+    single-partitions the corpus), broadcast back as a one-row table;
+    scores are threshold comparisons, all engine-exact."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 1024).cast("long").alias("vs"),
+        )
+    )
+    anchor = e.groupBy().agg(F.max("d").alias("d_max"))
+    rfm = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.datediff(F.col("d_max"), F.col("d")))
+            .cast("long")
+            .alias("recency_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("vs").cast("long").alias("monetary_s"),
+        )
+    )
+    specs = [
+        (f"{m}_{int(p * 100)}", col, p)
+        for m, col in (
+            ("r", "recency_d"),
+            ("f", "freq"),
+            ("m", "monetary_s"),
+        )
+        for p in (0.2, 0.4, 0.6, 0.8)
+    ]
+    cuts = grouped_quantiles(
+        rfm.withColumn("_g", F.lit(1)), ["_g"], specs
+    ).drop("_g", "n")
+    scored = rfm.crossJoin(F.broadcast(cuts))
+
+    def up(col: str, pre: str) -> F.Column:
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            s = s + (F.col(col).cast("double") > F.col(f"{pre}_{p}")).cast(
+                "int"
+            )
+        return s
+
+    def down(col: str, pre: str) -> F.Column:
+        s = F.lit(1)
+        for p in (80, 60, 40, 20):
+            s = s + (F.col(col).cast("double") <= F.col(f"{pre}_{p}")).cast(
+                "int"
+            )
+        return s
+
+    return scored.select(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary_s",
+        down("recency_d", "r").alias("r_score"),
+        up("freq", "f").alias("f_score"),
+        up("monetary_s", "m").alias("m_score"),
+        F.concat(
+            F.lit("R"),
+            down("recency_d", "r").cast("string"),
+            F.lit("F"),
+            up("freq", "f").cast("string"),
+            F.lit("M"),
+            up("monetary_s", "m").cast("string"),
+        ).alias("segment"),
+    )
+
+
+def q106_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-20 word bigrams by LIFT
+    ``P(w1 w2) / (P(w1)·P(w2))`` with a minimum-count support filter —
+    the PMI-style phrase detector (Mikolov et al.'s word2vec phrase
+    pass) made engine-exact by ranking on the integer-scaled rational
+    ``(cb · N · 2^20) div (c1 · c2)`` through DECIMAL(38,0)
+    intermediates (no log, no doubles; products of two ~corpus-sized
+    counts overflow BIGINT at web scale).  One bigram explode feeds the
+    bigram AND both unigram count tables; joins are on the word keys,
+    unhinted (vocabulary is unbounded — AQE decides)."""
+    SCALE = 1 << 20
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d)
+    n = F.size("_toks")
+    bi = t.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.col("_toks")[i - 1].alias("w1"),
+                        F.col("_toks")[i].alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("s")
+    ).select("s.w1", "s.w2")
+    uni = t.select(F.explode("_toks").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ntot = uni.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .filter(F.col("cb") >= 20)
+    )
+    j = (
+        cb.join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(ntot))
+    )
+    lift = F.expr(
+        f"CAST((CAST(cb AS DECIMAL(38,0)) * n_uni * {SCALE})"
+        " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            "cb",
+            "c1",
+            "c2",
+            lift.alias("lift_s"),
+        )
+        .orderBy(F.desc("lift_s"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-profile drift between the hive/sf lineitem pair — the
+    pre-diff sanity probe a re-validation pipeline runs BEFORE the
+    row-level diff: per column, both sides' non-null count, exact NDV
+    and canonical min/max joined on column name, with drift flags.
+    Two q86-style profiles (per-column single-distinct NDV jobs — no
+    multi-distinct Expand) + one 6-row join; catches schema-level
+    regressions (truncation, re-rounding, lost rows) at a fraction of
+    the full-diff cost."""
+    from sparkdiff.operators.profile import profile_table
+
+    hive, sf = testkit.lineitem_pair(spark, sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    ph = profile_table(hive, cols).select(
+        "column",
+        F.col("n_nonnull").alias("nn_h"),
+        F.col("ndv").alias("ndv_h"),
+        F.col("min_str").alias("min_h"),
+        F.col("max_str").alias("max_h"),
+    )
+    ps = profile_table(sf, cols).select(
+        "column",
+        F.col("n_nonnull").alias("nn_s"),
+        F.col("ndv").alias("ndv_s"),
+        F.col("min_str").alias("min_s"),
+        F.col("max_str").alias("max_s"),
+    )
+    return ph.join(ps, "column").select(
+        "column",
+        "nn_h",
+        "nn_s",
+        "ndv_h",
+        "ndv_s",
+        (F.col("nn_h") != F.col("nn_s")).alias("count_drift"),
+        (F.col("ndv_h") != F.col("ndv_s")).alias("ndv_drift"),
+        (
+            (F.col("min_h") != F.col("min_s"))
+            | (F.col("max_h") != F.col("max_s"))
+        ).alias("range_drift"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3155,4 +3381,8 @@ QUERIES: dict[str, callable] = {
     "q101_scd2_history": q101_scd2_history,
     "q102_triangle_count": q102_triangle_count,
     "q103_mad_outliers": q103_mad_outliers,
+    "q104_skyline": q104_skyline,
+    "q105_rfm_segments": q105_rfm_segments,
+    "q106_collocations": q106_collocations,
+    "q107_profile_drift": q107_profile_drift,
 }

@@ -73,6 +73,17 @@ _INTENTIONAL_NLJ = {
     # the graph work itself (edges, wedges, closing check) is all
     # equi-joins.
     "q102_triangle_count",
+    # q104's exact dominance refine is a non-equi anti-join over the
+    # PRUNED candidate set (frontier-sized by the bucket bound), plus
+    # the one-row quantile-cut broadcast; the corpus-sized pass is the
+    # bucketed prune, all equi/aggregate shapes.
+    "q104_skyline",
+    # q105 broadcasts two ONE-ROW tables (anchor date, quantile cuts)
+    # over the per-user RFM table — the q76 stats-broadcast shape.
+    "q105_rfm_segments",
+    # q106 broadcasts the ONE-ROW total-token-count aggregate over the
+    # bigram table (q76/q90 stats shape); word-key joins are unhinted.
+    "q106_collocations",
 }
 
 
