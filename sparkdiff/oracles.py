@@ -2763,3 +2763,63 @@ ORACLES["q107_profile_drift"] = f"""
            (mn_h <> mn_s OR mx_h <> mx_s) AS range_drift
     FROM prof_h h JOIN prof_s s ON h."column" = s."column"
 """
+
+
+# q108: the oracle is the full recompute; the engine's stored+delta
+# combine must be bit-identical (counts and cent-sums are associative).
+ORACLES["q108_incremental_agg"] = """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+"""
+
+# q109: equi-depth deciles — cuts via the distribution method (q50
+# idiom, _dist_cut_sql) so both engines run identical interpolation.
+ORACLES["q109_equidepth_histogram"] = f"""
+    WITH li AS (SELECT l_extendedprice AS v FROM lineitem),
+    {_dist_cut_sql('li', 'v', 'c',
+                   (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))}
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(floor(MIN(v) * 100) AS BIGINT) AS min_cents,
+           CAST(floor(MAX(v) * 100) AS BIGINT) AS max_cents
+    FROM (
+        SELECT v,
+               1 + CAST(v > c_10 AS INTEGER) + CAST(v > c_20 AS INTEGER)
+                 + CAST(v > c_30 AS INTEGER) + CAST(v > c_40 AS INTEGER)
+                 + CAST(v > c_50 AS INTEGER) + CAST(v > c_60 AS INTEGER)
+                 + CAST(v > c_70 AS INTEGER) + CAST(v > c_80 AS INTEGER)
+                 + CAST(v > c_90 AS INTEGER) AS bin
+        FROM li CROSS JOIN c_cut
+    )
+    GROUP BY bin
+"""
+
+# q110: FK audit — orphans per relationship via NOT EXISTS, with the
+# simulated partial orders load (o_orderkey % 7 = 0 dropped).
+ORACLES["q110_fk_integrity"] = """
+    WITH o_part AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM o_part o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+"""

@@ -3277,6 +3277,112 @@ def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the core of warehouse
+    materialized-view upkeep: a per-customer order rollup maintained as
+    COMBINE(stored partial, delta partial) instead of a full rescan.
+    Here the stored side is the pre-1999 partial aggregate and the
+    delta is the 1999+ batch; the combine is a union of two partial-agg
+    tables re-aggregated on the key (counts add, integer-cent sums add
+    — both associative, so the combined result is bit-identical to the
+    full recompute the oracle runs).  At 100 TB the stored partial is a
+    table, not a scan, and only the delta is read."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        _cents("o_totalprice").alias("cents"),
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    stored = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def q109_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice — the
+    statistics-building primitive a CBO runs per column: 9 decile cut
+    points from ONE distribution-method quantile pass (shuffle carries
+    distinct values, never rows), broadcast back as a one-row table;
+    each row's bin is the comparison-sum ``1 + Σ (v > cut_i)`` — no
+    global sort, no ntile.  Per-bin counts land within ±1 distinct
+    value of n/10 by construction."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    specs = [
+        (f"c{int(p * 10)}", "v", p)
+        for p in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    ]
+    cuts = grouped_quantiles(
+        li.withColumn("_g", F.lit(1)), ["_g"], specs
+    ).drop("_g", "n")
+    binned = li.crossJoin(F.broadcast(cuts))
+    b = F.lit(1)
+    for p in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+        b = b + (F.col("v") > F.col(f"c{p}")).cast("int")
+    return (
+        binned.select(b.alias("bin"), "v")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.floor(F.min("v") * 100).cast("long").alias("min_cents"),
+            F.floor(F.max("v") * 100).cast("long").alias("max_cents"),
+        )
+    )
+
+
+def q110_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the load-validation report every
+    warehouse runs after ingest: per FK relationship, child row count
+    and orphan count (children whose parent key is missing), with a
+    simulated partial parent load (orders with ``o_orderkey % 7 == 0``
+    dropped) so the lineitem→orders edge actually reports orphans.
+    Each orphan count is one left_anti join (parent side deduplicated
+    to keys only — AQE broadcasts while it fits); the 3-row report
+    unions one-row aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    o_part = o.filter(F.col("o_orderkey") % 7 != 0)
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame,
+             pk: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias(ck)).distinct()
+        orphans = child.select(ck).join(keys, ck, "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o_part, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3385,4 +3491,7 @@ QUERIES: dict[str, callable] = {
     "q105_rfm_segments": q105_rfm_segments,
     "q106_collocations": q106_collocations,
     "q107_profile_drift": q107_profile_drift,
+    "q108_incremental_agg": q108_incremental_agg,
+    "q109_equidepth_histogram": q109_equidepth_histogram,
+    "q110_fk_integrity": q110_fk_integrity,
 }

@@ -84,6 +84,11 @@ _INTENTIONAL_NLJ = {
     # q106 broadcasts the ONE-ROW total-token-count aggregate over the
     # bigram table (q76/q90 stats shape); word-key joins are unhinted.
     "q106_collocations",
+    # q109 broadcasts the ONE-ROW decile-cut table over the scan; q110's
+    # 3-row report cross-joins one-row count aggregates (q102 shape).
+    # The orphan checks themselves are left_anti equi-joins.
+    "q109_equidepth_histogram",
+    "q110_fk_integrity",
 }
 
 
