@@ -2823,3 +2823,73 @@ ORACLES["q110_fk_integrity"] = """
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey))
 """
+
+
+# q111: GROUPING SETS — same three granularities in one pass.
+ORACLES["q111_grouping_sets"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderpriority, o_orderstatus),
+        (o_orderpriority),
+        ()
+    )
+"""
+
+# q112: rank-family windows with a tie-free composite order.
+ORACLES["q112_rank_windows"] = """
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+                     o_orderkey ASC
+        )
+    ) WHERE rnk <= 50
+"""
+
+# q113: family-size histogram over the q65 cluster output (the full CC
+# oracle replayed as a subquery).
+ORACLES["q113_dup_families"] = f"""
+    SELECT cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_families,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(NOT is_canonical AS INTEGER)) AS BIGINT)
+               AS n_removable
+    FROM ({ORACLES['q65_dedup_clusters']})
+    WHERE cluster_size >= 2
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+# q114: sliding windows — each event explodes to its 3 covering
+# 10-min-grid starts; epoch-second longs as the window key.
+ORACLES["q114_sliding_windows"] = """
+    WITH hits AS (
+        -- epoch() is a fractional DOUBLE and CAST(double AS BIGINT)
+        -- ROUNDS in DuckDB: floor() first, or sub-second events just
+        -- below a grid boundary land one slide late.
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                   - 600 * unnest(generate_series(0, 2)) AS w_start,
+               event_type, user_id, epoch(ts) AS es
+        FROM events
+    )
+    SELECT w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hits
+    WHERE es >= w_start AND es < w_start + 1800
+    GROUP BY w_start, event_type
+"""

@@ -3383,6 +3383,116 @@ def q110_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the remaining member of the grouping
+    family next to q41's ROLLUP and q59's CUBE: per-(priority, status)
+    cells, per-priority margins, and the grand total in ONE aggregation
+    pass (Catalyst expands to a single Expand + hash aggregate — one
+    shuffle for all three granularities, vs three scans if issued
+    separately).  GROUPING markers disambiguate NULL-as-margin from
+    NULL-as-value; money in exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("_q111_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM _q111_orders
+        GROUP BY GROUPING SETS (
+            (o_orderpriority, o_orderstatus),
+            (o_orderpriority),
+            ()
+        )
+        """
+    )
+
+
+def q112_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-rank window family in one pass — rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) over orders partitioned by
+    priority, ordered by (price desc, orderkey) so every rank is
+    tie-free and deterministic.  One shuffle (all five functions share
+    the window spec); the rank <= 50 cut keeps the report per-partition
+    bounded.  percent_rank/cume_dist divisions are the same two exact
+    operands in both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "cents",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+def q113_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size report over q65's connected-component
+    clusters: how much of the corpus sits in families of 2, 3, ... —
+    the dedup-savings estimate a curation team reads before committing
+    a dedup pass.  Composes the full near-dup→CC pipeline and adds one
+    bounded aggregation (family-size vocabulary is tiny); removable =
+    all non-canonical members."""
+    clusters = q65_dedup_clusters(spark, sf_dir)
+    fam = clusters.filter(F.col("cluster_size") >= 2)
+    return (
+        fam.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").cast("long").alias("n_families"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((~F.col("is_canonical")).cast("long"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q114_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rates — 30-minute windows every 10 minutes
+    (`F.window` with slide), the overlapping-window shape tumbling q28
+    can't express: each event lands in 3 windows, counted with distinct
+    users per window.  Window starts are exported as epoch seconds (one
+    engine-neutral long; both engines align buckets to the epoch grid).
+    State/shuffle is per (window, type) — bounded by time range ×
+    vocabulary, not by the stream."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("w_start"),
+            "event_type",
+            "n",
+            "n_users",
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3494,4 +3604,8 @@ QUERIES: dict[str, callable] = {
     "q108_incremental_agg": q108_incremental_agg,
     "q109_equidepth_histogram": q109_equidepth_histogram,
     "q110_fk_integrity": q110_fk_integrity,
+    "q111_grouping_sets": q111_grouping_sets,
+    "q112_rank_windows": q112_rank_windows,
+    "q113_dup_families": q113_dup_families,
+    "q114_sliding_windows": q114_sliding_windows,
 }
