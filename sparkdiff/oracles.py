@@ -2893,3 +2893,102 @@ ORACLES["q114_sliding_windows"] = """
     WHERE es >= w_start AND es < w_start + 1800
     GROUP BY w_start, event_type
 """
+
+
+# q115: last-touch attribution — running last non-purchase via a
+# ROWS-preceding window, 60-min lookback, organic fallback.
+ORACLES["q115_attribution"] = """
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN struct_pack(t_ts := ts,
+                                                t_type := event_type)
+                          END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt
+        FROM events
+    )
+    SELECT CASE WHEN lt IS NOT NULL
+                 AND epoch_ms(ts) - epoch_ms(lt.t_ts) <= 3600000
+                THEN lt.t_type ELSE 'organic' END AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(floor(value * 1024) AS BIGINT)) AS BIGINT)
+               AS value_s
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+# q116: seasonal anomaly — integer comparison n*days > 2*total.
+ORACLES["q116_seasonal_anomaly"] = """
+    WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, hod,
+               CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.day, c.hod, c.n, b.total, b.n_days
+    FROM cells c JOIN base b USING (event_type, hod)
+    WHERE c.n * b.n_days > 2 * b.total
+"""
+
+# q117: Pareto deciles over the per-customer aggregate (rank window
+# runs on customers, never the order stream).
+ORACLES["q117_revenue_concentration"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC)
+                    AS BIGINT) AS decile
+        FROM per_cust
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM ranked)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) AS DOUBLE) / CAST(total_cents AS DOUBLE)
+               AS revenue_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, total_cents
+"""
+
+# q118: sentence segmentation stats — mean length as a 2^10-scaled
+# integer ratio; same split regexes in both engines.
+ORACLES["q118_sentence_stats"] = """
+    WITH sents AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                   s -> length(s) > 0) AS s
+        FROM documents
+    ),
+    lens AS (
+        SELECT doc_id,
+               list_transform(s, x -> CAST(len(list_filter(
+                   string_split_regex(x, '\\s+'),
+                   t -> length(t) > 0)) AS BIGINT)) AS l
+        FROM sents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_sentences,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), l),
+                            (a, x) -> a + x) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), l),
+                            (a, x) -> a + x) * 1024 // len(l) AS BIGINT)
+               AS mean_len_s,
+           CAST(list_max(l) AS BIGINT) AS max_len
+    FROM lens
+    WHERE len(l) > 0
+"""

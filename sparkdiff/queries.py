@@ -3493,6 +3493,169 @@ def q114_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent non-purchase event within the preceding 60
+    minutes — the marketing-attribution join every event warehouse
+    runs.  The as-of shape is ONE window over the per-user stream
+    (`F.last(touch, ignorenulls)` carries the running last touch to
+    each purchase row — no self-join, no range join), then a
+    vocabulary-sized rollup per touch type; "organic" = no touch in
+    the window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")),
+    )
+    attributed = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lt").isNotNull()
+                & (
+                    F.unix_millis("ts") - F.unix_millis("lt.t_ts")
+                    <= 60 * 60 * 1000
+                ),
+                F.col("lt.t_type"),
+            )
+            .otherwise(F.lit("organic"))
+            .alias("touch_type"),
+            F.floor(F.col("value") * 1024).cast("long").alias("vs"),
+        )
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("vs").cast("long").alias("value_s"),
+    )
+
+
+def q116_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: per (event_type, hour-of-
+    day) the cross-day mean count is the baseline; a (day, hour) cell
+    is anomalous when its count exceeds 2x baseline.  The comparison
+    stays in exact integers — ``n·days > 2·total`` instead of a float
+    mean — so the flag is engine-portable.  Two vocabulary-sized
+    aggregates (cells, baselines) and one equi-join; nothing scans
+    twice."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    cells = e.groupBy("event_type", "day", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return (
+        cells.join(base, ["event_type", "hod"])
+        .filter(F.col("n") * F.col("n_days") > 2 * F.col("total"))
+        .select("event_type", "day", "hod", "n", "total", "n_days")
+    )
+
+
+def q117_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/ABC) curve: customers ranked by
+    spend, bucketed into deciles by RANK (top-10% of customers first),
+    each decile reporting its share of total revenue — the "does 20%
+    of the base drive 80% of revenue" report.  The global rank window
+    runs over the per-customer AGGREGATE (customers ≪ orders — the
+    stream is never globally sorted); revenue shares divide exact
+    cent-longs by the one total at the end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    tot = ranked.groupBy().agg(
+        F.sum("cents").cast("long").alias("total_cents")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            (
+                F.col("cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def q118_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level text statistics: segment each document on
+    terminal punctuation, report sentence count, mean sentence length
+    in whitespace tokens (exact 2^10-scaled integer ratio — no float
+    division until the last column), and the longest sentence — the
+    readability-profile features a quality classifier consumes.  Pure
+    column expressions over one scan; the sentence arrays are
+    materialized in their own projection before the HOF lambdas
+    (SCALE.md expression-hazard #1)."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = d.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.split("text", "[.!?]+"),
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) > 0,
+        ).alias("_sents"),
+    )
+    toks_per = sent.select(
+        "doc_id",
+        F.transform(
+            "_sents",
+            lambda s: F.size(
+                F.filter(F.split(s, "\\s+"), lambda t: F.length(t) > 0)
+            ).cast("long"),
+        ).alias("_lens"),
+    )
+    n_sent = F.size("_lens").cast("long")
+    tot = F.aggregate(
+        "_lens", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return toks_per.filter(n_sent > 0).select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        tot.alias("n_tokens"),
+        F.expr("aggregate(_lens, CAST(0 AS BIGINT), (a, x) -> a + x)"
+               " * 1024 div size(_lens)").alias("mean_len_s"),
+        F.array_max("_lens").cast("long").alias("max_len"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3608,4 +3771,8 @@ QUERIES: dict[str, callable] = {
     "q112_rank_windows": q112_rank_windows,
     "q113_dup_families": q113_dup_families,
     "q114_sliding_windows": q114_sliding_windows,
+    "q115_attribution": q115_attribution,
+    "q116_seasonal_anomaly": q116_seasonal_anomaly,
+    "q117_revenue_concentration": q117_revenue_concentration,
+    "q118_sentence_stats": q118_sentence_stats,
 }

@@ -89,6 +89,9 @@ _INTENTIONAL_NLJ = {
     # The orphan checks themselves are left_anti equi-joins.
     "q109_equidepth_histogram",
     "q110_fk_integrity",
+    # q117 broadcasts the ONE-ROW revenue total over the 10-row decile
+    # rollup (q76/q90 stats shape).
+    "q117_revenue_concentration",
 }
 
 
