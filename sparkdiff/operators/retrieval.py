@@ -113,6 +113,114 @@ def kmeans_assign(
     )
 
 
+def ivf_topk_deterministic(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k_clusters: int = 4,
+    iters: int = 2,
+    n_probe: int = 2,
+    top_k: int = 3,
+    query_pred=None,
+) -> DataFrame:
+    """Oracle-replayable IVF nearest-neighbor search: the
+    :func:`kmeans_assign` Lloyd loop partitions the corpus into
+    inverted lists, each query scores only its ``n_probe`` nearest
+    cells, and the per-cell candidates reduce to an exact L2 top-k.
+
+    This is the deterministic twin of ``similarity.ivf_cosine_topk``
+    (which uses Spark ML's KMeans — a fine quantizer, but its
+    initialization is not replayable in ANSI SQL, so it can only be
+    property-tested).  Here seeds/updates are the deterministic Lloyd,
+    so the ENTIRE ANN pipeline — codebook, probe choice, candidate
+    list, final ranking — hash-matches the DuckDB oracle.
+
+    Scale shape: centroids (k×d) broadcast twice (corpus assignment,
+    query probe); per-query candidate work is |corpus|·n_probe/k; the
+    final top-k is a per-query window over candidates.
+    """
+    e = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # Lloyd loop — identical to kmeans_assign, but keeping the
+    # centroid table that produced the FINAL assignment for probing.
+    seed_ids = [
+        r[0]
+        for r in e.select("_id").orderBy("_id").limit(k_clusters).collect()
+    ]
+    cents = e.filter(F.col("_id").isin(seed_ids)).select(
+        F.col("_id").cast("long").alias("cluster"), F.col("_v").alias("_c")
+    )
+    rank = Window.orderBy("cluster")
+    cents = cents.withColumn(
+        "cluster", (F.row_number().over(rank) - 1).cast("long")
+    )
+    assigned = None
+    probe_cents = cents
+    for it in range(iters):
+        probe_cents = cents
+        rn = F.row_number().over(
+            Window.partitionBy("_id").orderBy("dist", "cluster")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("dist", squared_l2("_v", "_c"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("_id", "cluster", "dist", "_v")
+        )
+        if it < iters - 1:
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("_v").alias("dim", "val")
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum(F.floor(F.col("val") * DYADIC_SCALE)).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            cents = sums.groupBy("cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                    lambda t: t["s"].cast("double")
+                    / (t["n"] * F.lit(DYADIC_SCALE)).cast("double"),
+                ).alias("_c")
+            )
+    lists = assigned.select(
+        F.col("_id").alias("corpus_id"), "cluster", F.col("_v").alias("_cv")
+    )
+    q = e if query_pred is None else e.filter(query_pred(F.col("_id")))
+    probe_rn = F.row_number().over(
+        Window.partitionBy("_qid").orderBy("qdist", "cluster")
+    )
+    probes = (
+        q.select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"))
+        .crossJoin(F.broadcast(probe_cents))
+        .withColumn("qdist", squared_l2("_qv", "_c"))
+        .withColumn("prn", probe_rn)
+        .filter(F.col("prn") <= n_probe)
+        .select("_qid", "_qv", "cluster")
+    )
+    cand = probes.join(lists, "cluster").withColumn(
+        "dist", squared_l2("_qv", "_cv")
+    )
+    final_rn = F.row_number().over(
+        Window.partitionBy("_qid").orderBy("dist", "corpus_id")
+    )
+    return (
+        cand.withColumn("rnk", final_rn)
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "corpus_id",
+            "dist",
+        )
+    )
+
+
 def term_frequency(tokens_col: Column | str, word: str) -> Column:
     """Occurrences of ``word`` in a token array, as a long.  The lambda
     must stay unary: ``F.filter`` treats a 2-arg lambda as

@@ -2992,3 +2992,85 @@ ORACLES["q118_sentence_stats"] = """
     FROM lens
     WHERE len(l) > 0
 """
+
+
+# q119: TPC-H Q10 shape — return-flag filter, 4-way join, exact
+# integer revenue (cents x (100 - discount-cents)).
+ORACLES["q119_returned_items"] = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS revenue_s
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_s DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+# q120: TPC-H Q18 shape — aggregate-then-join on qualifying orders.
+ORACLES["q120_large_orders"] = """
+    WITH qty AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           q.sum_qty
+    FROM orders o
+    JOIN qty q ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY q.sum_qty DESC, o.o_orderkey ASC
+    LIMIT 50
+"""
+
+# q121: deterministic IVF ANN — probe + candidate + rank stages
+# composed onto the Lloyd CTE chain (c1 = the codebook that produced
+# the final assignment a2).
+_IVF_QDIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(q.qv)), i -> (q.qv[i] - c1.c[i])"
+    " * (q.qv[i] - c1.c[i]))), (acc, x) -> acc + x)"
+)
+_IVF_CDIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(p.qv)), i -> (p.qv[i] - a.v[i])"
+    " * (p.qv[i] - a.v[i]))), (acc, x) -> acc + x)"
+)
+ORACLES["q121_ivf_ann"] = _kmeans_oracle(
+    k=4,
+    iters=2,
+    extra_ctes=[
+        "qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)",
+        f"""probes AS (
+            SELECT qid, qv, cluster FROM (
+                SELECT q.qid, q.qv, c1.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_IVF_QDIST} ASC, c1.cluster ASC)
+                           AS prn
+                FROM qs q CROSS JOIN c1
+            ) WHERE prn <= 2
+        )""",
+        f"""cand AS (
+            SELECT p.qid, a.vec_id AS corpus_id, {_IVF_CDIST} AS dist
+            FROM probes p JOIN a2 a ON a.cluster = p.cluster
+        )""",
+    ],
+    tail="""
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, corpus_id, dist
+    FROM (
+        SELECT qid, corpus_id, dist,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY dist ASC, corpus_id ASC)
+                   AS rnk
+        FROM cand
+    ) WHERE rnk <= 3
+    """,
+)

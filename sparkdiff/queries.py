@@ -3656,6 +3656,87 @@ def q118_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: revenue lost to returned items per customer —
+    a 4-way join (lineitem⋈orders⋈customer⋈nation) with the return
+    filter pushed to the lineitem scan, grouped revenue in exact cents,
+    top-20 via TakeOrderedAndProject.  Catalyst broadcast-joins the
+    dimension chain (nation is rows-sized; customer fits under AQE) so
+    the fact table shuffles once for the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_s"))
+        .orderBy(F.desc("revenue_s"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q120_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: customers with individual orders above a
+    quantity threshold — the aggregate-then-semi-join pattern: the
+    order quantity rollup (map-side combined) feeds a semi-join filter
+    BEFORE the customer join, so only qualifying orders (a tiny set)
+    reach the wide join.  Quantities are exact integer units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+    )
+    big = qty.filter(F.col("sum_qty") > 250)
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            _cents("o_totalprice").alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+def q121_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified IVF approximate-nearest-neighbor search
+    (`operators/retrieval.ivf_topk_deterministic`): the deterministic
+    Lloyd codebook partitions the embeddings into inverted lists, each
+    query (vec_id < 5) probes its 2 nearest cells, and the candidates
+    reduce to an exact L2 top-3.  Unlike the Spark-ML-quantizer IVF
+    (`similarity.ivf_cosine_topk`, property-tested), every stage here —
+    codebook, probe choice, candidates, ranking — is replayed
+    value-for-value by the DuckDB oracle: the ANN *scale path* itself
+    is under the hash gate, not just its exact twin."""
+    from sparkdiff.operators.retrieval import ivf_topk_deterministic
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    return ivf_topk_deterministic(
+        e,
+        "vec_id",
+        "v",
+        k_clusters=4,
+        iters=2,
+        n_probe=2,
+        top_k=3,
+        query_pred=lambda c: c < 5,
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3775,4 +3856,7 @@ QUERIES: dict[str, callable] = {
     "q116_seasonal_anomaly": q116_seasonal_anomaly,
     "q117_revenue_concentration": q117_revenue_concentration,
     "q118_sentence_stats": q118_sentence_stats,
+    "q119_returned_items": q119_returned_items,
+    "q120_large_orders": q120_large_orders,
+    "q121_ivf_ann": q121_ivf_ann,
 }

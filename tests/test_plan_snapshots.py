@@ -92,6 +92,10 @@ _INTENTIONAL_NLJ = {
     # q117 broadcasts the ONE-ROW revenue total over the 10-row decile
     # rollup (q76/q90 stats shape).
     "q117_revenue_concentration",
+    # q121 broadcasts the k×d centroid table for Lloyd assignment and
+    # query probing (the q75 shape); list membership and candidate
+    # ranking are equi-joins/windows.
+    "q121_ivf_ann",
 }
 
 
