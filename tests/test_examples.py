@@ -52,3 +52,10 @@ def test_search_rank_pipeline_example():
     stdout = _run("search_rank_pipeline.py")
     assert "top-7:" in stdout
     assert "per-source insight:" in stdout
+
+
+def test_event_analytics_pipeline_example():
+    stdout = _run("event_analytics_pipeline.py")
+    assert "funnel 1_view" in stdout
+    assert "attribution:" in stdout
+    assert "peak concurrency:" in stdout
