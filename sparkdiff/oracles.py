@@ -3074,3 +3074,104 @@ ORACLES["q121_ivf_ann"] = _kmeans_oracle(
     ) WHERE rnk <= 3
     """,
 )
+
+
+# q122: binary-asset catalog — md5(text) == md5 of its UTF-8 payload,
+# so the digest/magic stats replay without a BLOB md5 (DuckDB 1.0's
+# md5 is VARCHAR-only); only DISTINCT COUNTS of digest/magic surface,
+# so hex case differences never reach the hash.
+ORACLES["q122_binary_assets"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_digests,
+           CAST(COUNT(DISTINCT substr(hex(encode(text)), 1, 8)) AS BIGINT)
+               AS n_magics
+    FROM documents
+    GROUP BY source
+"""
+
+# q123: simplified silhouette — dyadic-integer centroids (q70 rail),
+# the same left-to-right distance fold as squared_l2.
+_Q123_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(e.v)), i -> (e.v[i] - c[i]) * (e.v[i] - c[i]))), "
+    "(acc, x) -> acc + x)"
+)
+ORACLES["q123_label_silhouette"] = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, i AS dim,
+               SUM(CAST(floor(val * 8589934592) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM (
+            SELECT label, unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS i
+            FROM e
+        ) GROUP BY label, i
+    ),
+    cents AS (
+        SELECT label AS clabel,
+               list(CAST(s AS DOUBLE) / CAST(n * 8589934592 AS DOUBLE)
+                    ORDER BY dim) AS c
+        FROM sums GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               MIN(CASE WHEN clabel = e.label THEN {_Q123_DIST} END) AS a,
+               MIN(CASE WHEN clabel <> e.label THEN {_Q123_DIST} END) AS b
+        FROM e CROSS JOIN cents
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, a, b,
+           CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END AS silhouette
+    FROM dists
+"""
+
+# q124: chi-square-style drift — HUGEINT squared-count intermediates,
+# floor division matching Spark's DECIMAL(38,0) `div`.
+def _q124_side_hist(side: str, col: str, width: int, tag: str) -> str:
+    return (
+        f"{tag} AS (SELECT CAST(floor({col} * 100 / {width}) AS BIGINT)"
+        f" AS bucket, CAST(COUNT(*) AS BIGINT) AS c_{tag}"
+        f" FROM {side} GROUP BY 1)"
+    )
+
+
+def _q124_col(col: str, width: int) -> str:
+    return f"""
+    SELECT '{col}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CAST((CAST(c1 - c2 AS HUGEINT) * (c1 - c2) * 1048576)
+                // CAST(c1 + c2 AS HUGEINT) AS BIGINT)) AS BIGINT) AS chi2_s
+    FROM (
+        SELECT COALESCE(c_h_{col}, 0) AS c1, COALESCE(c_s_{col}, 0) AS c2
+        FROM h_{col} FULL OUTER JOIN s_{col} USING (bucket)
+    )
+    """
+
+
+ORACLES["q124_dist_drift"] = (
+    "WITH "
+    + LINEITEM_PAIR_SQL_CTES.strip()
+    + ",\n"
+    + ",\n".join(
+        [
+            _q124_side_hist("hive_li", "l_quantity", 100, "h_l_quantity"),
+            _q124_side_hist("sf_li", "l_quantity", 100, "s_l_quantity"),
+            _q124_side_hist(
+                "hive_li", "l_extendedprice", 100000, "h_l_extendedprice"
+            ),
+            _q124_side_hist(
+                "sf_li", "l_extendedprice", 100000, "s_l_extendedprice"
+            ),
+        ]
+    )
+    + _q124_col("l_quantity", 100)
+    + " UNION ALL "
+    + _q124_col("l_extendedprice", 100000)
+)

@@ -3737,6 +3737,129 @@ def q121_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset catalog report — the multimodal ingest probe
+    (`multimodal/binaryops.py`) made driver-visible: documents become
+    opaque ``binary`` payloads (UTF-8 encode — the container has no
+    image codecs, but every op here is payload-agnostic), then per
+    source: asset count, total bytes, distinct content digests, and
+    distinct 4-byte magic prefixes — the dedup/auditing pass an asset
+    lake runs before any decode.  All stats are digest/length ops on
+    the binary column; nothing decodes."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+    ).select(
+        "source",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.substring(F.hex("payload"), 1, 8).alias("magic"),
+    )
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.count_distinct("digest").cast("long").alias("n_digests"),
+        F.count_distinct("magic").cast("long").alias("n_magics"),
+    )
+
+
+def q123_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified silhouette over the labeled embeddings —
+    the cluster-quality diagnostic an embedding pipeline runs after
+    training: a = squared-L2 to the OWN label centroid, b = min over
+    other labels, s = (b − a)/max(a, b).  Centroids ride the q70
+    dyadic-integer rail (exact under any partitioning) and broadcast
+    as a labels×d table (q75 shape); per-vector silhouettes are pure
+    row expressions, so the result is hash-stable — no cross-row
+    double aggregation anywhere."""
+    from sparkdiff.operators.retrieval import DYADIC_SCALE, squared_l2
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sums = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.floor(F.col("val") * DYADIC_SCALE)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+            lambda t: t["s"].cast("double")
+            / (t["n"] * F.lit(DYADIC_SCALE)).cast("double"),
+        ).alias("c")
+    )
+    dists = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", squared_l2("v", "c"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+            ).alias("a"),
+            F.min(
+                F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+            ).alias("b"),
+        )
+    )
+    s = F.when(
+        F.greatest("a", "b") == F.lit(0.0), F.lit(0.0)
+    ).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return dists.select(
+        "vec_id", "label", "a", "b", s.alias("silhouette")
+    )
+
+
+def q124_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift statistic between the hive/sf lineitem pair —
+    the PSI-class check a re-validation pipeline runs per column when
+    profiles (q107) disagree: fixed-width histograms per side, full-
+    outer bucket join, and a chi-square-style score
+    ``Σ (c1−c2)²·2^20 div (c1+c2)`` in exact integers through
+    DECIMAL(38,0) (squared web-scale counts overflow BIGINT; log-based
+    PSI is not hash-portable).  Buckets are value-domain-bounded, so
+    the stat table is tiny regardless of row count."""
+    hive, sf = testkit.lineitem_pair(spark, sf_dir)
+
+    def hist(df: DataFrame, col: str, width: int, side: str) -> DataFrame:
+        return (
+            df.select(
+                (F.floor(F.col(col) * 100 / width)).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{side}"))
+        )
+
+    def drift(col: str, width: int) -> DataFrame:
+        h = hist(hive, col, width, "h")
+        s = hist(sf, col, width, "s")
+        j = h.join(s, "bucket", "full_outer").select(
+            F.coalesce("c_h", F.lit(0)).alias("c1"),
+            F.coalesce("c_s", F.lit(0)).alias("c2"),
+        )
+        contrib = F.expr(
+            "CAST((CAST(c1 - c2 AS DECIMAL(38,0)) * (c1 - c2) * 1048576)"
+            " div CAST(c1 + c2 AS DECIMAL(38,0)) AS BIGINT)"
+        )
+        return (
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum(contrib).cast("long").alias("chi2_s"),
+            )
+            .select(F.lit(col).alias("column"), "n_buckets", "chi2_s")
+        )
+
+    return drift("l_quantity", 100).unionByName(
+        drift("l_extendedprice", 100_000)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3859,4 +3982,7 @@ QUERIES: dict[str, callable] = {
     "q119_returned_items": q119_returned_items,
     "q120_large_orders": q120_large_orders,
     "q121_ivf_ann": q121_ivf_ann,
+    "q122_binary_assets": q122_binary_assets,
+    "q123_label_silhouette": q123_label_silhouette,
+    "q124_dist_drift": q124_dist_drift,
 }

@@ -96,6 +96,9 @@ _INTENTIONAL_NLJ = {
     # query probing (the q75 shape); list membership and candidate
     # ranking are equi-joins/windows.
     "q121_ivf_ann",
+    # q123 broadcasts the labels×d centroid table over the vectors
+    # (q75 shape) for the per-vector silhouette distances.
+    "q123_label_silhouette",
 }
 
 
