@@ -3175,3 +3175,72 @@ ORACLES["q124_dist_drift"] = (
     + " UNION ALL "
     + _q124_col("l_extendedprice", 100000)
 )
+
+
+# q125: the oracle is the quadratic all-pairs SPEC; the engine's
+# prefix-filter candidates + verify must reproduce it exactly (the
+# prefix bound is lossless by the Bayardo/PPJoin argument).
+ORACLES["q125_setsim_prefix_join"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS s
+        FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN u = 0 THEN 0.0
+                ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END AS jaccard
+    FROM pairs
+    WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5
+"""
+
+# q126: recall@3 of the q121 IVF against the exact brute-force top-3
+# (same distance fold); the IVF side replays the full q121 oracle.
+_Q126_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(c.v)), i -> (c.v[i] - q.v[i])"
+    " * (c.v[i] - q.v[i]))), (acc, x) -> acc + x)"
+)
+ORACLES["q126_ann_recall"] = f"""
+    WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ex AS (
+        SELECT query_id, ex_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS ex_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_Q126_DIST} ASC, c.vec_id ASC) AS rn
+            FROM ev c CROSS JOIN (SELECT * FROM ev WHERE vec_id < 5) q
+        ) WHERE rn <= 3
+    ),
+    ivf AS (
+        SELECT query_id, corpus_id AS ivf_id
+        FROM ({ORACLES['q121_ivf_ann']})
+    ),
+    hits AS (
+        SELECT e.query_id FROM ex e
+        WHERE EXISTS (SELECT 1 FROM ivf i
+                      WHERE i.query_id = e.query_id
+                        AND i.ivf_id = e.ex_id)
+    ),
+    h AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM hits GROUP BY query_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM ex e LEFT JOIN h ON e.query_id = h.query_id
+    GROUP BY e.query_id
+"""

@@ -3860,6 +3860,138 @@ def q124_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs/
+    PPJoin family, Bayardo et al. 2007) — the deterministic-complete
+    alternative to LSH for threshold Jaccard: order each doc's token
+    set by ascending global frequency (rarest first); two sets with
+    Jaccard ≥ t MUST share a token among their first
+    ``⌊(1−t)·|x|⌋ + 1`` — so candidate pairs come from an equi-join on
+    PREFIX tokens only, and the verify step computes exact Jaccard on
+    candidates.  Unlike q25's MinHash (probabilistic recall), the
+    result provably equals the all-pairs scan the oracle runs.  Prefix
+    tokens are rare by construction, so the join fans out tiny
+    candidate lists; the 1-in-5 doc sample keeps the oracle's
+    quadratic spec cheap."""
+    from pyspark.sql import Window
+
+    t = 0.5
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    toks = _tokenized_docs(d).select(
+        "doc_id", F.array_distinct("_toks").alias("s")
+    )
+    freq = (
+        toks.select(F.explode("s").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        toks.select("doc_id", F.explode("s").alias("w"))
+        .join(freq, "w")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "w")
+            ),
+        )
+    )
+    sized = ordered.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.floor((1 - t) * F.col("sz")) + 1
+    ).select("doc_id", "w")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "w")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "w")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
+    )
+    sb = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the deterministic IVF
+    search (q121) against the exact brute-force top-3, per query —
+    the measurement a pipeline runs before trusting an approximate
+    index.  Both sides are deterministic, so the recall report itself
+    is value-hash-checked: the driver verifies not just that the ANN
+    runs, but exactly HOW approximate it is.  Exact side broadcasts
+    the 5-query set over one corpus scan (q24 shape); the join of two
+    top-3 lists is trivially small."""
+    from sparkdiff.operators.retrieval import (
+        ivf_topk_deterministic,
+        squared_l2,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ivf = q121_ivf_ann(spark, sf_dir).select(
+        F.col("query_id"), F.col("corpus_id").alias("ivf_id")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("_qid"), F.col("v").alias("_qv")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_qid").orderBy("dist", "vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("dist", squared_l2("v", "_qv"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select(F.col("_qid").alias("query_id"), F.col("vec_id").alias("ex_id"))
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"])
+        & (exact["ex_id"] == ivf["ivf_id"]),
+        "left_semi",
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -3985,4 +4117,6 @@ QUERIES: dict[str, callable] = {
     "q122_binary_assets": q122_binary_assets,
     "q123_label_silhouette": q123_label_silhouette,
     "q124_dist_drift": q124_dist_drift,
+    "q125_setsim_prefix_join": q125_setsim_prefix_join,
+    "q126_ann_recall": q126_ann_recall,
 }

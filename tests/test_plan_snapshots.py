@@ -99,6 +99,9 @@ _INTENTIONAL_NLJ = {
     # q123 broadcasts the labels×d centroid table over the vectors
     # (q75 shape) for the per-vector silhouette distances.
     "q123_label_silhouette",
+    # q126 embeds q121's centroid broadcasts and adds the exact side's
+    # 5-query broadcast over one corpus scan (q24 shape).
+    "q126_ann_recall",
 }
 
 
