@@ -3244,3 +3244,75 @@ ORACLES["q126_ann_recall"] = f"""
     FROM ex e LEFT JOIN h ON e.query_id = h.query_id
     GROUP BY e.query_id
 """
+
+
+# q127: leave-one-out 3-NN majority vote — same distance fold; vote
+# tiebreak (count desc, label asc) matches the engine window.
+_Q127_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(c.v)), i -> (c.v[i] - q.v[i])"
+    " * (c.v[i] - q.v[i]))), (acc, x) -> acc + x)"
+)
+ORACLES["q127_knn_accuracy"] = f"""
+    WITH ev AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    nn AS (
+        SELECT qid, true_label, label FROM (
+            SELECT q.vec_id AS qid, q.label AS true_label,
+                   c.label AS label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_Q127_DIST} ASC, c.vec_id ASC) AS rn
+            FROM ev c
+            CROSS JOIN (SELECT * FROM ev WHERE vec_id % 4 = 0) q
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rn <= 3
+    ),
+    votes AS (
+        SELECT qid, true_label, label AS pred_label FROM (
+            SELECT qid, true_label, label, COUNT(*) AS nv,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY COUNT(*) DESC, label ASC) AS vr
+            FROM nn GROUP BY qid, true_label, label
+        ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CAST(pred_label = true_label AS INTEGER)) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CAST(pred_label = true_label AS INTEGER)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM votes
+    GROUP BY true_label
+"""
+
+# q128: Gini by the rank formula — HUGEINT rank-weighted sums, one
+# double division at the end.
+ORACLES["q128_customer_gini"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (
+                   ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               SUM(CAST(i AS HUGEINT) * cents) AS ws
+        FROM ranked
+    )
+    SELECT n, total_cents,
+           2.0 * CAST(ws AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+"""

@@ -3992,6 +3992,106 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation over the labeled embeddings:
+    leave-one-out 3-NN majority vote (exact L2, self excluded,
+    ties broken toward the smaller label) scored against the true
+    label, reported per class — the sanity eval an embedding pipeline
+    runs to check that its vectors separate classes at all.  A 1-in-4
+    query sample bounds the all-pairs term; corpus-side work is one
+    scan per the broadcast-queries shape (q24), and the vote is a
+    bounded 3-row-per-query aggregate."""
+    from pyspark.sql import Window
+    from sparkdiff.operators.retrieval import squared_l2
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("_qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("_qv"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_qid").orderBy("dist", "vec_id")
+    )
+    nn = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .withColumn("dist", squared_l2("v", "_qv"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+    )
+    votes = (
+        nn.groupBy("_qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.desc("nv"), F.asc("label")
+                )
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select(
+            "_qid",
+            "true_label",
+            F.col("label").alias("pred_label"),
+        )
+    )
+    return votes.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        )
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+def q128_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number companion to q117's decile curve, computed with the
+    rank formula ``G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n`` entirely in
+    exact integers (rank-weighted cent sums in DECIMAL(38,0) — i·cᵢ
+    overflows BIGINT at warehouse scale) with ONE double division at
+    the end.  The rank window runs over the per-customer aggregate
+    (customers ≪ orders), never the order stream."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.expr("CAST(i AS DECIMAL(38,0)) * cents")
+        ).alias("_ws"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("_ws").cast("double")
+        / (F.col("n").cast("double") * F.col("total_cents").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select("n", "total_cents", gini.alias("gini"))
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4119,4 +4219,6 @@ QUERIES: dict[str, callable] = {
     "q124_dist_drift": q124_dist_drift,
     "q125_setsim_prefix_join": q125_setsim_prefix_join,
     "q126_ann_recall": q126_ann_recall,
+    "q127_knn_accuracy": q127_knn_accuracy,
+    "q128_customer_gini": q128_customer_gini,
 }

@@ -102,6 +102,9 @@ _INTENTIONAL_NLJ = {
     # q126 embeds q121's centroid broadcasts and adds the exact side's
     # 5-query broadcast over one corpus scan (q24 shape).
     "q126_ann_recall",
+    # q127 broadcasts the 1-in-4 query sample over one corpus scan
+    # (q24 shape) for the leave-one-out neighbor search.
+    "q127_knn_accuracy",
 }
 
 
