@@ -46,6 +46,21 @@ def squared_l2(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def squared_l2_flat(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Codegen-able flat twin of :func:`squared_l2` for a KNOWN dim:
+    same left-to-right addition order, so bit-identical to the fold
+    (0.0 + x == x), but whole-stage-codegen'd instead of the
+    CodegenFallback HOF — the difference between ~9 s and ~2 s on a
+    500-query × 2000-vector × 64-dim neighbor scan (q127)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out: Column | None = None
+    for i in range(dim):
+        term = (a[i] - b[i]) * (a[i] - b[i])
+        out = term if out is None else out + term
+    return out if out is not None else F.lit(0.0)
+
+
 def kmeans_assign(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -3183,11 +3183,13 @@ ORACLES["q124_dist_drift"] = (
 ORACLES["q125_setsim_prefix_join"] = """
     WITH t AS (
         SELECT doc_id,
-               list_distinct(list_filter(
-                   string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS s
+               list_transform(
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> length(x) > 0)),
+                   x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS s
         FROM documents
-        WHERE doc_id % 5 = 0
+        WHERE doc_id % 10 = 0
     ),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3199,7 +3201,7 @@ ORACLES["q125_setsim_prefix_join"] = """
            CASE WHEN u = 0 THEN 0.0
                 ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END AS jaccard
     FROM pairs
-    WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5
+    WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
 """
 
 # q126: recall@3 of the q121 IVF against the exact brute-force top-3

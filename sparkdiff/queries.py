@@ -3870,17 +3870,27 @@ def q125_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX tokens only, and the verify step computes exact Jaccard on
     candidates.  Unlike q25's MinHash (probabilistic recall), the
     result provably equals the all-pairs scan the oracle runs.  Prefix
-    tokens are rare by construction, so the join fans out tiny
-    candidate lists; the 1-in-5 doc sample keeps the oracle's
+    tokens are rare by construction, so on a natural corpus the join
+    fans out tiny candidate lists (the synthetic testdata's 31-word
+    vocabulary is the adversarial worst case — nearly every pair
+    really is similar, so the candidate set is legitimately dense);
+    token sets travel as 60-bit md5 longs (string intersects measured
+    1.7x slower), and the 1-in-10 doc sample keeps the oracle's
     quadratic spec cheap."""
     from pyspark.sql import Window
 
-    t = 0.5
+    t = 0.8
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 5 == 0
+        F.col("doc_id") % 10 == 0
     )
     toks = _tokenized_docs(d).select(
-        "doc_id", F.array_distinct("_toks").alias("s")
+        "doc_id",
+        F.transform(
+            F.array_distinct("_toks"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("s"),
     )
     freq = (
         toks.select(F.explode("s").alias("w"))
@@ -3999,14 +4009,17 @@ def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, reported per class — the sanity eval an embedding pipeline
     runs to check that its vectors separate classes at all.  A 1-in-4
     query sample bounds the all-pairs term; corpus-side work is one
-    scan per the broadcast-queries shape (q24), and the vote is a
-    bounded 3-row-per-query aggregate."""
+    scan per the broadcast-queries shape (q24) with the FLAT codegen'd
+    distance (the HOF fold is CodegenFallback — 4.5x slower on this
+    500-query scan), and the vote is a bounded 3-row-per-query
+    aggregate."""
     from pyspark.sql import Window
-    from sparkdiff.operators.retrieval import squared_l2
+    from sparkdiff.operators.retrieval import squared_l2_flat
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    dim = len(e.select("v").first()[0])  # one row — bounded probe
     q = e.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("_qid"),
         F.col("label").alias("true_label"),
@@ -4018,7 +4031,7 @@ def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("_qid"))
-        .withColumn("dist", squared_l2("v", "_qv"))
+        .withColumn("dist", squared_l2_flat("v", "_qv", dim))
         .withColumn("rn", rn)
         .filter(F.col("rn") <= 3)
     )
