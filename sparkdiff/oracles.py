@@ -3318,3 +3318,59 @@ ORACLES["q128_customer_gini"] = """
                - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
     FROM agg
 """
+
+
+# q129: gaps-and-islands union of 5-minute activity windows.
+ORACLES["q129_active_time"] = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS s,
+               epoch_ms(ts) + 300000 AS t, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, t, event_id,
+               CASE WHEN max(t) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) IS NULL
+                     OR s > max(t) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    islands AS (
+        SELECT user_id,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island,
+               s, t
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS i_start, MAX(t) AS i_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS active_ms
+    FROM merged
+    GROUP BY user_id
+"""
+
+# q130: MoM growth — lag over the bounded month table.
+ORACLES["q130_monthly_growth"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, cents,
+           CAST(cents - lag(cents) OVER (ORDER BY month) AS DOUBLE)
+               / CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE)
+               AS growth
+    FROM monthly
+"""

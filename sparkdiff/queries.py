@@ -4105,6 +4105,78 @@ def q128_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("n", "total_cents", gini.alias("gini"))
 
 
+def q129_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total ACTIVE time — each event opens a 5-minute
+    activity window, overlapping windows merge, and the union length
+    is reported: the gaps-and-islands pattern (new island when a
+    window starts after the running max end; island id = running
+    count of starts) that de-double-counts bursty activity the naive
+    Σ durations would inflate.  Two windows over one (user | ts,
+    event_id) spec → one shuffle; all arithmetic is epoch-millis
+    longs."""
+    from pyspark.sql import Window
+
+    W_MS = 5 * 60 * 1000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + W_MS).alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("t").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = e.select(
+        "user_id",
+        "s",
+        "t",
+        "event_id",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    island = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        marked.select("user_id", "s", "t", island.alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("i_start"), F.max("t").alias("i_end"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start"))
+        .cast("long")
+        .alias("active_ms"),
+    )
+
+
+def q130_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order revenue growth — the reporting staple:
+    monthly totals in exact cents, previous month via lag over the
+    BOUNDED month table (the time range in months, never the order
+    stream), growth as the one final double division; NULL for the
+    first month rides through both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "cents",
+        (
+            (F.col("cents") - prev).cast("double") / prev.cast("double")
+        ).alias("growth"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4234,4 +4306,6 @@ QUERIES: dict[str, callable] = {
     "q126_ann_recall": q126_ann_recall,
     "q127_knn_accuracy": q127_knn_accuracy,
     "q128_customer_gini": q128_customer_gini,
+    "q129_active_time": q129_active_time,
+    "q130_monthly_growth": q130_monthly_growth,
 }
