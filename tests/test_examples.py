@@ -59,3 +59,10 @@ def test_event_analytics_pipeline_example():
     assert "funnel 1_view" in stdout
     assert "attribution:" in stdout
     assert "peak concurrency:" in stdout
+
+
+def test_staged_revalidation_pipeline_example():
+    stdout = _run("staged_revalidation_pipeline.py")
+    assert "stage 1 profile drift" in stdout
+    assert "stage 2 dist drift l_quantity" in stdout
+    assert "stage 3 cell diff: l_extendedprice" in stdout
