@@ -51,13 +51,20 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums with a late-data watermark — the
-    streaming twin of q28 (state is bounded by the watermark horizon, so
-    this runs indefinitely on an unbounded source)."""
+    """Tumbling- (or, with ``slide``, sliding-) window counts/sums with
+    a late-data watermark — the streaming twin of q28/q114 (state is
+    bounded by the watermark horizon × windows-per-event, so this runs
+    indefinitely on an unbounded source)."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(

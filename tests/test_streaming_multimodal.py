@@ -631,3 +631,35 @@ def test_cdc_checksum_stream_drains_to_final_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_sliding_window_stream_matches_q114_batch(spark, tmp_path):
+    """The SLIDING streaming window agg (30min/10min, the q114 shape)
+    must agree with q114's batch result on counts per (window, type) —
+    the overlapping-window streaming path, watermark-bounded state."""
+    from sparkdiff.queries import QUERIES
+
+    stream = read_events_stream(spark, SF_DIR_SMALL)
+    agg = windowed_event_counts(
+        stream, window="30 minutes", watermark="2 hours", slide="10 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r.window_start.timestamp()), r.event_type): r.n
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    batch = {
+        (r.w_start, r.event_type): r.n
+        for r in QUERIES["q114_sliding_windows"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
