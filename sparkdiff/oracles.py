@@ -3374,3 +3374,53 @@ ORACLES["q130_monthly_growth"] = """
                AS growth
     FROM monthly
 """
+
+
+# q131: histogram intersection in exact integers — HUGEINT cross
+# products, one final division.
+ORACLES["q131_source_similarity"] = """
+    WITH tok AS (
+        SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> length(x) > 0)) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ),
+    totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source
+    ),
+    sides AS (
+        SELECT c.source, c.w, c.c, t.n
+        FROM counts c JOIN totals t USING (source)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(least(CAST(a.c AS HUGEINT) * b.n,
+                          CAST(b.c AS HUGEINT) * a.n)) AS DOUBLE)
+               / (CAST(MAX(a.n) AS DOUBLE) * CAST(MAX(b.n) AS DOUBLE))
+               AS similarity
+    FROM sides a JOIN sides b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+# q132: DAU split into new vs returning via the first-seen aggregate.
+ORACLES["q132_growth_accounting"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+        SELECT user_id, MIN(day) AS first_day
+        FROM active GROUP BY user_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(SUM(CAST(day = first_day AS INTEGER)) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CAST(day <> first_day AS INTEGER)) AS BIGINT)
+               AS returning_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY day
+"""

@@ -4177,6 +4177,87 @@ def q130_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-source similarity by token-histogram
+    intersection ``Σ min(p_i, q_i)`` — the domain-mixture diagnostic
+    (how much do two sources' vocabulary distributions overlap) made
+    engine-exact: with per-source counts c and totals N, the
+    intersection is ``Σ min(c1·N2, c2·N1) / (N1·N2)``, all integer
+    until the one final division (products of web-scale counts ride
+    DECIMAL(38,0)).  Shape: one token explode → (source, token) counts
+    → a token-key self-join (vocabulary-sized sides, unhinted) → a
+    source-pair aggregate bounded by |sources|²."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokenized_docs(d, extra=("source",))
+    tok = t.select("source", F.explode("_toks").alias("w"))
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = counts.join(totals, "source").select(
+        F.col("source").alias("src_a"),
+        "w",
+        F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    b = counts.join(totals, "source").select(
+        F.col("source").alias("src_b"),
+        "w",
+        F.col("c").alias("c2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    inter_term = F.expr(
+        "least(CAST(c1 AS DECIMAL(38,0)) * n2,"
+        " CAST(c2 AS DECIMAL(38,0)) * n1)"
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.sum(inter_term).alias("_s"),
+            F.max("n1").alias("_n1"),
+            F.max("n2").alias("_n2"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_n1").cast("double") * F.col("_n2").cast("double"))
+            ).alias("similarity"),
+        )
+    )
+
+
+def q132_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users per day split into NEW
+    (first-ever activity today) vs RETURNING — the DAU decomposition
+    every product warehouse reports.  First-seen is one min-aggregate
+    on user_id (map-side combined); the daily split is an equi-join of
+    the per-(user, day) activity against it — no window over the
+    stream, both tables are user- or day-bounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = e.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4308,4 +4389,6 @@ QUERIES: dict[str, callable] = {
     "q128_customer_gini": q128_customer_gini,
     "q129_active_time": q129_active_time,
     "q130_monthly_growth": q130_monthly_growth,
+    "q131_source_similarity": q131_source_similarity,
+    "q132_growth_accounting": q132_growth_accounting,
 }
