@@ -3362,7 +3362,7 @@ ORACLES["q129_active_time"] = """
 # q130: MoM growth — lag over the bounded month table.
 ORACLES["q130_monthly_growth"] = """
     WITH monthly AS (
-        SELECT date_trunc('month', o_orderdate) AS month,
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                     AS BIGINT) AS cents

@@ -4160,7 +4160,10 @@ def q130_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month")
+        # to_date: Spark date_trunc yields TIMESTAMP where DuckDB's
+        # yields DATE — cast both sides so even a strict typed compare
+        # (not just the driver's midnight-collapsing hash) agrees
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(_cents("o_totalprice")).cast("long").alias("cents"),
