@@ -3424,3 +3424,32 @@ ORACLES["q132_growth_accounting"] = """
     FROM active JOIN first USING (user_id)
     GROUP BY day
 """
+
+
+# q133: DAU/WAU stickiness — the contribution-table rewrite for
+# rolling distincts; report days need a full 7-day history.
+ORACLES["q133_stickiness"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM active GROUP BY day
+    ),
+    contrib AS (
+        SELECT user_id,
+               unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS rday
+        FROM active
+    ),
+    wau AS (
+        SELECT CAST(rday AS DATE) AS rday,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1
+    ),
+    span AS (SELECT MIN(day) AS d0 FROM active)
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.rday
+    CROSS JOIN span
+    WHERE date_diff('day', d0, d.day) >= 6
+"""

@@ -4261,6 +4261,51 @@ def q132_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    warehouse tracks.  Rolling DISTINCT users can't ride a window
+    aggregate (distinct state is not mergeable), so each (user, day)
+    activity row CONTRIBUTES itself to the 7 trailing report days
+    (a bounded ×7 explode — the standard contribution-table rewrite),
+    and WAU is then a plain distinct count per report day.  Report
+    days are restricted to those with ≥7 days of history so every WAU
+    is a full window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = e.distinct()
+    dau = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("rday"),
+    )
+    wau = contrib.groupBy("rday").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    span = active.groupBy().agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["rday"])
+        .crossJoin(F.broadcast(span))
+        .filter(F.datediff(F.col("day"), F.col("d0")) >= 6)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.col("dau").cast("double") / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4394,4 +4439,5 @@ QUERIES: dict[str, callable] = {
     "q130_monthly_growth": q130_monthly_growth,
     "q131_source_similarity": q131_source_similarity,
     "q132_growth_accounting": q132_growth_accounting,
+    "q133_stickiness": q133_stickiness,
 }

@@ -105,6 +105,9 @@ _INTENTIONAL_NLJ = {
     # q127 broadcasts the 1-in-4 query sample over one corpus scan
     # (q24 shape) for the leave-one-out neighbor search.
     "q127_knn_accuracy",
+    # q133 broadcasts the ONE-ROW date-span aggregate over the daily
+    # report table (q76/q90 stats shape).
+    "q133_stickiness",
 }
 
 
