@@ -1,12 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "sf": ...}.
+COMPACT JSON line (~200 bytes): {"metric", "value", "unit", "sf",
+"n_queries", "n_errors", ...}.  Per-query medians, per-run samples, row
+counts and errors are written to BENCH_DETAIL.json beside this script —
+the driver captures only a bounded tail of stdout (~2.5 KB), and the
+round-2/3 benches went unrecorded because the full 133-query line
+(~18 KB) overflowed it.
 
 Each query is evaluated $SPARK_GRAFT_BENCH_N times (default 3) and the
 MEDIAN is reported, so round-over-round regressions are attributable to
-code rather than scheduler noise; per-run samples, row counts and
-rows/sec normalization ride along under "queries_detail".
+code rather than scheduler noise.
 """
 
 from __future__ import annotations
@@ -39,7 +42,12 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(QUERIES.items()):
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    selected = sorted(QUERIES.items())
+    if only:
+        pats = [p.strip() for p in only.split(",") if p.strip()]
+        selected = [(n, f) for n, f in selected if any(p in n for p in pats)]
+    for name, fn in selected:
         # One broken query must cost ONE null entry, never the whole
         # bench: round 2 lost all 68 timings to a single failing scan.
         try:
@@ -66,7 +74,7 @@ def main() -> None:
         }
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
-    out = {
+    full = {
         "metric": "sparkdiff_total_query_time",
         "value": total,
         "unit": "sec",
@@ -76,8 +84,25 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # stdout gets a compact line only (the driver's tail capture is small);
+    # everything else lives in BENCH_DETAIL.json.
+    compact = {
+        "metric": "sparkdiff_total_query_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "n_runs": n_runs,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
