@@ -72,6 +72,9 @@ def main() -> None:
             "rows": rows,
             "rows_per_sec": round(rows / med, 1) if med > 0 else None,
         }
+        # several queries persist() bounded intermediates; drop them so
+        # cached tables don't accumulate across the 133-query run
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
     full = {

@@ -69,6 +69,7 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("_c").alias("_s"))
         )
+        prev = r
         r = (
             r.join(contrib, "node", "left")
             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(0)))
@@ -81,7 +82,15 @@ def pagerank(
             # per-round persist: each round references the previous rank
             # table twice (contribution join + state join), so an
             # unpersisted lineage doubles per iteration; the state is
-            # one row per node — the standard Pregel checkpoint
+            # one row per node — the standard Pregel checkpoint.
+            # Materialize the new round eagerly, then drop the
+            # superseded one: live cache is bounded at 2 node-sized
+            # tables instead of accumulating one per round for the
+            # session lifetime (registry-wide bench runs hold many
+            # queries).
             .persist()
         )
+        r.count()
+        if prev.is_cached:
+            prev.unpersist()
     return r.select("node", "deg", "rank_s")

@@ -136,3 +136,58 @@ def _dist_quantiles(
             F.when(frac == 0, lo).otherwise(cofrac * lo + frac * hi).alias(out)
         )
     return grouped.select(*keys, *outs, "n")
+
+
+def scalable_row_number(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exact global ``row_number`` over a TOTAL order without funneling
+    the table through one task.
+
+    ``Window.orderBy(...)`` with no ``partitionBy`` plans an
+    ``Exchange SinglePartition`` — every row through one reducer, the
+    classic warehouse-scale cliff.  This rail keeps the same exact
+    semantics with three bounded pieces:
+
+    1. ``repartitionByRange`` on the sort key — a parallel external
+       sort; range buckets are globally ordered by partition id and
+       equal keys land in one bucket,
+    2. a LOCAL ``row_number`` per range bucket (window partitioned by
+       ``spark_partition_id()`` — parallelism = #buckets),
+    3. the cumulative bucket-count offset joined back as a broadcast —
+       the only small-table state is the #partitions-row counts table
+       (offset = Σ counts of lower buckets via a bounded broadcast
+       non-equi join, no SinglePartition exchange anywhere).
+
+    ``order_cols`` must be a total order (include a unique tiebreak) so
+    the result is deterministic regardless of where the range sampler
+    places bucket boundaries.  Correctness does not depend on the two
+    uses of the range exchange picking identical boundaries — but they
+    do anyway (canonical-subtree exchange reuse).
+    """
+    order_cols = list(order_cols)
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = part.withColumn("_lrn", F.row_number().over(w))
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.select(
+                F.col("_pid").alias("_bpid"), F.col("_c").alias("_bc")
+            )),
+            F.col("_bpid") < F.col("_pid"),
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).cast("long").alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -154,6 +154,8 @@ def ivf_topk_deterministic(
     query probe); per-query candidate work is |corpus|·n_probe/k; the
     final top-k is a per-query window over candidates.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     e = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -415,7 +415,7 @@ def semdedup(
     equi-join on the cluster id, so it shuffles each vector once.
 
     The threshold test uses the MULTIPLICATIVE cosine form
-    ``dot(a,b) ≥ t · (‖a‖ · ‖b‖) AND dot(a,b) > 0`` with the norms
+    ``dot(a,b) ≥ t · (‖a‖ · ‖b‖) AND ‖a‖ · ‖b‖ > 0`` with the norms
     computed once per ROW (flat codegen'd sums, carried as scalar
     columns through the pair join).  The ``‖a‖·‖b‖ > 0`` conjunct is
     the zero-norm guard (rhs = 0 would make the threshold test

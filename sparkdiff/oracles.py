@@ -3249,7 +3249,9 @@ ORACLES["q126_ann_recall"] = f"""
 
 
 # q127: leave-one-out 3-NN majority vote — same distance fold; vote
-# tiebreak (count desc, label asc) matches the engine window.
+# tiebreak (count desc, label asc) matches the engine window.  The
+# fixed 256-query eval sample (smallest md5(vec_id), vec_id tiebreak)
+# mirrors the engine's TakeOrderedAndProject budget.
 _Q127_DIST = (
     "list_reduce(list_prepend(0.0, list_transform("
     "generate_series(1, len(c.v)), i -> (c.v[i] - q.v[i])"
@@ -3268,7 +3270,9 @@ ORACLES["q127_knn_accuracy"] = f"""
                        PARTITION BY q.vec_id
                        ORDER BY {_Q127_DIST} ASC, c.vec_id ASC) AS rn
             FROM ev c
-            CROSS JOIN (SELECT * FROM ev WHERE vec_id % 4 = 0) q
+            CROSS JOIN (SELECT * FROM ev
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                        LIMIT 256) q
             WHERE c.vec_id <> q.vec_id
         ) WHERE rn <= 3
     ),

@@ -2758,8 +2758,12 @@ def q97_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q98_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency: how many 30-min-gap sessions (q29
-    semantics) are simultaneously open, per minute — the top-10 busiest
-    minutes.  The scale shape is the interval-counting classic done
+    semantics) are simultaneously open — the top-10 busiest among the
+    concurrency CHANGE-POINT minutes (the running sum is evaluated at
+    boundary-delta minutes, so a flat plateau spanning several minutes
+    reports once, at its first minute; the oracle and tests pin the
+    same change-point semantics).  The scale shape is the
+    interval-counting classic done
     right: sessions emit +1/-1 boundary deltas, deltas aggregate onto
     minute buckets (map-side combined; the shuffle carries one row per
     DISTINCT minute, never one per event), and the running sum orders a
@@ -3576,20 +3580,33 @@ def q117_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto/ABC) curve: customers ranked by
     spend, bucketed into deciles by RANK (top-10% of customers first),
     each decile reporting its share of total revenue — the "does 20%
-    of the base drive 80% of revenue" report.  The global rank window
-    runs over the per-customer AGGREGATE (customers ≪ orders — the
-    stream is never globally sorted); revenue shares divide exact
+    of the base drive 80% of revenue" report.  The exact global rank
+    comes from the :func:`scalable_row_number` rail (range-partitioned
+    local windows + broadcast bucket offsets — NO single-partition
+    Exchange; at warehouse scale 10^8 customers would otherwise funnel
+    through one reducer), and ntile's bucket arithmetic is reproduced
+    from (rn, n) in exact integer DIV; revenue shares divide exact
     cent-longs by the one total at the end."""
-    from pyspark.sql import Window
+    from sparkdiff.operators.quantiles import scalable_row_number
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.select(
+    rn = scalable_row_number(
+        per_cust, [F.desc("cents"), F.asc("o_custkey")], "rn"
+    )
+    n_row = per_cust.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # ntile(10) from (rn, n): the first n%10 buckets hold n DIV 10 + 1
+    # rows, the rest n DIV 10 — identical to Spark/DuckDB NTILE.
+    ranked = rn.crossJoin(F.broadcast(n_row)).select(
         "cents",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.expr(
+            "CAST(CASE WHEN rn <= (_n % 10) * (_n DIV 10 + 1) "
+            "THEN (rn - 1) DIV (_n DIV 10 + 1) + 1 "
+            "ELSE (_n % 10) + (rn - (_n % 10) * (_n DIV 10 + 1) - 1)"
+            " DIV (_n DIV 10) + 1 END AS BIGINT)"
+        ).alias("decile"),
     )
     tot = ranked.groupBy().agg(
         F.sum("cents").cast("long").alias("total_cents")
@@ -3876,7 +3893,21 @@ def q125_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     really is similar, so the candidate set is legitimately dense);
     token sets travel as 60-bit md5 longs (string intersects measured
     1.7x slower), and the 1-in-10 doc sample keeps the oracle's
-    quadratic spec cheap."""
+    quadratic spec cheap.
+
+    Two further PPJoin prunes run BEFORE the verify join, both exact
+    integer forms of provable bounds (so no true pair is dropped and
+    the oracle hash is unchanged):
+
+    - length ratio: J ≥ 0.8 forces ``5·min(|x|,|y|) ≥ 4·max(|x|,|y|)``
+      — applied per match row, ahead of the pair-dedup shuffle;
+    - positional upper bound: a match at positions (pa, pb) bounds the
+      total overlap by ``min(pa−1, pb−1) + 1 + min(|x|−pa, |y|−pb)``
+      (shared-before tokens sit before the match in BOTH orders,
+      shared-after sit after in both); the pair's tightest bound (a
+      plain MIN aggregate replacing the old DISTINCT — same shuffle)
+      must reach the overlap requirement ``⌈4(|x|+|y|)/9⌉``
+      (= t/(1+t)·S for t = 0.8), checked as ``9·ub ≥ 4·S``."""
     from pyspark.sql import Window
 
     t = 0.8
@@ -3912,14 +3943,38 @@ def q125_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = sized.filter(
         F.col("pos") <= F.floor((1 - t) * F.col("sz")) + 1
-    ).select("doc_id", "w")
-    a = prefix.select(F.col("doc_id").alias("id_a"), "w")
-    b = prefix.select(F.col("doc_id").alias("id_b"), "w")
+    ).select("doc_id", "w", "pos", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"),
+        "w",
+        F.col("pos").alias("pa"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"),
+        "w",
+        F.col("pos").alias("pb"),
+        F.col("sz").alias("sz_b"),
+    )
+    # per-match positional overlap bound (see docstring); pair bound =
+    # MIN over matches, then the exact-integer overlap requirement
+    match_ub = (
+        F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + 1
+        + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+    )
     cand = (
         a.join(b, "w")
         .filter(F.col("id_a") < F.col("id_b"))
+        # exact-integer length-ratio prune (5*min >= 4*max for t=0.8),
+        # ahead of the pair-dedup shuffle
+        .filter(
+            F.least("sz_a", "sz_b") * 5 >= F.greatest("sz_a", "sz_b") * 4
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min(match_ub).alias("_ub"))
+        .filter(F.col("_ub") * 9 >= (F.col("sz_a") + F.col("sz_b")) * 4)
         .select("id_a", "id_b")
-        .distinct()
     )
     sa = toks.select(
         F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
@@ -4007,23 +4062,31 @@ def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave-one-out 3-NN majority vote (exact L2, self excluded,
     ties broken toward the smaller label) scored against the true
     label, reported per class — the sanity eval an embedding pipeline
-    runs to check that its vectors separate classes at all.  A 1-in-4
-    query sample bounds the all-pairs term; corpus-side work is one
-    scan per the broadcast-queries shape (q24) with the FLAT codegen'd
-    distance (the HOF fold is CodegenFallback — 4.5x slower on this
-    500-query scan), and the vote is a bounded 3-row-per-query
-    aggregate."""
+    runs to check that its vectors separate classes at all.  The eval
+    sample is a FIXED budget — the 256 smallest md5(vec_id) hashes via
+    TakeOrderedAndProject — so the broadcast side and the scan cost
+    stay O(corpus x 256) at any corpus size (the previous ``vec_id % 4``
+    sample grew the broadcast linearly with the corpus and made the
+    scan O(n^2/4)).  Corpus-side work is one scan per the
+    broadcast-queries shape (q24) with the FLAT codegen'd distance
+    (the HOF fold is CodegenFallback — 4.5x slower here), and the
+    vote is a bounded 3-row-per-query aggregate."""
     from pyspark.sql import Window
     from sparkdiff.operators.retrieval import squared_l2_flat
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = len(e.select("v").first()[0])  # one row — bounded probe
-    q = e.filter(F.col("vec_id") % 4 == 0).select(
-        F.col("vec_id").alias("_qid"),
-        F.col("label").alias("true_label"),
-        F.col("v").alias("_qv"),
+    row = e.select("v").first()  # one-row probe for the flat-expr dim
+    dim = len(row[0]) if row is not None and row[0] is not None else 0
+    q = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("_qid"),
+            F.col("label").alias("true_label"),
+            F.col("v").alias("_qv"),
+        )
     )
     rn = F.row_number().over(
         Window.partitionBy("_qid").orderBy("dist", "vec_id")
@@ -4075,21 +4138,19 @@ def q128_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank formula ``G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n`` entirely in
     exact integers (rank-weighted cent sums in DECIMAL(38,0) — i·cᵢ
     overflows BIGINT at warehouse scale) with ONE double division at
-    the end.  The rank window runs over the per-customer aggregate
-    (customers ≪ orders), never the order stream."""
-    from pyspark.sql import Window
+    the end.  The exact rank i comes from the
+    :func:`scalable_row_number` rail (range-partitioned local windows
+    + broadcast bucket offsets) — no single-partition Exchange even at
+    10^8 customers."""
+    from sparkdiff.operators.quantiles import scalable_row_number
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("i"),
-    )
+    ranked = scalable_row_number(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")], "i"
+    ).select("cents", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),

@@ -89,9 +89,14 @@ _INTENTIONAL_NLJ = {
     # The orphan checks themselves are left_anti equi-joins.
     "q109_equidepth_histogram",
     "q110_fk_integrity",
-    # q117 broadcasts the ONE-ROW revenue total over the 10-row decile
-    # rollup (q76/q90 stats shape).
+    # q117/q128 rank via the scalable_row_number rail: the cumulative
+    # bucket-offset table is built by a bounded non-equi join over the
+    # #partitions-row bucket-counts table (P x P rows, P = shuffle
+    # partitions — never data-sized), replacing the old
+    # single-partition global rank window; q117 also broadcasts the
+    # ONE-ROW revenue total / customer count (q76/q90 stats shape).
     "q117_revenue_concentration",
+    "q128_customer_gini",
     # q121 broadcasts the k×d centroid table for Lloyd assignment and
     # query probing (the q75 shape); list membership and candidate
     # ranking are equi-joins/windows.
@@ -102,7 +107,8 @@ _INTENTIONAL_NLJ = {
     # q126 embeds q121's centroid broadcasts and adds the exact side's
     # 5-query broadcast over one corpus scan (q24 shape).
     "q126_ann_recall",
-    # q127 broadcasts the 1-in-4 query sample over one corpus scan
+    # q127 broadcasts a FIXED 256-query eval sample (TakeOrdered by
+    # md5 hash — corpus-size-independent) over one corpus scan
     # (q24 shape) for the leave-one-out neighbor search.
     "q127_knn_accuracy",
     # q133 broadcasts the ONE-ROW date-span aggregate over the daily
