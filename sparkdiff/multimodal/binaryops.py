@@ -2,11 +2,13 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators.
 
-The container has no image/audio libraries, so the *decode math* is
-stubbed (deterministic fake, or ``NotImplementedError`` for real codec
-paths) — but everything Spark-side is real and tested: schemas, batch
-iteration, partitioning behavior, and output shapes.  Swapping the fake
-for PIL/libav is a one-function change per operator.
+The container has no image/audio libraries, so rich-codec decode math
+(JPEG/PNG/video) is stubbed (deterministic fake, or an ImportError-
+documented PIL path) — but everything Spark-side is real and tested:
+schemas, batch iteration, partitioning behavior, and output shapes.
+The shipped ``"pure"`` codec is a REAL decoder with the standard
+library only (binary PPM + BMP container parsing), so the
+"swap one function" claim is exercised end-to-end in CI, not asserted.
 
 Scale notes: binary payloads ride the Arrow channel in batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
@@ -129,7 +131,50 @@ def _pil_codec() -> Codec:
     return decode
 
 
-_CODECS: dict[str, CodecFactory] = {"fake": _fake_codec, "pil": _pil_codec}
+def _pure_image_codec() -> Codec:
+    """REAL image decoding with the standard library only: sniffs the
+    container magic and parses dimensions from the actual byte stream —
+    binary PPM (``P6``, ASCII header) and BMP (``BM``, little-endian
+    dims at offsets 18/22).  No third-party dependency, so the
+    full decode path — bytes in a Spark binary column → Arrow batch →
+    codec → real parsed metadata out — runs in any container.  Unknown
+    or truncated payloads decode to NULL dims (never an executor
+    crash)."""
+    import re
+    import struct
+
+    ppm_header = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+    def dims(c: bytes) -> tuple[int | None, int | None]:
+        if c.startswith(b"P6"):
+            m = ppm_header.match(c)
+            if m:
+                return int(m.group(1)), int(m.group(2))
+        elif c.startswith(b"BM") and len(c) >= 26:
+            w, h = struct.unpack_from("<ii", c, 18)
+            return w, abs(h)  # negative height = top-down BMP
+        return None, None
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        content = pdf["content"].map(lambda c: bytes(c) if c else b"")
+        parsed = content.map(dims)
+        return pd.DataFrame(
+            {
+                "n_bytes": content.map(len),
+                "sha256": content.map(lambda c: hashlib.sha256(c).hexdigest()),
+                "width": parsed.map(lambda wh: wh[0]).astype("object"),
+                "height": parsed.map(lambda wh: wh[1]).astype("object"),
+            }
+        )
+
+    return decode
+
+
+_CODECS: dict[str, CodecFactory] = {
+    "fake": _fake_codec,
+    "pil": _pil_codec,
+    "pure": _pure_image_codec,
+}
 
 
 def register_codec(name: str, factory: CodecFactory) -> None:

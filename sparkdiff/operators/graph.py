@@ -41,26 +41,43 @@ def pagerank(
     a directed edge list; returns ``(node, deg, rank_s)`` where
     ``rank_s`` is the scaled-long rank.
 
-    Nodes are the DISTINCT sources (a node must have out-degree ≥ 1 —
-    feed an undirected graph as both edge directions and the condition
-    holds by construction; dangling-mass redistribution is out of scope
-    for the bounded-iteration report).
+    Textbook-complete: nodes are the distinct ``src ∪ dst`` vertex set
+    (sink nodes participate with out-degree 0), and each round the
+    DANGLING mass — the summed rank of zero-out-degree nodes, one
+    bounded one-row aggregate — is redistributed uniformly
+    (``dangling div n`` added to every node's inbound sum before
+    damping), so total mass is conserved up to integer-division
+    truncation instead of leaking out through sinks.  All arithmetic
+    stays in scaled longs: headroom is 17·(MASS + MASS) < 2^56 ≪ 2^63.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     # one-row broadcast (the q76 stats pattern) keeps N in-plan — no
     # driver collect, same lineage at any scale
-    r = deg.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("src").alias("node"),
-        "deg",
-        F.expr(f"{MASS} div n").alias("r0"),
-        F.expr(f"{MASS} div n").alias("rank_s"),
+    r = (
+        nodes.join(deg, "node", "left")
+        .withColumn("deg", F.coalesce(F.col("deg"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            "deg",
+            "n",
+            F.expr(f"{MASS} div n").alias("r0"),
+            F.expr(f"{MASS} div n").alias("rank_s"),
+        )
     )
     for _ in range(iters):
         contrib = (
             e.join(
-                r.select(
+                r.filter(F.col("deg") > 0).select(
                     F.col("node").alias("src"),
                     F.expr("rank_s div deg").alias("_c"),
                 ),
@@ -69,15 +86,22 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("_c").alias("_s"))
         )
+        dangling = r.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank_s"), F.lit(0)).alias("_dm")
+        )
         prev = r
         r = (
             r.join(contrib, "node", "left")
             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(0)))
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "deg",
+                "n",
                 "r0",
-                F.expr("(3 * r0) div 20 + (17 * _s) div 20").alias("rank_s"),
+                F.expr(
+                    "(3 * r0) div 20 + (17 * (_s + _dm div n)) div 20"
+                ).alias("rank_s"),
             )
             # per-round persist: each round references the previous rank
             # table twice (contribution join + state join), so an

@@ -319,12 +319,18 @@ def bm25_rank(
         *[f"tf{j}" for j in range(len(terms))],
         bm25_score_expr(len(terms), k1=k1, b=b).alias("score"),
     )
+    # top-k FIRST (orderBy+limit = TakeOrderedAndProject: local top-k
+    # per partition, driver merges top_k*P rows), THEN rank within the
+    # bounded result — identical values to ranking the full corpus, but
+    # the window sorts top_k rows instead of single-partitioning the
+    # whole scored table
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
     rank = (
         F.row_number()
         .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
         .cast("int")
     )
-    return scored.withColumn("rank", rank).filter(F.col("rank") <= top_k)
+    return top.withColumn("rank", rank)
 
 
 def posting_lists(

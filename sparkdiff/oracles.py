@@ -2155,31 +2155,53 @@ ORACLES["q90_pagerank"] = """
         UNION ALL
         SELECT dst AS src, src AS dst FROM ps
     ),
-    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM deg),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+        )
+    ),
+    odeg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e GROUP BY src
+    ),
+    nd AS (
+        SELECT nodes.node, COALESCE(odeg.deg, 0) AS deg
+        FROM nodes LEFT JOIN odeg USING (node)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nd),
     i0 AS (
-        SELECT src AS node, deg,
+        SELECT node, deg, n,
                1125899906842624 // n AS base,
                1125899906842624 // n AS rank_s
-        FROM deg CROSS JOIN nn
+        FROM nd CROSS JOIN nn
     ),
     c1 AS (
         SELECT e.dst AS node, SUM(i0.rank_s // i0.deg) AS s
-        FROM e JOIN i0 ON e.src = i0.node GROUP BY e.dst
+        FROM e JOIN i0 ON e.src = i0.node
+        WHERE i0.deg > 0 GROUP BY e.dst
+    ),
+    d1 AS (
+        SELECT COALESCE(SUM(rank_s), 0) AS dm FROM i0 WHERE deg = 0
     ),
     i1 AS (
-        SELECT i0.node, i0.deg, i0.base,
-               (3 * i0.base) // 20 + (17 * COALESCE(c1.s, 0)) // 20 AS rank_s
-        FROM i0 LEFT JOIN c1 USING (node)
+        SELECT i0.node, i0.deg, i0.n, i0.base,
+               (3 * i0.base) // 20
+               + (17 * (COALESCE(c1.s, 0) + d1.dm // i0.n)) // 20 AS rank_s
+        FROM i0 LEFT JOIN c1 USING (node) CROSS JOIN d1
     ),
     c2 AS (
         SELECT e.dst AS node, SUM(i1.rank_s // i1.deg) AS s
-        FROM e JOIN i1 ON e.src = i1.node GROUP BY e.dst
+        FROM e JOIN i1 ON e.src = i1.node
+        WHERE i1.deg > 0 GROUP BY e.dst
+    ),
+    d2 AS (
+        SELECT COALESCE(SUM(rank_s), 0) AS dm FROM i1 WHERE deg = 0
     ),
     i2 AS (
-        SELECT i1.node, i1.deg, i1.base,
-               (3 * i1.base) // 20 + (17 * COALESCE(c2.s, 0)) // 20 AS rank_s
-        FROM i1 LEFT JOIN c2 USING (node)
+        SELECT i1.node, i1.deg, i1.n, i1.base,
+               (3 * i1.base) // 20
+               + (17 * (COALESCE(c2.s, 0) + d2.dm // i1.n)) // 20 AS rank_s
+        FROM i1 LEFT JOIN c2 USING (node) CROSS JOIN d2
     )
     SELECT node, CAST(node % 2 AS INTEGER) AS is_supplier, deg,
            CAST(rank_s AS BIGINT) AS rank_s

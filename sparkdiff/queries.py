@@ -2106,16 +2106,15 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
+    # top-50 via orderBy+limit = TakeOrderedAndProject (each partition
+    # keeps its local 50, the driver merges 50*P rows) — NOT a global
+    # rank window, which would single-partition-sort the whole bigram
+    # vocabulary (unbounded at corpus scale)
     top = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("df"), F.asc("gram"))
-            ),
-        )
-        .filter(F.col("rnk") <= 50)
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(50)
         .select("gram")
     )
     flagged = grams.join(
@@ -2580,10 +2579,13 @@ def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             [term_frequency("_toks", w) for w in terms], F.lit(0).cast("long")
         ).alias("score"),
     )
+    # top-50 via TakeOrderedAndProject, then rank the bounded 50-row
+    # result — never a rank window over the corpus-sized score table
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex = (
-        lex_scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        lex_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "rank")
     )
     return rrf_fuse([bm, lex], top_k=20)

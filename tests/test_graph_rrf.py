@@ -40,6 +40,61 @@ def test_pagerank_partition_invariant(spark):
     assert a == b
 
 
+def _reference_pagerank(pairs, iters):
+    """Pure-Python textbook damped PageRank in the SAME scaled-long
+    arithmetic: nodes = src∪dst, dangling mass redistributed uniformly
+    each round."""
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n = len(nodes)
+    out = {v: [d for s, d in pairs if s == v] for v in nodes}
+    rank = {v: MASS // n for v in nodes}
+    base = {v: MASS // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for v in nodes:
+            if out[v]:
+                share = rank[v] // len(out[v])
+                for d in out[v]:
+                    contrib[d] += share
+        dm = sum(rank[v] for v in nodes if not out[v])
+        rank = {
+            v: (3 * base[v]) // 20 + (17 * (contrib[v] + dm // n)) // 20
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Graph with a SINK (node 3 has no out-edges): its inbound mass
+    must flow back uniformly instead of leaking; every node matches the
+    pure-Python textbook reference exactly, and the sink itself holds
+    rank (it would be absent entirely under the old sources-only node
+    set)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3)]
+    want = _reference_pagerank(pairs, 3)
+    got = {
+        r.node: r.rank_s
+        for r in pagerank(_edges(spark, pairs), 3).collect()
+    }
+    assert got == want
+    assert got[3] > 0
+    # mass conserved up to integer floor losses
+    assert sum(got.values()) == pytest.approx(MASS, rel=1e-3)
+
+
+def test_pagerank_all_dangling_except_one(spark):
+    """Extreme dangling case: 0->1, 0->2 — both leaves are sinks holding
+    2/3 of the mass after round 1; reference equality pins the dm//n
+    term end-to-end."""
+    pairs = [(0, 1), (0, 2)]
+    want = _reference_pagerank(pairs, 2)
+    got = {
+        r.node: r.rank_s
+        for r in pagerank(_edges(spark, pairs), 2).collect()
+    }
+    assert got == want
+
+
 def test_rrf_fuse_orders_by_summed_reciprocals(spark):
     r1 = spark.createDataFrame(
         [(10, 1), (20, 2), (30, 3)], "doc_id: long, rank: long"
