@@ -8,8 +8,9 @@ unbounded buffering:
 ``method='dist'`` (default) — exact percentiles from the value
     *distribution*: ``groupBy(keys, value).count()`` (map-side combined;
     the shuffle carries one row per DISTINCT (key, value) pair, not one
-    per row), a cumulative-count window per key (external sort — spills
-    to disk, never OOMs), then the standard linear interpolation
+    per row), cumulative counts via range-partitioned prefix sums (no
+    single-task sort even when one group holds every distinct value of
+    a continuous column), then the standard linear interpolation
     ``v_lo + frac * (v_hi - v_lo)`` at position ``p * (n - 1)`` computed
     from two conditional-min aggregates per percentile.  Bit-compatible
     with ``F.percentile`` / DuckDB ``quantile_cont`` whenever the
@@ -72,12 +73,13 @@ def _dist_quantiles(
 
     All value columns are melted into (column-id, value) rows by ONE
     ``posexplode``, so the source is scanned once regardless of how many
-    columns are quantiled, and the cumulative window partitions by
-    (keys, column-id) — parallelism = groups × columns, each partition
-    holding only the DISTINCT values of one column in one group (external
-    sort, disk-spillable).  NULLs are excluded per column (matching
-    ``F.percentile``); ``n`` is the non-null count of the first spec's
-    value column.
+    columns are quantiled.  The cumulative count uses range-partitioned
+    prefix sums (local window per range bucket + cross-bucket offsets),
+    NOT a per-group window — a continuous column has ~n distinct values
+    in one (key, column) group, and a group-partitioned window would
+    push the whole distribution through one task.  NULLs are excluded
+    per column (matching ``F.percentile``); ``n`` is the non-null count
+    of the first spec's value column.
     """
     vcols = list(dict.fromkeys(vcol for _, vcol, _ in specs))
     melted = df.select(
@@ -87,14 +89,45 @@ def _dist_quantiles(
         ).alias("_cid", "_v"),
     ).filter(F.col("_v").isNotNull())
     counts = melted.groupBy(*keys, "_cid", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    w_cum = Window.partitionBy(*keys, "_cid").orderBy("_v")
-    w_all = Window.partitionBy(*keys, "_cid")
-    dist = counts.select(
-        *keys,
-        "_cid",
-        "_v",
-        F.sum("_c").over(w_cum).alias("_cum"),
-        F.sum("_c").over(w_all).alias("_n"),
+    # Cumulative counts WITHOUT a per-group window: a continuous column
+    # (near-distinct doubles) makes one (key, column) group hold every
+    # distinct value, so `Window.partitionBy(keys, _cid).orderBy(_v)`
+    # funnels the whole distribution through one task (q109: 600k rows,
+    # one reducer).  Instead: range-repartition on (keys, _cid, _v) —
+    # parallel external sort; local prefix sums per range bucket; the
+    # cross-bucket offset is a prefix over the (keys, _cid, #buckets)-row
+    # bucket-sum table (window parallelism = groups x columns, each
+    # partition ≤ #buckets rows), joined back by equi-key.  Same _cum/_n
+    # values bit-for-bit; all consumers of the range exchange reuse one
+    # materialized shuffle (see scalable_row_number).
+    gb = [*keys, "_cid"]
+    part = counts.repartitionByRange(
+        *[F.col(c) for c in gb], F.col("_v")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(*gb, "_pid").orderBy("_v")
+    local = part.withColumn("_lcum", F.sum("_c").over(w_local))
+    bsums = part.groupBy(*gb, "_pid").agg(F.sum("_c").alias("_bc"))
+    w_off = (
+        Window.partitionBy(*gb)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsums.select(
+        *gb,
+        "_pid",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off"),
+    )
+    tots = bsums.groupBy(*gb).agg(F.sum("_bc").alias("_n"))
+    dist = (
+        local.join(offs, [*gb, "_pid"])
+        .join(tots, gb)
+        .select(
+            *keys,
+            "_cid",
+            "_v",
+            (F.col("_off") + F.col("_lcum")).alias("_cum"),
+            "_n",
+        )
     )
     # Interpolated percentile at 0-based position p*(n-1): v_lo is the
     # value at rank floor(pos)+1 (1-based), v_hi at ceil(pos)+1.  All

@@ -239,3 +239,118 @@ def test_embedding_near_dup_plan_is_bucketed(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _zipf_corpus(n_docs=120, doc_len=20, vocab=400, seed=11):
+    """Deterministic zipfian corpus with injected near-dup pairs — the
+    natural-distribution regime PPJoin's prefix filter is designed for
+    (rare words dominate prefixes, so candidate lists stay tiny)."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    weights = [1.0 / (i + 1) for i in range(vocab)]  # zipf s=1
+    docs = []
+    for i in range(n_docs):
+        toks = rng.choices(words, weights=weights, k=doc_len)
+        docs.append((i, " ".join(toks)))
+    # inject near-dups: copy of doc i with ONE token swapped (J well
+    # above 0.8 on the distinct sets) for every 10th doc
+    nid = n_docs
+    for i in range(0, n_docs, 10):
+        toks = docs[i][1].split()
+        toks[-1] = "w0"
+        docs.append((nid, " ".join(toks)))
+        nid += 1
+    return docs
+
+
+def test_setsim_join_lossless_on_zipf_corpus(spark):
+    """setsim_join == brute-force exact Jaccard on a natural zipfian
+    corpus: the prefix/length/positional prunes are provably lossless,
+    pinned here against itertools ground truth (not just the dense
+    adversarial oracle corpus of q125)."""
+    from itertools import combinations
+
+    from sparkdiff.operators.dedup import setsim_join
+
+    docs = _zipf_corpus()
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+        ).alias("s"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in setsim_join(toks, 4, 5, set_col="s").collect()
+    }
+    sets = {i: frozenset(t.split()) for i, t in docs}
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter * 5 >= union * 4:
+            want.add((a, b))
+    assert got == want
+    assert len(want) >= 12  # the injected near-dups are actually found
+
+
+def test_setsim_join_prunes_cut_candidates_on_zipf(spark):
+    """On the zipfian corpus the length+positional prunes must strictly
+    shrink the verified-candidate set vs prefix filtering alone (the
+    regime claim in SCALE.md pinned by measurement, not prose)."""
+    from pyspark.sql import Window
+
+    docs = _zipf_corpus()
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    toks = df.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    freq = toks.select(F.explode("s").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ordered = (
+        toks.select("doc_id", F.explode("s").alias("w"))
+        .join(freq, "w")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
+        )
+    )
+    sized = ordered.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.floor((F.col("sz") * 1) / 5) + 1
+    ).select("doc_id", "w", "pos", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "w",
+        F.col("pos").alias("pa"), F.col("sz").alias("sz_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "w",
+        F.col("pos").alias("pb"), F.col("sz").alias("sz_b"),
+    )
+    raw = a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
+    n_prefix = raw.select("id_a", "id_b").distinct().count()
+    match_ub = (
+        F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + 1
+        + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+    )
+    n_pruned = (
+        raw.filter(
+            F.least("sz_a", "sz_b") * 5 >= F.greatest("sz_a", "sz_b") * 4
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min(match_ub).alias("ub"))
+        .filter(F.col("ub") * 9 >= (F.col("sz_a") + F.col("sz_b")) * 4)
+        .count()
+    )
+    assert n_pruned < n_prefix, (n_pruned, n_prefix)

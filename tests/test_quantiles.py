@@ -72,7 +72,15 @@ def test_q50_plan_has_no_buffering_percentile(spark):
 
 def test_q50_single_scan(spark):
     """All value columns are melted through one posexplode, so the whole
-    query reads lineitem exactly once."""
+    query reads lineitem exactly once.  Checked on the POST-execution
+    adaptive plan: the rail's range exchange feeds multiple consumers
+    (local prefix sums, bucket totals), which duplicates the scan
+    subtree in the pre-AQE text, but at runtime every extra consumer is
+    a ReusedExchange leaf over ONE materialized shuffle — exactly one
+    live FileScan remains."""
     df = q50_quantiles(spark, SF_DIR_ORACLE)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.lower().count("filescan parquet") == 1
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.lower().count("filescan parquet") == 1
+    assert "ReusedExchange" in final
