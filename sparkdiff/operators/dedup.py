@@ -361,11 +361,18 @@ def incremental_near_dup_pairs(
     hash_method: str = "xxhash64",
     tokens_col: str | None = None,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    persist_batch: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: which NEW-batch docs near-duplicate the
     EXISTING corpus — the ingest-time dedup gate every continuously-fed
     training pipeline runs.  Returns ``(corpus_id, batch_id, jaccard)``
     with shingle-Jaccard ≥ threshold.
+
+    ``persist_batch=False`` skips caching the batch-side shingle sets —
+    pass it from long-lived per-micro-batch loops (e.g.
+    ``streaming_ingest_dedup``), where an unreclaimed cache entry per
+    batch would accumulate for the stream's lifetime and re-shingling a
+    tiny ingest batch costs less than the bookkeeping.
 
     Scale shape vs the symmetric form: candidates come ONLY from
     batch-side band keys equi-joined against corpus-side band keys —
@@ -384,9 +391,18 @@ def incremental_near_dup_pairs(
         corpus_index = corpus_dedup_index(
             corpus, id_col, text_col, k, num_perm, bands, hash_method, tokens_col
         )
+        # an inline-built index has two consumers below (band keys were
+        # already derived from sh inside corpus_dedup_index, and the
+        # verify join reads sh again) — persist OUR copy so the corpus
+        # is shingled once; a caller-supplied corpus_index manages its
+        # own persistence (that is its whole point)
+        corpus_index = (corpus_index[0].persist(), corpus_index[1])
     sh_c, bk_c_raw = corpus_index
     bk_c = bk_c_raw.select(F.col("_id").alias("corpus_id"), "band", "key")
+    # batch side: band keys + verify join both read the shingle sets
     sh_b = _shingle_sets(batch, id_col, text_col, k, tokens_col)
+    if persist_batch:
+        sh_b = sh_b.persist()
     bk_b = _band_keys(
         minhash_signatures(sh_b, "_id", F.col("_sh"), num_perm, hash_method),
         bands,

@@ -511,9 +511,13 @@ def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.dedup import with_char_shingles
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # persisted: BOTH self-join sides read the shingle sets, and their
+    # differing downstream projections (the b side explodes two block
+    # keys) defeat exchange reuse — one tokenize+shingle pass instead
+    # of two, 1.62s -> 1.12s at sf0.1; MEMORY_AND_DISK spills
     sh = with_char_shingles(d.select("doc_id", "text"), "text", 3, out="shg").select(
         "doc_id", F.array_distinct("shg").alias("sh")
-    )
+    ).persist()
     # Equi-join on a block key instead of a pure range condition: a range
     # predicate becomes a nested-loop join whose condition (including the
     # pushed-down Jaccard!) runs on every row pair; with a block key the

@@ -241,6 +241,9 @@ def streaming_ingest_dedup(
             bands,
             hash_method,
             corpus_index=(sh_c, bk_c),
+            # no per-batch cache entries: one would leak per micro-batch
+            # for the stream's lifetime, and ingest batches are tiny
+            persist_batch=False,
         )
         on_duplicates(pairs, batch_id)
 
