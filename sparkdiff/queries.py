@@ -3046,8 +3046,12 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 1024).cast("long").alias("vs"),
     )
+    # cum="window": vs is QUANTIZED (x1024 of a bounded metric domain),
+    # so per-type distinct values are domain-bounded at any corpus size
+    # — the one case where the single-window cumulative is both safe
+    # and ~1s/call cheaper than the ranged rail at sf0.1
     med = grouped_quantiles(
-        e, ["event_type"], [("med", "vs", 0.5)]
+        e, ["event_type"], [("med", "vs", 0.5)], cum="window"
     ).select("event_type", "med")
     dev = e.join(med, "event_type").select(
         "event_id",
@@ -3058,7 +3062,7 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dev2"),
     )
     mad = grouped_quantiles(
-        dev, ["event_type"], [("mad2", "dev2", 0.5)]
+        dev, ["event_type"], [("mad2", "dev2", 0.5)], cum="window"
     ).select("event_type", "mad2")
     return (
         dev.join(mad, "event_type")
