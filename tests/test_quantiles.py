@@ -84,3 +84,45 @@ def test_q50_single_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.lower().count("filescan parquet") == 1
     assert "ReusedExchange" in final
+
+
+def test_scalable_row_number_matches_global_window(spark):
+    """The range-partitioned rank rail must reproduce Window.orderBy's
+    row_number exactly, for any input partitioning (boundary placement
+    must not matter because the sort key is a total order)."""
+    from pyspark.sql import Window
+
+    from sparkdiff.operators.quantiles import scalable_row_number
+
+    df = spark.range(0, 5003).select(
+        (F.col("id") * 2654435761 % 997).alias("v"),
+        F.col("id").alias("k"),
+    )
+    order = [F.desc("v"), F.asc("k")]
+    want = {
+        (r.v, r.k): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    got = {
+        (r.v, r.k): r.rn
+        for r in scalable_row_number(df, order, "rn").collect()
+    }
+    assert got == want
+    got7 = {
+        (r.v, r.k): r.rn
+        for r in scalable_row_number(df.repartition(7), order, "rn").collect()
+    }
+    assert got7 == want
+    # ranks are a permutation of 1..n
+    assert sorted(got.values()) == list(range(1, 5004))
+
+
+def test_scalable_row_number_empty_and_single(spark):
+    from sparkdiff.operators.quantiles import scalable_row_number
+
+    df = spark.range(0, 5).select(F.col("id").alias("v"))
+    assert scalable_row_number(df.filter("v < 0"), [F.asc("v")]).count() == 0
+    one = scalable_row_number(df.filter("v = 3"), [F.asc("v")]).collect()
+    assert [(r.v, r.rn) for r in one] == [(3, 1)]
