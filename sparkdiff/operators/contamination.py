@@ -1,0 +1,177 @@
+"""Exact-substring benchmark decontamination via a broadcast
+Aho-Corasick automaton.
+
+The 8-gram overlap screen (``queries.q66_decontamination``) catches
+token-level contamination but misses verbatim strings that cross token
+boundaries or are shorter than the gram width, and it cannot handle a
+test suite whose items have many different lengths.  This operator runs
+the complementary EXACT check: flag every training document whose raw
+text contains any held-out test string as a contiguous substring —
+the "exact substring match" pass of the standard two-stage
+decontamination recipe.
+
+Scale shape (the part that must survive 100 TB):
+
+* The test side is a benchmark suite — MBs, not TBs.  It is collected
+  to the driver ONCE (bounded, like the LSH dirty-bucket and k-means
+  seed collects elsewhere in this package), compiled into a single
+  Aho-Corasick automaton, and **broadcast** to every executor.
+* The corpus is then scanned EXACTLY ONCE with ``mapInPandas`` — zero
+  shuffle before the final per-document aggregation, no join fan-out,
+  and cost O(total_text + matches) regardless of how many patterns the
+  suite holds.  This is the one shape that stays linear when both the
+  corpus and the benchmark suite grow.
+
+Why not built-in expressions?  Multi-pattern *variable-length*
+substring search has no linear-time DataFrame expression: ``rlike``
+with an alternation recompiles a backtracking regex per task and scans
+O(patterns × text); the q66 window-hash trick only works when every
+pattern has one fixed length.  Aho-Corasick is the textbook automaton
+for this exact job (it is what `pyahocorasick` implements), and the
+implementation below is pure stdlib so the container can run it; a C
+automaton with the same ``search_ids`` interface can be slotted in via
+the ``automaton_factory`` hook without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+class AhoCorasick:
+    """Multi-pattern exact substring matcher (Aho–Corasick 1975).
+
+    Built once from ``(pattern_id, pattern)`` pairs; ``search_ids``
+    returns the set of pattern ids occurring in a text in
+    O(len(text) + matches).  Duplicate pattern strings are allowed —
+    every id registered for a string is reported.
+    """
+
+    __slots__ = ("_goto", "_out")
+
+    def __init__(self, patterns: Iterable[tuple[int, str]]):
+        goto: list[dict[str, int]] = [{}]
+        out: list[list[int]] = [[]]
+        n_patterns = 0
+        for pid, pat in patterns:
+            if not pat:
+                raise ValueError(f"empty pattern (id={pid!r})")
+            n_patterns += 1
+            state = 0
+            for ch in pat:
+                nxt = goto[state].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[state][ch] = nxt
+                state = nxt
+            out[state].append(pid)
+        if not n_patterns:
+            raise ValueError("need at least one pattern")
+        # BFS failure links, folded directly into the goto tables so the
+        # scan loop is a single dict hop per character (no fail-chasing).
+        fail = [0] * len(goto)
+        queue: deque[int] = deque()
+        for state in goto[0].values():
+            queue.append(state)
+        while queue:
+            state = queue.popleft()
+            for ch, nxt in list(goto[state].items()):
+                queue.append(nxt)
+                f = fail[state]
+                fail[nxt] = goto[f].get(ch, 0)
+                out[nxt].extend(out[fail[nxt]])
+            # fold: transitions missing here fall back to fail-state's
+            for ch, tgt in goto[fail[state]].items():
+                goto[state].setdefault(ch, tgt)
+        self._goto = goto
+        self._out = out
+
+    def search_ids(self, text: str) -> set[int]:
+        """Distinct pattern ids occurring anywhere in ``text``."""
+        goto = self._goto
+        out = self._out
+        root = goto[0]
+        state = 0
+        hits: set[int] = set()
+        for ch in text:
+            state = goto[state].get(ch) if state else root.get(ch)
+            if state is None:
+                state = 0
+                continue
+            if out[state]:
+                hits.update(out[state])
+        return hits
+
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("test_id", LongType(), False),
+    ]
+)
+
+
+def exact_contamination(
+    docs: DataFrame,
+    patterns: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_id_col: str = "test_id",
+    pattern_col: str = "pat",
+    max_patterns: int = 5_000_000,
+    automaton_factory: Callable[[Iterable[tuple[int, str]]], AhoCorasick] | None = None,
+) -> DataFrame:
+    """(doc_id, test_id) pairs where the document's text contains the
+    test pattern as an exact substring.
+
+    ``patterns`` is the held-out suite — collected to the driver (capped
+    at ``max_patterns``; a benchmark suite is MBs), compiled into one
+    automaton, broadcast, and matched in a single Arrow-batched corpus
+    scan.  Output pairs are distinct per (doc, pattern id).
+    """
+    rows = (
+        patterns.select(
+            F.col(pattern_id_col).cast("long").alias("pid"),
+            F.col(pattern_col).cast("string").alias("pat"),
+        )
+        .limit(max_patterns + 1)
+        .collect()
+    )
+    if len(rows) > max_patterns:
+        raise ValueError(
+            f"pattern side exceeds max_patterns={max_patterns}; exact "
+            "decontamination broadcasts the test suite — it must stay "
+            "benchmark-sized, not corpus-sized"
+        )
+    factory = automaton_factory or AhoCorasick
+    automaton = factory([(r.pid, r.pat) for r in rows])
+    bc = docs.sparkSession.sparkContext.broadcast(automaton)
+
+    def scan(batches) -> Iterator:
+        import pandas as pd
+
+        ac = bc.value
+        for pdf in batches:
+            doc_ids: list[int] = []
+            test_ids: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                for pid in ac.search_ids(text):
+                    doc_ids.append(did)
+                    test_ids.append(pid)
+            yield pd.DataFrame({"doc_id": doc_ids, "test_id": test_ids})
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return base.mapInPandas(scan, schema=MATCH_SCHEMA)

@@ -213,3 +213,110 @@ def stratified_sample(
         .filter(F.col(rank_col) <= n_per_stratum)
         .drop("_h")
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    out_col: str = "n_copies",
+) -> DataFrame:
+    """Exact PPS sampling: draw exactly ``k`` units with probability
+    proportional to ``weight_col`` (systematic resampling, the
+    particle-filter standard) — the "sample documents proportional to
+    token count" knob of a mixture recipe, where a 10k-token document
+    is drawn 100x as often as a 100-token one and a document heavier
+    than ``W/k`` is drawn MULTIPLE times.  ``out_col`` is the row's
+    draw count (its epoch multiplier); ``sum(out_col) == k`` exactly,
+    and zero-weight rows are never drawn.
+
+    Determinism + engine portability: rows are laid on the cumulative-
+    weight axis in the content-hash order ``(unit_hash(key), key)`` (a
+    fixed pseudo-random permutation), and the k systematic positions
+    ``p_i = floor((2i+1)*W / 2k)``, ``i = 0..k-1``, are hit-counted
+    with PURE INTEGER arithmetic: a row spanning ``[cum-w, cum)``
+    receives ``cnt(cum) - cnt(cum-w)`` draws where
+
+        cnt(X) = clamp((2*k*X + W - 1) div (2*W), 0, k)
+
+    counts the positions below X — so any engine reproduces the sample
+    bit-for-bit (requires ``2*k*W < 2^63``, asserted at runtime on the
+    one-row total so the builder stays lazy; negative weights raise the
+    same way).
+
+    Scale shape: cumulative weights ride the same range-partition
+    prefix-sum rail as ``quantiles.scalable_row_number`` — a parallel
+    external sort on the variate, a LOCAL running sum per range bucket,
+    and a broadcast #partitions-row offset join.  No single-partition
+    window, no collect, no corpus-sized driver state.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    wv = F.col(weight_col).cast("long")
+    base = df.withColumn("_u", unit_hash(key, seed))
+    part = base.repartitionByRange(F.col("_u"), F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_u", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_lc", F.sum(wv).over(lw).cast("long"))
+    sums = part.groupBy("_pid").agg(
+        F.sum(wv).cast("long").alias("_s"), F.min(wv).cast("long").alias("_minw")
+    )
+    offsets = (
+        sums.join(
+            F.broadcast(
+                sums.select(
+                    F.col("_pid").alias("_bpid"), F.col("_s").alias("_bs")
+                )
+            ),
+            F.col("_bpid") < F.col("_pid"),
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bs"), F.lit(0)).cast("long").alias("_off"))
+    )
+    guard_bad = (F.min("_minw") < 0) | (F.sum("_s") > F.lit((1 << 62) // k))
+    total = sums.groupBy().agg(
+        F.when(
+            guard_bad,
+            F.raise_error(
+                F.lit(
+                    "systematic_weighted_sample: weights must be >= 0 "
+                    "and 2*k*total_weight must fit in a signed long"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.sum("_s").cast("long"))
+        .alias("_W")
+    )
+    joined = (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_cum", (F.col("_off") + F.col("_lc")).cast("long"))
+        .withColumn("_c0", (F.col("_cum") - wv).cast("long"))
+    )
+    # integer `div` keeps the count exact where a double division would
+    # lose ulps past 2^53; operands are non-negative so div == floor
+    cnt = (
+        "least(cast({k} as bigint), greatest(cast(0 as bigint), "
+        "(2 * cast({k} as bigint) * {x} + _W - 1) div (2 * _W)))"
+    )
+    return (
+        joined.withColumn(
+            out_col,
+            (
+                F.expr(cnt.format(k=k, x="_cum"))
+                - F.expr(cnt.format(k=k, x="_c0"))
+            ).cast("long"),
+        )
+        .filter(F.col(out_col) >= 1)
+        .drop("_u", "_pid", "_lc", "_off", "_W", "_cum", "_c0")
+    )

@@ -3479,3 +3479,56 @@ ORACLES["q133_stickiness"] = """
     CROSS JOIN span
     WHERE date_diff('day', d0, d.day) >= 6
 """
+
+
+# q134: exact-substring decontamination — the quadratic contains()
+# cross-check IS the spec; the Spark side earns its keep by computing
+# the same answer in one linear Aho-Corasick corpus scan.
+ORACLES["q134_exact_contamination"] = """
+    WITH pats AS (
+        SELECT doc_id AS test_id,
+               substr(text, 11, 30 + CAST(doc_id % 25 AS INTEGER)) AS pat
+        FROM documents
+        WHERE doc_id % 40 = 0 AND n_chars >= 65
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(DISTINCT p.test_id) AS BIGINT) AS n_test_items,
+           CAST(COUNT(DISTINCT CASE WHEN p.test_id <> d.doc_id
+                                    THEN p.test_id END) AS BIGINT)
+               AS n_foreign_items
+    FROM documents d
+    JOIN pats p ON contains(d.text, p.pat)
+    GROUP BY d.doc_id
+"""
+
+
+# q135: systematic PPS sample — the serial window prefix sum IS the
+# spec; integer draw-count arithmetic replayed verbatim (SUM(BIGINT)
+# is HUGEINT in DuckDB, so every term is cast back before comparing).
+ORACLES["q135_pps_sample"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_tok,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 15))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM t
+    ),
+    s AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS w FROM t),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(LEAST(400, GREATEST(0, (800 * cum + w - 1) // (2 * w)))
+                  - LEAST(400, GREATEST(0, (800 * (cum - n_tok) + w - 1) // (2 * w)))
+                    AS BIGINT) AS n_copies
+        FROM o CROSS JOIN s
+    )
+    SELECT doc_id, n_tok, n_copies FROM c WHERE n_copies >= 1
+"""

@@ -4319,6 +4319,63 @@ def q133_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination — the companion pass to
+    q66's 8-gram screen: flag every training document whose RAW text
+    contains a held-out test string verbatim, for a suite whose items
+    have MANY DIFFERENT lengths (here 30..54 chars, carved from every
+    40th document at offset 11 — exactly how verbatim leakage looks).
+
+    Variable-length multi-pattern substring search has no linear
+    DataFrame expression (q66's window-hash trick needs one fixed
+    length; ``rlike`` alternation is O(patterns × text)), so this rides
+    ``operators/contamination.exact_contamination``: the benchmark-sized
+    pattern side is collected once, compiled into one Aho-Corasick
+    automaton, broadcast, and the corpus is scanned EXACTLY ONCE with
+    zero pre-aggregation shuffle — O(text + matches) whatever the suite
+    size.  Per doc: how many distinct test items hit, and how many of
+    those are foreign (not the doc's own snippet)."""
+    from sparkdiff.operators.contamination import exact_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    pats = d.filter(
+        (F.col("doc_id") % 40 == 0) & (F.col("n_chars") >= 65)
+    ).select(
+        F.col("doc_id").alias("test_id"),
+        F.expr("substring(text, 11, 30 + doc_id % 25)").alias("pat"),
+    )
+    hits = exact_contamination(d, pats)
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("test_id").cast("long").alias("n_test_items"),
+        F.count_distinct(
+            F.when(F.col("test_id") != F.col("doc_id"), F.col("test_id"))
+        )
+        .cast("long")
+        .alias("n_foreign_items"),
+    )
+
+
+def q135_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact probability-proportional-to-size corpus sampling: draw
+    exactly 400 documents with probability proportional to whitespace
+    token count (`operators/sampling.systematic_weighted_sample`) —
+    the mixture-recipe knob q73's per-domain budget and q58's
+    per-domain rates don't cover: one global sample whose inclusion
+    odds track document WEIGHT, with heavy documents legitimately drawn
+    multiple times (``n_copies`` = epoch multiplier, Σ = 400 exactly).
+
+    The cumulative-weight axis rides the range-partitioned prefix-sum
+    rail (no single-partition window), and the draw arithmetic is pure
+    integer — both engines replay the identical sample bit-for-bit."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tok")
+    )
+    return systematic_weighted_sample(d, "doc_id", "n_tok", k=400, seed="r4")
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4453,4 +4510,6 @@ QUERIES: dict[str, callable] = {
     "q131_source_similarity": q131_source_similarity,
     "q132_growth_accounting": q132_growth_accounting,
     "q133_stickiness": q133_stickiness,
+    "q134_exact_contamination": q134_exact_contamination,
+    "q135_pps_sample": q135_pps_sample,
 }

@@ -1,0 +1,109 @@
+"""Aho-Corasick exact-substring decontamination
+(`operators/contamination.py`)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.contamination import AhoCorasick, exact_contamination
+
+
+def _naive_ids(patterns: list[tuple[int, str]], text: str) -> set[int]:
+    return {pid for pid, pat in patterns if pat in text}
+
+
+def test_automaton_matches_naive_on_random_corpus():
+    rng = random.Random(134)
+    alphabet = "abc"
+    patterns = []
+    for i in range(60):
+        n = rng.randint(1, 6)
+        patterns.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    ac = AhoCorasick(patterns)
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        assert ac.search_ids(text) == _naive_ids(patterns, text), text
+
+
+def test_automaton_overlaps_prefixes_and_duplicates():
+    # 'a' is a prefix of 'ab'; 'ba' overlaps 'ab'; ids 7 and 8 share a
+    # pattern string and must BOTH be reported.
+    pats = [(1, "a"), (2, "ab"), (3, "ba"), (7, "xx"), (8, "xx")]
+    ac = AhoCorasick(pats)
+    assert ac.search_ids("ab") == {1, 2}
+    assert ac.search_ids("bab") == {1, 2, 3}
+    assert ac.search_ids("xx") == {7, 8}
+    assert ac.search_ids("") == set()
+    assert ac.search_ids("ccc") == set()
+
+
+def test_automaton_suffix_output_via_fail_links():
+    # matching 'ab' must also report 'b' (an output reached only
+    # through the failure chain), even mid-scan with no mismatch.
+    ac = AhoCorasick([(1, "ab"), (2, "b")])
+    assert ac.search_ids("ab") == {1, 2}
+    ac2 = AhoCorasick([(1, "abcde"), (2, "cd")])
+    assert ac2.search_ids("abcde") == {1, 2}
+
+
+def test_automaton_rejects_degenerate_inputs():
+    with pytest.raises(ValueError):
+        AhoCorasick([])
+    with pytest.raises(ValueError):
+        AhoCorasick([(1, "")])
+
+
+def test_exact_contamination_operator(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),
+            (11, "quick brow"),
+            (12, "nothing here"),
+            (13, None),
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(1, "quick"), (2, "brown fox"), (3, "zebra"), (4, "q")],
+        "test_id long, pat string",
+    )
+    got = {
+        (r.doc_id, r.test_id)
+        for r in exact_contamination(docs, pats).collect()
+    }
+    want = {(10, 1), (10, 2), (10, 4), (11, 1), (11, 4)}
+    assert got == want
+    # invariant under input partitioning (the scan is embarrassingly
+    # parallel; matches depend only on row content)
+    got7 = {
+        (r.doc_id, r.test_id)
+        for r in exact_contamination(docs.repartition(7), pats).collect()
+    }
+    assert got7 == want
+
+
+def test_exact_contamination_pattern_cap(spark):
+    docs = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    pats = spark.createDataFrame(
+        [(i, "a" * (i + 1)) for i in range(5)], "test_id long, pat string"
+    )
+    with pytest.raises(ValueError, match="max_patterns"):
+        exact_contamination(docs, pats, max_patterns=3)
+
+
+def test_exact_contamination_plan_has_no_join_or_shuffle(spark):
+    """The corpus side must be ONE scan feeding mapInPandas — no join,
+    no exchange before the match stream exists."""
+    docs = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    pats = spark.createDataFrame([(1, "a")], "test_id long, pat string")
+    plan = (
+        exact_contamination(docs, pats)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan

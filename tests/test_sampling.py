@@ -1,6 +1,8 @@
 """Deterministic hash sampling/splitting: partition-invariance, split
 totality, per-key stability, and weight validation."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -126,3 +128,98 @@ def test_token_budget_sample_respects_budget_and_partitioning(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         token_budget_sample(scored, "doc_id", "source", "n_tok", budget=0)
+
+
+def _pps_reference(pairs, k, seed=""):
+    """Pure-python systematic PPS resampling over (key, weight)."""
+    import hashlib
+
+    def u(key):
+        h = int(hashlib.md5(f"{key}{seed}".encode()).hexdigest()[:15], 16)
+        return (h % 10**6) / 10**6
+
+    laid = sorted((u(key), key, w) for key, w in pairs)
+    total = sum(w for _, _, w in laid)
+
+    def cnt(x):
+        return max(0, min(k, (2 * k * x + total - 1) // (2 * total)))
+
+    out, cum = {}, 0
+    for _, key, w in laid:
+        c0, cum = cum, cum + w
+        n = cnt(cum) - cnt(c0)
+        if n >= 1:
+            out[key] = n
+    return out
+
+
+def test_systematic_weighted_sample_matches_reference(spark):
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).alias("w")
+    )
+    got = {
+        r.doc_id: r.n_copies
+        for r in systematic_weighted_sample(df, "doc_id", "w", 50).collect()
+    }
+    want = _pps_reference([(i, i % 17) for i in range(1000)], 50)
+    assert got == want
+    assert sum(got.values()) == 50
+    # zero-weight rows (id % 17 == 0) can never be drawn
+    assert all(i % 17 != 0 for i in got)
+    got7 = {
+        r.doc_id: r.n_copies
+        for r in systematic_weighted_sample(
+            df.repartition(7), "doc_id", "w", 50
+        ).collect()
+    }
+    assert got7 == want
+
+
+def test_systematic_weighted_sample_heavy_row_drawn_multiple_times(spark):
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 1)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: r.n_copies
+        for r in systematic_weighted_sample(df, "doc_id", "w", 10).collect()
+    }
+    assert sum(got.values()) == 10
+    assert got[1] >= 9  # ~99.8% of the mass
+
+
+def test_systematic_weighted_sample_validation(spark):
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="k must be"):
+        systematic_weighted_sample(df, "doc_id", "w", 0)
+    neg = spark.createDataFrame([(1, 5), (2, -1)], "doc_id long, w long")
+    with pytest.raises(Exception, match="weights must be"):
+        systematic_weighted_sample(neg, "doc_id", "w", 3).collect()
+
+
+def test_systematic_weighted_sample_no_single_partition_exchange(spark):
+    """The prefix sum must ride the range-partition rail — a
+    SinglePartition exchange would be the global-window cliff."""
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = (
+        systematic_weighted_sample(df, "doc_id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every running-sum window is partitioned by the range-bucket id —
+    # never the empty partition spec that would serialize the corpus
+    for m in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert m.startswith("_pid"), plan
+    # the only SinglePartition exchange is the one-row total over the
+    # #partitions-row subtotal table (bounded input, not corpus-sized)
+    assert plan.count("Exchange SinglePartition") == 1
