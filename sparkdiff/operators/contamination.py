@@ -136,6 +136,13 @@ def exact_contamination(
     at ``max_patterns``; a benchmark suite is MBs), compiled into one
     automaton, broadcast, and matched in a single Arrow-batched corpus
     scan.  Output pairs are distinct per (doc, pattern id).
+
+    Note: the suite collect is a CONSTRUCTION-TIME Spark job (the
+    automaton must exist before the scan closure is defined) — the one
+    deliberate exception to the lazy-builder convention, same class as
+    the bounded conf/seed collects elsewhere in this package.  An empty
+    suite yields an empty result (no patterns — nothing can be
+    contaminated), not an error.
     """
     rows = (
         patterns.select(
@@ -151,6 +158,8 @@ def exact_contamination(
             "decontamination broadcasts the test suite — it must stay "
             "benchmark-sized, not corpus-sized"
         )
+    if not rows:
+        return docs.sparkSession.createDataFrame([], MATCH_SCHEMA)
     factory = automaton_factory or AhoCorasick
     automaton = factory([(r.pid, r.pat) for r in rows])
     bc = docs.sparkSession.sparkContext.broadcast(automaton)

@@ -107,3 +107,13 @@ def test_exact_contamination_plan_has_no_join_or_shuffle(spark):
     )
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_exact_contamination_empty_pattern_side(spark):
+    """No test suite -> empty result with the stable schema, not an
+    error (the lazy-registry convention for degenerate inputs)."""
+    docs = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    pats = spark.createDataFrame([], "test_id long, pat string")
+    out = exact_contamination(docs, pats)
+    assert out.columns == ["doc_id", "test_id"]
+    assert out.count() == 0

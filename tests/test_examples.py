@@ -66,3 +66,9 @@ def test_staged_revalidation_pipeline_example():
     assert "stage 1 profile drift" in stdout
     assert "stage 2 dist drift l_quantity" in stdout
     assert "stage 3 cell diff: l_extendedprice" in stdout
+
+
+def test_decontamination_pipeline_example():
+    stdout = _run("decontamination_pipeline.py")
+    assert "gram-flagged" in stdout and "exact-flagged" in stdout
+    assert "-> PPS sample: 100 draws" in stdout
