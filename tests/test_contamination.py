@@ -117,3 +117,22 @@ def test_exact_contamination_empty_pattern_side(spark):
     out = exact_contamination(docs, pats)
     assert out.columns == ["doc_id", "test_id"]
     assert out.count() == 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_pat = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pats=st.lists(_pat, min_size=1, max_size=25),
+    text=st.text(alphabet="ab", max_size=60),
+)
+def test_automaton_property_equals_naive(pats, text):
+    """For ANY pattern set and text over a binary alphabet (the
+    adversarial case for fail links — every string is a near-repeat),
+    the automaton must agree with naive `pat in text` exactly."""
+    numbered = list(enumerate(pats))
+    ac = AhoCorasick(numbered)
+    assert ac.search_ids(text) == _naive_ids(numbered, text)

@@ -223,3 +223,29 @@ def test_systematic_weighted_sample_no_single_partition_exchange(spark):
     # the only SinglePartition exchange is the one-row total over the
     # #partitions-row subtotal table (bounded input, not corpus-sized)
     assert plan.count("Exchange SinglePartition") == 1
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ws=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60),
+    k=st.integers(min_value=1, max_value=500),
+)
+def test_pps_draw_arithmetic_properties(ws, k):
+    """The integer systematic-draw formula (pure python, the same math
+    the Spark columns compute): exactly k total draws, every draw count
+    within ceil/floor of the real-valued expectation k*w/W, and
+    zero-weight rows never drawn — for ANY weights and k."""
+    if sum(ws) == 0:
+        return
+    got = _pps_reference(list(enumerate(ws)), k)
+    assert sum(got.values()) == k
+    total = sum(ws)
+    for key, w in enumerate(ws):
+        n = got.get(key, 0)
+        exp = k * w / total
+        assert exp - 1 < n < exp + 1, (key, w, n, exp)
+        if w == 0:
+            assert n == 0
