@@ -56,7 +56,9 @@ class AhoCorasick:
 
     def __init__(self, patterns: Iterable[tuple[int, str]]):
         goto: list[dict[str, int]] = [{}]
-        out: list[list[int]] = [[]]
+        # output entries are (pattern_id, pattern_length) so a match
+        # ending at char i locates its start at i - length + 1
+        out: list[list[tuple[int, int]]] = [[]]
         n_patterns = 0
         for pid, pat in patterns:
             if not pat:
@@ -71,7 +73,7 @@ class AhoCorasick:
                     nxt = len(goto) - 1
                     goto[state][ch] = nxt
                 state = nxt
-            out[state].append(pid)
+            out[state].append((pid, len(pat)))
         if not n_patterns:
             raise ValueError("need at least one pattern")
         # BFS failure links, folded directly into the goto tables so the
@@ -106,14 +108,42 @@ class AhoCorasick:
                 state = 0
                 continue
             if out[state]:
-                hits.update(out[state])
+                hits.update(pid for pid, _ in out[state])
         return hits
+
+    def search_first(self, text: str) -> dict[int, int]:
+        """Per pattern id, the 0-based start of its FIRST occurrence in
+        ``text`` — the span a decontamination pass excises."""
+        goto = self._goto
+        out = self._out
+        root = goto[0]
+        state = 0
+        first: dict[int, int] = {}
+        for i, ch in enumerate(text):
+            state = goto[state].get(ch) if state else root.get(ch)
+            if state is None:
+                state = 0
+                continue
+            for pid, ln in out[state]:
+                start = i - ln + 1
+                prev = first.get(pid)
+                if prev is None or start < prev:
+                    first[pid] = start
+        return first
 
 
 MATCH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("test_id", LongType(), False),
+    ]
+)
+
+POSITION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("test_id", LongType(), False),
+        StructField("first_pos", LongType(), False),
     ]
 )
 
@@ -127,10 +157,14 @@ def exact_contamination(
     pattern_id_col: str = "test_id",
     pattern_col: str = "pat",
     max_patterns: int = 5_000_000,
+    positions: bool = False,
     automaton_factory: Callable[[Iterable[tuple[int, str]]], AhoCorasick] | None = None,
 ) -> DataFrame:
     """(doc_id, test_id) pairs where the document's text contains the
-    test pattern as an exact substring.
+    test pattern as an exact substring; with ``positions=True`` each
+    pair also carries ``first_pos`` — the 0-based start of the first
+    occurrence, the span a surgical decontamination pass excises
+    instead of dropping the whole document.
 
     ``patterns`` is the held-out suite — collected to the driver (capped
     at ``max_patterns``; a benchmark suite is MBs), compiled into one
@@ -158,8 +192,9 @@ def exact_contamination(
             "decontamination broadcasts the test suite — it must stay "
             "benchmark-sized, not corpus-sized"
         )
+    schema = POSITION_SCHEMA if positions else MATCH_SCHEMA
     if not rows:
-        return docs.sparkSession.createDataFrame([], MATCH_SCHEMA)
+        return docs.sparkSession.createDataFrame([], schema)
     factory = automaton_factory or AhoCorasick
     automaton = factory([(r.pid, r.pat) for r in rows])
     bc = docs.sparkSession.sparkContext.broadcast(automaton)
@@ -171,16 +206,26 @@ def exact_contamination(
         for pdf in batches:
             doc_ids: list[int] = []
             test_ids: list[int] = []
+            first: list[int] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                for pid in ac.search_ids(text):
-                    doc_ids.append(did)
-                    test_ids.append(pid)
-            yield pd.DataFrame({"doc_id": doc_ids, "test_id": test_ids})
+                if positions:
+                    for pid, start in ac.search_first(text).items():
+                        doc_ids.append(did)
+                        test_ids.append(pid)
+                        first.append(start)
+                else:
+                    for pid in ac.search_ids(text):
+                        doc_ids.append(did)
+                        test_ids.append(pid)
+            cols = {"doc_id": doc_ids, "test_id": test_ids}
+            if positions:
+                cols["first_pos"] = first
+            yield pd.DataFrame(cols)
 
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
-    return base.mapInPandas(scan, schema=MATCH_SCHEMA)
+    return base.mapInPandas(scan, schema=schema)

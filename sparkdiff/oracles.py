@@ -3495,7 +3495,9 @@ ORACLES["q134_exact_contamination"] = """
            CAST(COUNT(DISTINCT p.test_id) AS BIGINT) AS n_test_items,
            CAST(COUNT(DISTINCT CASE WHEN p.test_id <> d.doc_id
                                     THEN p.test_id END) AS BIGINT)
-               AS n_foreign_items
+               AS n_foreign_items,
+           CAST(MIN(position(p.pat IN d.text) - 1) AS BIGINT)
+               AS first_hit_pos
     FROM documents d
     JOIN pats p ON contains(d.text, p.pat)
     GROUP BY d.doc_id

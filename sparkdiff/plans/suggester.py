@@ -65,17 +65,22 @@ def suggest_snippets(
         .groupBy("column_name", "suffix", "side")
         .agg(F.min("line_no").alias("first_line"))
     )
-    windowed = (
-        hits.join(lines, ["suffix", "side"])
-        .filter(
-            (F.col("line_no") >= F.col("first_line") - window_lines)
-            & (F.col("line_no") <= F.col("first_line") + window_lines)
-        )
-        .groupBy("column_name", "suffix", "side", "first_line")
-        .agg(
-            F.concat_ws(
-                "\n", F.array_sort(F.collect_list(F.struct("line_no", "line"))).getField("line")
-            ).alias("snippet")
-        )
+    # Window reassembly: slice the ±N lines straight out of the script
+    # content — one array slice per hit, NO hits x lines join fan-out
+    # (the earlier shape re-joined every hit against every line of its
+    # script, which is quadratic when hit columns are dense in a long
+    # script).  slice() is 1-based; line_no/first_line are 0-based.
+    start0 = F.greatest(F.lit(0), F.col("first_line") - window_lines)
+    length = F.col("first_line") + window_lines - start0 + 1
+    windowed = hits.join(
+        F.broadcast(scripts), ["suffix", "side"]
+    ).select(
+        "column_name",
+        "suffix",
+        "side",
+        "first_line",
+        F.concat_ws(
+            "\n", F.slice(F.split("content", "\n"), start0 + 1, length)
+        ).alias("snippet"),
     )
     return windowed

@@ -4344,7 +4344,7 @@ def q134_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_id"),
         F.expr("substring(text, 11, 30 + doc_id % 25)").alias("pat"),
     )
-    hits = exact_contamination(d, pats)
+    hits = exact_contamination(d, pats, positions=True)
     return hits.groupBy("doc_id").agg(
         F.count_distinct("test_id").cast("long").alias("n_test_items"),
         F.count_distinct(
@@ -4352,6 +4352,7 @@ def q134_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_foreign_items"),
+        F.min("first_pos").cast("long").alias("first_hit_pos"),
     )
 
 

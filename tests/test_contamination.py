@@ -136,3 +136,41 @@ def test_automaton_property_equals_naive(pats, text):
     numbered = list(enumerate(pats))
     ac = AhoCorasick(numbered)
     assert ac.search_ids(text) == _naive_ids(numbered, text)
+
+
+def test_search_first_positions():
+    ac = AhoCorasick([(1, "ab"), (2, "b"), (3, "ba")])
+    assert ac.search_first("abab") == {1: 0, 2: 1, 3: 1}
+    assert ac.search_first("zzab") == {1: 2, 2: 3}
+    assert ac.search_first("") == {}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pats=st.lists(_pat, min_size=1, max_size=25),
+    text=st.text(alphabet="ab", max_size=60),
+)
+def test_search_first_property_equals_str_find(pats, text):
+    numbered = list(enumerate(pats))
+    ac = AhoCorasick(numbered)
+    want = {
+        pid: text.find(pat)
+        for pid, pat in numbered
+        if pat in text
+    }
+    # duplicate (pid, pat) entries collapse to the same find result
+    assert ac.search_first(text) == want
+
+
+def test_exact_contamination_positions_mode(spark):
+    docs = spark.createDataFrame(
+        [(10, "xx quick brown quick")], "doc_id long, text string"
+    )
+    pats = spark.createDataFrame(
+        [(1, "quick"), (2, "brown")], "test_id long, pat string"
+    )
+    got = {
+        (r.doc_id, r.test_id): r.first_pos
+        for r in exact_contamination(docs, pats, positions=True).collect()
+    }
+    assert got == {(10, 1): 3, (10, 2): 9}

@@ -97,6 +97,11 @@ _INTENTIONAL_NLJ = {
     # ONE-ROW revenue total / customer count (q76/q90 stats shape).
     "q117_revenue_concentration",
     "q128_customer_gini",
+    # q135 rides the same rail: the bucket-offset table is the bounded
+    # #partitions-row non-equi broadcast join, and the total weight is
+    # a ONE-ROW broadcast (q76/q90 stats shape) carrying the overflow
+    # guard; the corpus itself never joins anything.
+    "q135_pps_sample",
     # q121 broadcasts the k×d centroid table for Lloyd assignment and
     # query probing (the q75 shape); list membership and candidate
     # ranking are equi-joins/windows.
