@@ -26,6 +26,10 @@ REGEN = os.environ.get("SPARKDIFF_REGEN_PLANS") == "1"
 
 
 def test_plan_signatures_match_snapshots(spark):
+    # plan shapes are pinned against a COLD cache: InMemoryRelations
+    # left behind by earlier tests (or by another query's internal
+    # persist) swallow exchanges and make signatures order-dependent
+    spark.catalog.clearCache()
     got = {name: plan_signature(fn(spark, SF_DIR_SMALL)) for name, fn in QUERIES.items()}
     if REGEN or not SNAPSHOT_PATH.exists():
         SNAPSHOT_PATH.write_text(json.dumps(got, indent=1, sort_keys=True) + "\n")
@@ -124,6 +128,7 @@ _INTENTIONAL_NLJ = {
 
 def test_no_query_plans_a_cartesian_or_nlj(spark):
     """Registry-wide hard invariant, independent of snapshots."""
+    spark.catalog.clearCache()
     bad = {}
     for name, fn in QUERIES.items():
         if name in _INTENTIONAL_NLJ:
