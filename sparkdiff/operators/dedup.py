@@ -495,6 +495,7 @@ def setsim_join(
     threshold_den: int,
     id_col: str = "doc_id",
     set_col: str = "s",
+    group_duplicates: bool = True,
 ) -> DataFrame:
     """EXACT threshold set-similarity self-join (AllPairs/PPJoin family,
     Bayardo et al. 2007, WWW): all pairs ``(id_a < id_b)`` with Jaccard
@@ -528,6 +529,20 @@ def setsim_join(
     prunes cut verified candidates 2.04× on an adversarial dense-
     vocabulary corpus; on natural zipfian corpora the prefix+positional
     path is the one that scales (see SCALE.md).
+
+    ``group_duplicates`` (default on) first collapses IDENTICAL token
+    sets to one representative (groupBy on the sorted array — exact,
+    no hash collisions), runs the whole prefix/verify pipeline on the
+    distinct sets, then expands: cross-group pairs fan back out by
+    membership, within-group pairs are emitted directly at Jaccard 1.0.
+    On a duplicate-free corpus this costs one extra corpus groupBy; on
+    a duplicate-heavy one it keeps the JOIN linear in distinct sets —
+    the 4x replica probe (SCALE.md) measured the quadratic answer set
+    arriving at expansion (output) time instead of squaring the verify.
+    Note the within-group pair count IS the answer's size: for a corpus
+    where one set has 10^6 copies the contract itself is 5·10^11 rows —
+    use ``exact_dedup``/``dedup_clusters`` when you want groups, not
+    pairs.
     """
     from pyspark.sql import Window
 
@@ -537,6 +552,48 @@ def setsim_join(
         )
     p, q = threshold_num, threshold_den
     toks = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s"))
+    if group_duplicates:
+        canon = toks.select("_id", F.array_sort("_s").alias("_cs"))
+        # one shuffle on the sorted-set key yields both the membership
+        # table and the representative rows (rep = min id of the group)
+        mem = canon.withColumn(
+            "_rep", F.min("_id").over(Window.partitionBy("_cs"))
+        ).select("_rep", "_id", "_cs")
+        reps = mem.filter(F.col("_id") == F.col("_rep"))
+        core = setsim_join(
+            reps.select("_id", F.col("_cs").alias("_s")),
+            p,
+            q,
+            id_col="_id",
+            set_col="_s",
+            group_duplicates=False,
+        )
+        mem = mem.select("_rep", "_id")
+        ma = mem.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+        mb = mem.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+        cross = (
+            core.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        within = (
+            mem.alias("x")
+            .join(
+                mem.alias("y"),
+                (F.col("x._rep") == F.col("y._rep"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(within)
     freq = (
         toks.select(F.explode("_s").alias("w"))
         .groupBy("w")

@@ -354,3 +354,48 @@ def test_setsim_join_prunes_cut_candidates_on_zipf(spark):
         .count()
     )
     assert n_pruned < n_prefix, (n_pruned, n_prefix)
+
+
+def test_setsim_join_groups_duplicate_sets_losslessly(spark):
+    """With exact-duplicate token sets in the corpus, the grouped path
+    must equal brute force: within-group pairs at Jaccard 1.0 (in any
+    element order), cross-group pairs expanded to every member pair."""
+    from itertools import combinations
+
+    from sparkdiff.operators.dedup import setsim_join
+
+    base = {
+        1: [10, 20, 30, 40, 50],
+        2: [10, 20, 30, 40, 60],   # J = 4/6 vs set 1
+        3: [10, 20, 30, 40, 50],   # dup of 1 (different order below)
+        4: [99],
+        5: [50, 40, 30, 20, 10],   # dup of 1, reversed order
+        6: [10, 20, 30, 40],       # J = 4/5 vs set 1
+    }
+    rows = [(i, list(s)) for i, s in base.items()]
+    df = spark.createDataFrame(rows, "doc_id long, s array<long>")
+
+    def jac(a, b):
+        a, b = set(a), set(b)
+        return len(a & b) / len(a | b)
+
+    want = {
+        (x, y): jac(base[x], base[y])
+        for x, y in combinations(sorted(base), 2)
+        if jac(base[x], base[y]) * 5 >= 4  # t = 4/5
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_join(df, 4, 5).collect()
+    }
+    assert got == want
+    assert got[(1, 3)] == 1.0 and got[(1, 5)] == 1.0 and got[(3, 5)] == 1.0
+    # grouped and ungrouped paths agree
+    got_flat = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_join(
+            df.select("doc_id", F.array_sort("s").alias("s")),
+            4, 5, group_duplicates=False,
+        ).collect()
+    }
+    assert got_flat == want
