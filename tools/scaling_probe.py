@@ -34,8 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfprobe_04"
 SHIFT = 10**9
+#: replica count for the synthetic tier (4 default; REPLICAS=16 for the
+#: heavy tier) — uniform key shifts per replica keep FKs valid
+REPLICAS = int(os.environ.get("REPLICAS", "4"))
+DST = f"/tmp/sfprobe_{REPLICAS:02d}"
 
 #: table -> columns to shift per replica (uniform shift keeps FKs valid)
 KEYED = {
@@ -80,7 +83,7 @@ def build_4x() -> str:
             ).fetchall()
         ]
         parts = []
-        for r in range(4):
+        for r in range(REPLICAS):
             sel = ", ".join(
                 f"({c} + {r * SHIFT}) AS {c}" if c in keys else c for c in cols
             )
@@ -103,7 +106,8 @@ def main(names: list[str]) -> None:
 
     four = build_4x()
     spark = get_spark("scaling-probe")
-    scales = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SRC), ("4x", four)]
+    big = f"{REPLICAS}x"
+    scales = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SRC), (big, four)]
     results: dict[str, dict[str, float]] = {}
     for name in names:
         fn = QUERIES[name]
@@ -118,13 +122,16 @@ def main(names: list[str]) -> None:
             results[name][label] = med
             print(f"{name} {label} {med:.3f}s", flush=True)
         spark.catalog.clearCache()
-    print("\nquery, t(sf0.01), t(sf0.1), t(4x), slope10 (10x rows), slope4 (4x rows)")
+    print(
+        f"\nquery, t(sf0.01), t(sf0.1), t({big}), slope10 (10x rows), "
+        f"slope{REPLICAS} ({REPLICAS}x rows)"
+    )
     for name, r in results.items():
         s10 = r["sf0.1"] / r["sf0.01"]
-        s4 = r["4x"] / r["sf0.1"]
+        sN = r[big] / r["sf0.1"]
         print(
-            f"{name}, {r['sf0.01']:.3f}, {r['sf0.1']:.3f}, {r['4x']:.3f}, "
-            f"{s10:.2f}, {s4:.2f}"
+            f"{name}, {r['sf0.01']:.3f}, {r['sf0.1']:.3f}, {r[big]:.3f}, "
+            f"{s10:.2f}, {sN:.2f}"
         )
     spark.stop()
 
