@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sparkdiff.functions.textstats import ws_token_count
-from sparkdiff.operators.contamination import exact_contamination
+from sparkdiff.operators.contamination import exact_contamination, excise_contamination
 from sparkdiff.operators.dedup import token_hash
 from sparkdiff.operators.sampling import systematic_weighted_sample
 from sparkdiff.session import get_spark, load_table
@@ -74,8 +74,20 @@ def main(sf_dir: str) -> None:
         .distinct()
     )
 
-    # Stage 2 — exact substring pass (Aho-Corasick broadcast automaton).
+    # Stage 2 — exact substring pass (Aho-Corasick broadcast automaton),
+    # plus the surgical alternative: excise the matched spans instead of
+    # dropping the documents they sit in.
     exact_hits = exact_contamination(docs, suite).select("doc_id").distinct()
+    excised = (
+        excise_contamination(docs, suite)
+        .filter(F.col("n_spans") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars_excised").alias("chars"),
+        )
+        .collect()[0]
+    )
+    print(f"-> surgical option: {excised.chars} chars excisable from {excised.docs} docs")
 
     flagged = gram_hits.union(exact_hits).distinct()
     clean = docs.join(flagged, "doc_id", "left_anti")

@@ -40,7 +40,7 @@ from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 class AhoCorasick:
@@ -110,6 +110,36 @@ class AhoCorasick:
             if out[state]:
                 hits.update(pid for pid, _ in out[state])
         return hits
+
+    def search_spans(self, text: str) -> list[tuple[int, int]]:
+        """MERGED half-open [start, end) intervals covering every
+        occurrence of every pattern — the excision set of a surgical
+        decontamination pass.  Overlapping and adjacent matches
+        coalesce, so cutting the spans right-to-left is well-defined."""
+        goto = self._goto
+        out = self._out
+        root = goto[0]
+        state = 0
+        spans: list[tuple[int, int]] = []
+        for i, ch in enumerate(text):
+            state = goto[state].get(ch) if state else root.get(ch)
+            if state is None:
+                state = 0
+                continue
+            for _, ln in out[state]:
+                spans.append((i - ln + 1, i + 1))
+        if not spans:
+            return spans
+        spans.sort()
+        merged = [spans[0]]
+        for s, e in spans[1:]:
+            ls, le = merged[-1]
+            if s <= le:
+                if e > le:
+                    merged[-1] = (ls, e)
+            else:
+                merged.append((s, e))
+        return merged
 
     def search_first(self, text: str) -> dict[int, int]:
         """Per pattern id, the 0-based start of its FIRST occurrence in
@@ -229,3 +259,106 @@ def exact_contamination(
         F.col(text_col).alias("text"),
     )
     return base.mapInPandas(scan, schema=schema)
+
+
+EXCISED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("clean_text", StringType(), True),
+        StructField("n_spans", LongType(), False),
+        StructField("n_chars_excised", LongType(), False),
+    ]
+)
+
+
+def excise_contamination(
+    docs: DataFrame,
+    patterns: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_id_col: str = "test_id",
+    pattern_col: str = "pat",
+    max_patterns: int = 5_000_000,
+    automaton_factory: Callable[[Iterable[tuple[int, str]]], AhoCorasick] | None = None,
+) -> DataFrame:
+    """Surgical decontamination: CUT every occurrence of every test
+    pattern out of each document instead of dropping the document —
+    the span-level remedy for verbatim leakage inside otherwise-good
+    training text.
+
+    Spans come from the same broadcast Aho-Corasick automaton as
+    :func:`exact_contamination` (one corpus scan, no join), merged so
+    overlapping/adjacent matches coalesce before cutting — iterative
+    ``regexp_replace`` per pattern has no such guarantee (an earlier
+    cut can splice two halves into a NEW occurrence of another
+    pattern; interval excision never manufactures text).  Returns one
+    row per input document: ``clean_text`` (untouched when nothing
+    matched), span count, and excised char count.
+    """
+    rows = (
+        patterns.select(
+            F.col(pattern_id_col).cast("long").alias("pid"),
+            F.col(pattern_col).cast("string").alias("pat"),
+        )
+        .limit(max_patterns + 1)
+        .collect()
+    )
+    if len(rows) > max_patterns:
+        raise ValueError(
+            f"pattern side exceeds max_patterns={max_patterns}; exact "
+            "decontamination broadcasts the test suite — it must stay "
+            "benchmark-sized, not corpus-sized"
+        )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    if not rows:
+        return base.select(
+            "doc_id",
+            F.col("text").alias("clean_text"),
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("n_chars_excised"),
+        )
+    factory = automaton_factory or AhoCorasick
+    automaton = factory([(r.pid, r.pat) for r in rows])
+    bc = docs.sparkSession.sparkContext.broadcast(automaton)
+
+    def cut(batches) -> Iterator:
+        import pandas as pd
+
+        ac = bc.value
+        for pdf in batches:
+            ids, cleans, counts, removed = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(did)
+                if text is None:
+                    cleans.append(None)
+                    counts.append(0)
+                    removed.append(0)
+                    continue
+                spans = ac.search_spans(text)
+                if spans:
+                    pieces, prev = [], 0
+                    for s, e in spans:
+                        pieces.append(text[prev:s])
+                        prev = e
+                    pieces.append(text[prev:])
+                    cleans.append("".join(pieces))
+                    counts.append(len(spans))
+                    removed.append(sum(e - s for s, e in spans))
+                else:
+                    cleans.append(text)
+                    counts.append(0)
+                    removed.append(0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "clean_text": cleans,
+                    "n_spans": counts,
+                    "n_chars_excised": removed,
+                }
+            )
+
+    return base.mapInPandas(cut, schema=EXCISED_SCHEMA)

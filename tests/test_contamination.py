@@ -174,3 +174,69 @@ def test_exact_contamination_positions_mode(spark):
         for r in exact_contamination(docs, pats, positions=True).collect()
     }
     assert got == {(10, 1): 3, (10, 2): 9}
+
+
+def test_search_spans_merges_overlaps():
+    ac = AhoCorasick([(1, "abc"), (2, "cde"), (3, "xx")])
+    # 'abc' at 0 and 'cde' at 2 overlap -> one [0,5) span
+    assert ac.search_spans("abcde") == [(0, 5)]
+    assert ac.search_spans("abc xx abc") == [(0, 3), (4, 6), (7, 10)]
+    assert ac.search_spans("zzz") == []
+    # adjacent spans coalesce
+    ac2 = AhoCorasick([(1, "ab"), (2, "cd")])
+    assert ac2.search_spans("abcd") == [(0, 4)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pats=st.lists(_pat, min_size=1, max_size=15),
+    text=st.text(alphabet="ab", max_size=50),
+)
+def test_search_spans_property(pats, text):
+    """Spans must exactly cover the union of all naive match intervals,
+    merged; the excised text must contain NO pattern as a substring
+    ONLY when no pattern can be formed by splicing -- weaker invariant
+    checked: covered positions == naive union, spans disjoint+sorted."""
+    numbered = list(enumerate(pats))
+    ac = AhoCorasick(numbered)
+    spans = ac.search_spans(text)
+    covered = set()
+    for s, e in spans:
+        assert 0 <= s < e <= len(text)
+        assert not (covered & set(range(s, e)))  # disjoint
+        covered |= set(range(s, e))
+    naive = set()
+    for _, pat in numbered:
+        start = text.find(pat)
+        while start != -1:
+            naive |= set(range(start, start + len(pat)))
+            start = text.find(pat, start + 1)
+    assert covered == naive
+    assert spans == sorted(spans)
+
+
+def test_excise_contamination_operator(spark):
+    from sparkdiff.operators.contamination import excise_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep SECRET keep"),
+            (2, "no match here"),
+            (3, None),
+            (4, "SECRETSECRET"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame([(7, "SECRET")], "test_id long, pat string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_chars_excised)
+        for r in excise_contamination(docs, pats).collect()
+    }
+    assert got[1] == ("keep  keep", 1, 6)
+    assert got[2] == ("no match here", 0, 0)
+    assert got[3] == (None, 0, 0)
+    assert got[4] == ("", 1, 12)  # adjacent occurrences merge to one span
+    # empty suite: text passes through untouched
+    empty = spark.createDataFrame([], "test_id long, pat string")
+    out = {r.doc_id: r.clean_text for r in excise_contamination(docs, empty).collect()}
+    assert out[1] == "keep SECRET keep"

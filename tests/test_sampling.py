@@ -249,3 +249,12 @@ def test_pps_draw_arithmetic_properties(ws, k):
         assert exp - 1 < n < exp + 1, (key, w, n, exp)
         if w == 0:
             assert n == 0
+
+
+def test_systematic_weighted_sample_empty_input(spark):
+    from sparkdiff.operators.sampling import systematic_weighted_sample
+
+    df = spark.createDataFrame([], "doc_id long, w long")
+    out = systematic_weighted_sample(df, "doc_id", "w", 5)
+    assert out.count() == 0
+    assert "n_copies" in out.columns
