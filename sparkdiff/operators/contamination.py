@@ -228,6 +228,24 @@ def exact_contamination(
     factory = automaton_factory or AhoCorasick
     automaton = factory([(r.pid, r.pat) for r in rows])
     bc = docs.sparkSession.sparkContext.broadcast(automaton)
+    return scan_with_automaton(
+        docs, bc, id_col=id_col, text_col=text_col, positions=positions
+    )
+
+
+def scan_with_automaton(
+    docs: DataFrame,
+    bc,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = False,
+) -> DataFrame:
+    """One-pass match scan against an ALREADY-broadcast automaton —
+    the reusable half of :func:`exact_contamination`, for callers that
+    scan many DataFrames against one suite (e.g. the streaming ingest
+    gate, which must not mint a new broadcast per micro-batch)."""
+    schema = POSITION_SCHEMA if positions else MATCH_SCHEMA
 
     def scan(batches) -> Iterator:
         import pandas as pd

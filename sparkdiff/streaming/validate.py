@@ -390,3 +390,52 @@ def incremental_validation_to_parquet(
         .foreachBatch(_process)
         .trigger(availableNow=True)
     )
+
+
+def streaming_contamination_gate(
+    batches: DataFrame,
+    patterns: DataFrame,
+    on_contaminated: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Ingest-time exact-substring decontamination: per micro-batch of
+    NEW documents, the (doc_id, test_id) hits against the held-out
+    suite are handed to ``on_contaminated`` — the streaming form of the
+    q134 screen, guarding a continuously-fed corpus the way
+    :func:`streaming_ingest_dedup` guards it against near-duplicates.
+
+    The Aho-Corasick automaton is compiled and broadcast ONCE before
+    the stream starts (the suite is benchmark-sized); each micro-batch
+    pays only its own one-pass scan through
+    :func:`~sparkdiff.operators.contamination.scan_with_automaton` —
+    no per-batch broadcast, no state or cache growth across the
+    stream's lifetime.  Returns the unstarted ``writeStream`` builder.
+    """
+    from sparkdiff.operators.contamination import (
+        MATCH_SCHEMA,
+        AhoCorasick,
+        scan_with_automaton,
+    )
+
+    rows = patterns.select(
+        F.col("test_id").cast("long").alias("pid"),
+        F.col("pat").cast("string").alias("pat"),
+    ).collect()
+    spark = patterns.sparkSession
+    bc = (
+        spark.sparkContext.broadcast(AhoCorasick([(r.pid, r.pat) for r in rows]))
+        if rows
+        else None
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if bc is None:
+            hits = batch_df.sparkSession.createDataFrame([], MATCH_SCHEMA)
+        else:
+            hits = scan_with_automaton(
+                batch_df, bc, id_col=id_col, text_col=text_col
+            )
+        on_contaminated(hits, batch_id)
+
+    return batches.writeStream.outputMode("append").foreachBatch(handle)

@@ -695,3 +695,51 @@ def test_sliding_window_stream_matches_q114_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_contamination_gate_matches_batch_scan(spark, tmp_path):
+    """The micro-batched contamination gate must flag exactly the
+    (doc, test item) hits the batch-mode q134 operator finds over the
+    same rows — one automaton broadcast for the whole stream."""
+    from sparkdiff.operators.contamination import exact_contamination
+    from sparkdiff.streaming.validate import streaming_contamination_gate
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    suite = docs.filter(
+        (F.col("doc_id") % 40 == 0) & (F.length("text") >= 65)
+    ).select(
+        F.col("doc_id").alias("test_id"),
+        F.expr("substring(text, 11, 40)").alias("pat"),
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: set = set()
+    batch_ids: set = set()
+
+    def collect(hits, bid):
+        batch_ids.add(bid)
+        for r in hits.collect():
+            got.add((r.doc_id, r.test_id))
+
+    q = (
+        streaming_contamination_gate(stream, suite, collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    expected = {
+        (r.doc_id, r.test_id)
+        for r in exact_contamination(docs, suite).collect()
+    }
+    assert len(batch_ids) >= 2, "expected multiple micro-batches"
+    assert got == expected
+    assert expected, "batch scan found nothing — fixture broken"
