@@ -398,6 +398,7 @@ def streaming_contamination_gate(
     on_contaminated: Callable[[DataFrame, int], None],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_patterns: int = 5_000_000,
 ):
     """Ingest-time exact-substring decontamination: per micro-batch of
     NEW documents, the (doc_id, test_id) hits against the held-out
@@ -418,10 +419,19 @@ def streaming_contamination_gate(
         scan_with_automaton,
     )
 
-    rows = patterns.select(
-        F.col("test_id").cast("long").alias("pid"),
-        F.col("pat").cast("string").alias("pat"),
-    ).collect()
+    rows = (
+        patterns.select(
+            F.col("test_id").cast("long").alias("pid"),
+            F.col("pat").cast("string").alias("pat"),
+        )
+        .limit(max_patterns + 1)
+        .collect()
+    )
+    if len(rows) > max_patterns:
+        raise ValueError(
+            f"pattern side exceeds max_patterns={max_patterns}; the gate "
+            "broadcasts the test suite — it must stay benchmark-sized"
+        )
     spark = patterns.sparkSession
     bc = (
         spark.sparkContext.broadcast(AhoCorasick([(r.pid, r.pat) for r in rows]))
