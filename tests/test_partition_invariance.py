@@ -29,6 +29,10 @@ SENSITIVE = [
     "q76_bm25_rank",
     "q78_rolling_events",
     "q103_mad_outliers",
+    # range-partition prefix-sum rail: bucket boundaries move with the
+    # partition count, the ranks/draws must not
+    "q117_revenue_concentration",
+    "q135_pps_sample",
 ]
 
 
