@@ -7,9 +7,14 @@ the driver captures only a bounded tail of stdout (~2.5 KB), and the
 round-2/3 benches went unrecorded because the full 133-query line
 (~18 KB) overflowed it.
 
-Each query is evaluated $SPARK_GRAFT_BENCH_N times (default 3) and the
-MEDIAN is reported, so round-over-round regressions are attributable to
-code rather than scheduler noise.
+Each query gets ONE UNTIMED warm-up evaluation (JIT, shuffle-file and
+page-cache state, broadcast builds) followed by $SPARK_GRAFT_BENCH_N
+timed runs (default 3); the MEDIAN of the timed runs is reported and the
+MIN is recorded alongside in BENCH_DETAIL.json.  Round-4 evidence for
+discarding the first run: q134 runs were [3.93, 0.44, 0.41] and q107
+[5.54, 9.94, 1.99] — first-run and GC effects, not plan changes, were
+deciding medians, making round-over-round comparison noise-bound.  The
+warm-up run is NOT included in any reported number.
 """
 
 from __future__ import annotations
@@ -52,6 +57,9 @@ def main() -> None:
         # bench: round 2 lost all 68 timings to a single failing scan.
         try:
             df = fn(spark, sf_dir)
+            # untimed warm-up: absorbs codegen/JIT, parquet footer and
+            # page-cache state, and broadcast builds (see module doc)
+            df.write.format("noop").mode("overwrite").save()
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -69,6 +77,7 @@ def main() -> None:
         detail[name] = {
             "runs": runs,
             "median": med,
+            "min": round(min(runs), 4),
             "rows": rows,
             "rows_per_sec": round(rows / med, 1) if med > 0 else None,
         }

@@ -299,6 +299,7 @@ def excise_contamination(
     pattern_col: str = "pat",
     max_patterns: int = 5_000_000,
     automaton_factory: Callable[[Iterable[tuple[int, str]]], AhoCorasick] | None = None,
+    rescan: int = 0,
 ) -> DataFrame:
     """Surgical decontamination: CUT every occurrence of every test
     pattern out of each document instead of dropping the document —
@@ -307,13 +308,33 @@ def excise_contamination(
 
     Spans come from the same broadcast Aho-Corasick automaton as
     :func:`exact_contamination` (one corpus scan, no join), merged so
-    overlapping/adjacent matches coalesce before cutting — iterative
-    ``regexp_replace`` per pattern has no such guarantee (an earlier
-    cut can splice two halves into a NEW occurrence of another
-    pattern; interval excision never manufactures text).  Returns one
+    overlapping/adjacent matches coalesce before cutting.  Returns one
     row per input document: ``clean_text`` (untouched when nothing
     matched), span count, and excised char count.
+
+    ONE-PASS LIMITATION (``rescan=0``, the default): excision
+    guarantees every span matched in the ORIGINAL text is removed, but
+    ``clean_text`` is not certified pattern-free — cutting a span
+    splices its flanking text together, and that splice can itself
+    form a NEW occurrence of another pattern (patterns ``{'ab',
+    'XY'}``, text ``'aXYb'`` → ``'ab'``).  Iterative per-pattern
+    ``regexp_replace`` has the same failure mode plus
+    order-dependence; a single merged-interval pass at least makes the
+    result deterministic and independent of pattern order.
+
+    ``rescan=N`` iterates to fixpoint PER DOCUMENT inside the same
+    single corpus scan (no extra Spark jobs): after cutting, the
+    spliced text is re-scanned and cut again, up to N extra passes or
+    until a pass finds nothing.  Each pass removes >= 1 character, so
+    a generous N certifies: any document whose final pass found zero
+    spans is pattern-free; ``n_spans``/``n_chars_excised`` accumulate
+    across passes.  A document still matching after N extra passes
+    (adversarial nesting) keeps its last splice — gate with
+    :func:`exact_contamination` afterwards if absolute certainty is
+    required.
     """
+    if rescan < 0:
+        raise ValueError(f"rescan must be >= 0, got {rescan}")
     rows = (
         patterns.select(
             F.col(pattern_id_col).cast("long").alias("pid"),
@@ -347,6 +368,22 @@ def excise_contamination(
         import pandas as pd
 
         ac = bc.value
+
+        def cut_once(text: str) -> tuple[str, int, int]:
+            spans = ac.search_spans(text)
+            if not spans:
+                return text, 0, 0
+            pieces, prev = [], 0
+            for s, e in spans:
+                pieces.append(text[prev:s])
+                prev = e
+            pieces.append(text[prev:])
+            return (
+                "".join(pieces),
+                len(spans),
+                sum(e - s for s, e in spans),
+            )
+
         for pdf in batches:
             ids, cleans, counts, removed = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
@@ -356,20 +393,18 @@ def excise_contamination(
                     counts.append(0)
                     removed.append(0)
                     continue
-                spans = ac.search_spans(text)
-                if spans:
-                    pieces, prev = [], 0
-                    for s, e in spans:
-                        pieces.append(text[prev:s])
-                        prev = e
-                    pieces.append(text[prev:])
-                    cleans.append("".join(pieces))
-                    counts.append(len(spans))
-                    removed.append(sum(e - s for s, e in spans))
-                else:
-                    cleans.append(text)
-                    counts.append(0)
-                    removed.append(0)
+                total_n = total_c = 0
+                text, n, c = cut_once(text)
+                total_n, total_c = total_n + n, total_c + c
+                # per-doc fixpoint: re-scan the spliced text in-place
+                for _ in range(rescan if total_n else 0):
+                    text, n, c = cut_once(text)
+                    if not n:
+                        break
+                    total_n, total_c = total_n + n, total_c + c
+                cleans.append(text)
+                counts.append(total_n)
+                removed.append(total_c)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

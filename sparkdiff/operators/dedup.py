@@ -349,6 +349,72 @@ def corpus_dedup_index(
     return sh, bk
 
 
+def update_corpus_dedup_index(
+    index: tuple[DataFrame, DataFrame],
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Append a new batch's signatures to an existing corpus index —
+    the amortization contract: per ingest, only the BATCH is shingled
+    and hashed; the corpus-side work is never recomputed.  The LSH
+    parameters must match the ones the index was built with (band keys
+    from different (num_perm, bands, hash_method) never collide
+    correctly); the caller owns that invariant, exactly as with any
+    pre-built ``corpus_index``.  Returns the grown ``(shingle_sets,
+    band_keys)``; union is plan-level, so persist (or
+    :func:`append_corpus_dedup_index` to parquet) at whatever cadence
+    suits the ingest loop.
+    """
+    sh_c, bk_c = index
+    sh_b, bk_b = corpus_dedup_index(
+        batch, id_col, text_col, k, num_perm, bands, hash_method, tokens_col
+    )
+    return sh_c.unionByName(sh_b), bk_c.unionByName(bk_b)
+
+
+def save_corpus_dedup_index(
+    index: tuple[DataFrame, DataFrame], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a corpus dedup index as two parquet tables
+    (``<path>/shingles``, ``<path>/bands``) — the durable form that
+    makes the ingest gate's corpus-side cost O(read) instead of
+    O(reshingle) per run.  ``mode="append"`` is the incremental path
+    (:func:`append_corpus_dedup_index`)."""
+    import os
+
+    sh, bk = index
+    sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
+    bk.write.mode(mode).parquet(os.path.join(path, "bands"))
+
+
+def append_corpus_dedup_index(
+    index: tuple[DataFrame, DataFrame], path: str
+) -> None:
+    """Append (typically batch-only) index rows to a persisted index —
+    per-ingest cost is writing the batch's own signature rows."""
+    save_corpus_dedup_index(index, path, mode="append")
+
+
+def load_corpus_dedup_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Open a persisted corpus dedup index; the scan is lazy, so an
+    ingest batch's band-key join reads the band table straight off
+    parquet (columnar, key-pruned) with no recompute."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "shingles")),
+        spark.read.parquet(os.path.join(path, "bands")),
+    )
+
+
 def incremental_near_dup_pairs(
     corpus: DataFrame | None,
     batch: DataFrame,
@@ -553,7 +619,14 @@ def setsim_join(
     p, q = threshold_num, threshold_den
     toks = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s"))
     if group_duplicates:
-        canon = toks.select("_id", F.array_sort("_s").alias("_cs"))
+        # empty/null sets must NOT form a duplicate group: Jaccard over
+        # two empty sets is 0/0 (undefined), and the ungrouped path
+        # never pairs them (no tokens -> no prefix match).  Excluding
+        # them keeps the grouped path value-identical to the ungrouped
+        # one.  size(NULL) = -1, so one predicate covers both.
+        canon = toks.filter(F.size("_s") > 0).select(
+            "_id", F.array_sort("_s").alias("_cs")
+        )
         # one shuffle on the sorted-set key yields both the membership
         # table and the representative rows (rep = min id of the group)
         mem = canon.withColumn(

@@ -9,20 +9,32 @@ pipeline uses to pick join keys (ndv == row count -> candidate pk) and
 to sanity-check a pair before diffing.
 
 Scale notes: non-null/min/max come from ONE no-distinct aggregation
-pass; each exact NDV is its OWN single-distinct aggregate (map-side
-partial dedup, narrowest possible shuffle: one column's distinct
-values), unioned to a (column, ndv) table and broadcast-joined back to
-the stacked base profile.  This deliberately avoids the single-agg
-multi-COUNT(DISTINCT) form: Catalyst plans that as an Expand that
-multiplies the row stream by the number of profiled columns and funnels
-all of them through one aggregate pipeline — measured 11-16 s vs 4.5 s
-for the split shape on 600k rows × 6 columns, and the gap widens with
-width.  Columnar parquet means the per-column jobs re-read only their
-own column, so total I/O matches the fused pass.  For wide exploratory
-profiling at 100 TB swap ``exact_ndv=False`` to use HyperLogLog
-(``approx_count_distinct``) — one pass, no per-column jobs; the approx
-variant is pinned within rtol in tests but is NOT the oracle path
-(sketches are not engine-portable).
+pass; exact NDV for ALL profiled columns comes from ONE additional
+melt scan — ``posexplode`` of the columns rendered through an
+injective string encoding → ``groupBy(_cid, _v)`` (map-side partial
+dedup, shuffle carries only distinct (column, value) pairs) →
+``groupBy(_cid).count()`` (tiny second shuffle: one row per distinct
+value).  Two scans + two shuffles per table, independent of column
+count.  This replaces two rejected shapes, both measured on 600k rows
+× 4-6 columns: (a) the single-agg multi-COUNT(DISTINCT) — Catalyst
+plans it as an Expand that funnels every column's row stream through
+ONE aggregate pipeline with no per-column parallelism (11-16 s); (b)
+one single-distinct job per column — narrow shuffles but N+1 full
+scan jobs whose scheduler+GC overhead made q107 the most volatile
+bench query (median 5.5 s, runs 2-10 s).  The melt is the same shape
+as ``quantiles._dist_quantiles`` (quantiles.py:102-109) and inherits
+its property: parallelism is (columns × value-hash) wide at every
+stage.  For wide exploratory profiling at 100 TB swap
+``exact_ndv=False`` to use HyperLogLog (``approx_count_distinct``) —
+one pass, no melt; the approx variant is pinned within rtol in tests
+but is NOT the oracle path (sketches are not engine-portable).
+
+NDV-encoding injectivity: each column is cast to string, which is
+injective per Spark type (doubles/floats use shortest round-trip
+rendering; timestamps keep microseconds; decimals keep fixed scale),
+so COUNT(DISTINCT encoded) == COUNT(DISTINCT value).  Floating
+columns are normalized with ``+ 0.0`` first so -0.0 and 0.0 — equal
+under aggregate comparison — also render identically.
 
 The min/max canonical rendering mirrors ``functions/canonical.py``'s
 rules (scaled-long for doubles, second-precision timestamps) so the
@@ -101,16 +113,32 @@ def profile_table(
         f"stack({len(columns)}, {parts}) as "
         "(column, n_nonnull, min_str, max_str)",
     )
-    # one single-distinct aggregate per column (no Expand — see module
-    # docstring), unioned into a tiny (column, ndv) side table
-    ndvs = None
-    for c in columns:
-        part = (
-            df.select(c)
-            .agg(F.count_distinct(F.col(c)).cast("long").alias("ndv"))
-            .select(F.lit(c).alias("column"), "ndv")
+    # exact NDV for ALL columns in one melt scan + two shuffles (see
+    # module docstring): posexplode(injective string encodings) ->
+    # distinct (column, value) -> count per column.
+    def _enc(c: str) -> Column:
+        col = F.col(c)
+        if isinstance(dtypes[c], (T.DoubleType, T.FloatType)):
+            col = col + F.lit(0.0)  # -0.0 -> 0.0, matching agg equality
+        return col.cast("string")
+
+    melted = df.select(
+        F.posexplode(F.array(*[_enc(c) for c in columns])).alias(
+            "_cid", "_v"
         )
-        ndvs = part if ndvs is None else ndvs.unionAll(part)
+    ).filter(F.col("_v").isNotNull())
+    ndvs = (
+        melted.groupBy("_cid", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(c) for c in columns]), F.col("_cid") + 1
+            ).alias("column"),
+            "ndv",
+        )
+    )
     return base.join(F.broadcast(ndvs), "column").select(
         "column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str"
     )

@@ -232,9 +232,19 @@ def scalable_row_number(
 
     ``order_cols`` must be a total order (include a unique tiebreak) so
     the result is deterministic regardless of where the range sampler
-    places bucket boundaries.  Correctness does not depend on the two
-    uses of the range exchange picking identical boundaries — but they
-    do anyway (canonical-subtree exchange reuse).
+    places bucket boundaries.  NOTE a real dependency: ``local`` and
+    ``counts`` both derive from the same ``part`` reference, and
+    correctness REQUIRES both to see the same ``_pid`` assignment —
+    i.e. the range exchange must be materialized once, not recomputed
+    with freshly-sampled boundaries.  Spark guarantees this here via
+    canonical-subtree exchange reuse (``ReuseExchange`` matches the two
+    identical exchange subtrees; pinned in test_quantiles'
+    shuffle-invariance tests), and ``repartitionByRange``'s boundary
+    sampling is additionally seed-deterministic per plan.  If this
+    rail is ever ported to an engine without exchange reuse, persist
+    ``part`` before fanning out.  The same pattern (and the same
+    guarantee) underlies ``_dist_quantiles`` and
+    ``sampling.systematic_weighted_sample``.
     """
     order_cols = list(order_cols)
     part = df.repartitionByRange(*order_cols).withColumn(

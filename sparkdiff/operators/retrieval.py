@@ -82,10 +82,10 @@ def kmeans_assign(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    seed_ids = [
-        r[0] for r in e.select("_id").orderBy("_id").limit(k).collect()
-    ]  # k driver-side ids — bounded by k, never corpus-sized
-    cents = e.filter(F.col("_id").isin(seed_ids)).select(
+    # seeds = the k smallest-id rows, fully LAZY (TakeOrderedAndProject
+    # inside the plan — no driver collect, so building the operator
+    # launches zero jobs; the registry's lazy-construction contract)
+    cents = e.orderBy("_id").limit(k).select(
         F.col("_id").cast("long").alias("cluster"),
         F.col("_v").alias("_c"),
     )
@@ -162,11 +162,8 @@ def ivf_topk_deterministic(
     )
     # Lloyd loop — identical to kmeans_assign, but keeping the
     # centroid table that produced the FINAL assignment for probing.
-    seed_ids = [
-        r[0]
-        for r in e.select("_id").orderBy("_id").limit(k_clusters).collect()
-    ]
-    cents = e.filter(F.col("_id").isin(seed_ids)).select(
+    # lazy seeds — same TakeOrderedAndProject shape as kmeans_assign
+    cents = e.orderBy("_id").limit(k_clusters).select(
         F.col("_id").cast("long").alias("cluster"), F.col("_v").alias("_c")
     )
     rank = Window.orderBy("cluster")

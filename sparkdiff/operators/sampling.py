@@ -242,9 +242,10 @@ def systematic_weighted_sample(
         cnt(X) = clamp((2*k*X + W - 1) div (2*W), 0, k)
 
     counts the positions below X — so any engine reproduces the sample
-    bit-for-bit (requires ``2*k*W < 2^63``, asserted at runtime on the
-    one-row total so the builder stays lazy; negative weights raise the
-    same way).
+    bit-for-bit (requires ``W*(2k+1) <= 2^63-1``, asserted at runtime on
+    the one-row total so the builder stays lazy; negative weights and a
+    non-positive total ``W`` — which would make the draw positions
+    undefined — raise the same way).
 
     Scale shape: cumulative weights ride the same range-partition
     prefix-sum rail as ``quantiles.scalable_row_number`` — a parallel
@@ -283,14 +284,25 @@ def systematic_weighted_sample(
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_bs"), F.lit(0)).cast("long").alias("_off"))
     )
-    guard_bad = (F.min("_minw") < 0) | (F.sum("_s") > F.lit((1 << 62) // k))
+    # W <= 0 (all-zero weights) would hit `div (2*_W)` = div-by-zero ->
+    # NULL -> a silently EMPTY sample violating sum(out_col) == k; raise
+    # like negative weights do.  Headroom: the count expression's max
+    # intermediate is 2*k*W + W - 1 (X <= W), so require
+    # W*(2k+1) <= 2^63-1 — this also rejects the exact 2*k*W == 2^63
+    # boundary the old `>` floor-form admitted.
+    guard_bad = (
+        (F.min("_minw") < 0)
+        | (F.sum("_s") <= 0)
+        | (F.sum("_s") > F.lit(((1 << 63) - 1) // (2 * k + 1)))
+    )
     total = sums.groupBy().agg(
         F.when(
             guard_bad,
             F.raise_error(
                 F.lit(
                     "systematic_weighted_sample: weights must be >= 0 "
-                    "and 2*k*total_weight must fit in a signed long"
+                    "with positive total, and 2*k*total_weight must fit "
+                    "in a signed long"
                 )
             ).cast("long"),
         )

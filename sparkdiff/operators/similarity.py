@@ -391,9 +391,10 @@ def semdedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "v",
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.99,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, compare
@@ -413,6 +414,13 @@ def semdedup(
     (SemDeDup runs k ≈ 10% of corpus size at production scale, making
     expected cluster populations O(10)); the pair join itself is a plain
     equi-join on the cluster id, so it shuffles each vector once.
+    ``k=None`` (the scale-safe default for ad-hoc use) derives
+    ``k = max(4, n // 100)`` from one corpus count, keeping expected
+    cell population ~100 at any corpus size; pass an explicit ``k``
+    (as the oracle-pinned q88 does) when the build must stay lazy and
+    the answer engine-reproducible.  ``dim=None`` probes the vector
+    dimensionality from one row; both fallbacks run an eager job, so
+    registry queries pass both explicitly.
 
     The threshold test uses the MULTIPLICATIVE cosine form
     ``dot(a,b) ≥ t · (‖a‖ · ‖b‖) AND ‖a‖ · ‖b‖ > 0`` with the norms
@@ -436,7 +444,18 @@ def semdedup(
     base = vectors.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
-    dim = len(base.select("_v").first()[0])  # one row — bounded probe
+    if dim is None:
+        # one-row bounded probe — EAGER (runs a job at construction);
+        # pass ``dim`` explicitly to keep the build fully lazy
+        dim = len(base.select("_v").first()[0])
+    if k is None:
+        # k ∝ n is the scale-safe default: expected cell population
+        # stays O(100) as the corpus grows, so the within-cell
+        # quadratic term stays linear overall (the probe measured
+        # fixed k=16 going 1.9x-the-ratio at 4x corpus; SemDeDup runs
+        # k ≈ 10% of corpus at production scale).  One corpus count —
+        # EAGER; pass explicit ``k`` for a lazy, oracle-pinnable build.
+        k = max(4, base.count() // 100)
     assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
         "_id", "cluster"
     )

@@ -2096,8 +2096,13 @@ _Q88_DOT = (
     "(acc, x) -> acc + x))"
 )
 
-ORACLES["q88_semdedup"] = _kmeans_oracle(
-    k=4,
+def _semdedup_oracle(k: int) -> str:
+    """q88/q136 SemDeDup oracle over the planted-positive corpus,
+    parameterized by cluster count.  q136 passes the k the auto
+    heuristic derives at the driver's sf0.01 corpus:
+    max(4, 525 // 100) = 5."""
+    return _kmeans_oracle(
+        k=k,
     iters=2,
     base="""
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2138,7 +2143,11 @@ ORACLES["q88_semdedup"] = _kmeans_oracle(
                 AS INTEGER) AS kept
     FROM a2 LEFT JOIN n USING (vec_id)
     """,
-)
+    )
+
+
+ORACLES["q88_semdedup"] = _semdedup_oracle(k=4)
+ORACLES["q136_semdedup_auto"] = _semdedup_oracle(k=5)
 
 
 # q90: fixed-point PageRank over the part<->supplier graph — integer

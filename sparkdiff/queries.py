@@ -2401,17 +2401,11 @@ def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q88_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic near-duplicate pruning (`operators/similarity.
-    semdedup`): k-means cells bound the all-pairs comparison, cosine ≥
-    0.95 within a cell marks the larger id a duplicate.  Corpus = the
-    embeddings table plus every 20th vector re-inserted at +100000 with
-    the q51 ±3% deterministic perturbation (cosine ≈ 0.9995 to its
-    original — the planted positives; the natural pair max is 0.52, so
-    the planted set is exactly the expected answer).  The oracle
-    replays Lloyd + the within-cell pair scan bit-for-bit."""
-    from sparkdiff.operators.similarity import semdedup
-
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q51/q88 planted-positive corpus: the embeddings table plus
+    every 20th vector re-inserted at +100000 with the ±3% deterministic
+    perturbation (cosine ≈ 0.9995 to its original; natural pair max is
+    0.52)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -2428,8 +2422,25 @@ def q88_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    corpus = e.unionByName(perturbed)
-    return semdedup(corpus, "vec_id", "v", k=4, iters=2, threshold=0.95)
+    return e.unionByName(perturbed)
+
+
+def q88_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (`operators/similarity.
+    semdedup`): k-means cells bound the all-pairs comparison, cosine ≥
+    0.95 within a cell marks the larger id a duplicate.  Corpus = the
+    embeddings table plus every 20th vector re-inserted at +100000 with
+    the q51 ±3% deterministic perturbation (cosine ≈ 0.9995 to its
+    original — the planted positives; the natural pair max is 0.52, so
+    the planted set is exactly the expected answer).  The oracle
+    replays Lloyd + the within-cell pair scan bit-for-bit."""
+    from sparkdiff.operators.similarity import semdedup
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return semdedup(
+        corpus, "vec_id", "v", k=4, iters=2, threshold=0.95,
+        dim=testkit.EMBED_DIM,
+    )
 
 
 def q89_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3264,8 +3275,9 @@ def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-diff sanity probe a re-validation pipeline runs BEFORE the
     row-level diff: per column, both sides' non-null count, exact NDV
     and canonical min/max joined on column name, with drift flags.
-    Two q86-style profiles (per-column single-distinct NDV jobs — no
-    multi-distinct Expand) + one 6-row join; catches schema-level
+    Two q86-style profiles (one base-agg scan + one melt-NDV scan per
+    side — no multi-distinct Expand, no per-column jobs) + one 6-row
+    join; catches schema-level
     regressions (truncation, re-rounding, lost rows) at a fraction of
     the full-diff cost."""
     from sparkdiff.operators.profile import profile_table
@@ -4033,8 +4045,7 @@ def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    row = e.select("v").first()  # one-row probe for the flat-expr dim
-    dim = len(row[0]) if row is not None and row[0] is not None else 0
+    dim = testkit.EMBED_DIM  # fixture constant — no construction-time job
     q = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(256)
@@ -4381,6 +4392,25 @@ def q135_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_weighted_sample(d, "doc_id", "n_tok", k=400, seed="r4")
 
 
+def q136_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's SemDeDup corpus through the k ∝ n DEFAULT (``k=None`` →
+    ``max(4, n // 100)``): the scale-safe form where expected cell
+    population stays ~100 as the corpus grows — the round-4 probe
+    measured FIXED k going 1.9×-the-ratio at 4× corpus, so auto-k is
+    the operator default and this entry keeps it oracle-verified.
+    Construction is deliberately eager (one corpus count derives k;
+    tests/test_registry.py documents the exemption).  The oracle
+    hard-codes k = max(4, 525 // 100) = 5 — the sf0.01 corpus the
+    driver verifies against (500 vectors + every 20th re-inserted)."""
+    from sparkdiff.operators.similarity import semdedup
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return semdedup(
+        corpus, "vec_id", "v", k=None, iters=2, threshold=0.95,
+        dim=testkit.EMBED_DIM,
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4517,4 +4547,5 @@ QUERIES: dict[str, callable] = {
     "q133_stickiness": q133_stickiness,
     "q134_exact_contamination": q134_exact_contamination,
     "q135_pps_sample": q135_pps_sample,
+    "q136_semdedup_auto": q136_semdedup_auto,
 }

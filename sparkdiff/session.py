@@ -115,11 +115,28 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Parquet schema-inference runs one footer-read job per spark.read call,
+#: which made CONSTRUCTING every registry query launch a (tiny) cluster
+#: job.  Memoizing the inferred schema per (session, path) keeps the
+#: registry's lazy-construction contract: after the first touch of each
+#: table, building any number of query DAGs launches zero jobs (pinned in
+#: tests/test_registry.py::test_registry_construction_is_lazy).  The
+#: DataFrame itself is rebuilt per call — memoizing the plan object would
+#: alias mutable state across callers.
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (column pruning + predicate
     pushdown come free from the parquet scan)."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
     return df

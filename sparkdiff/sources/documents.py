@@ -110,6 +110,158 @@ def _pdf_to_text(blob: bytes) -> str:  # pragma: no cover - needs pypdf
     return "\n\n".join(page.extract_text() or "" for page in reader.pages)
 
 
+_PDF_ESC = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+#: text-showing / line-moving operators a minimal extractor understands
+_PDF_SHOW_OPS = (b"Tj", b"TJ", b"'", b'"')
+_PDF_LINE_OPS = (b"T*", b"Td", b"TD", b"'", b'"')
+_PDF_DELIMS = b"()<>[]{}/% \t\r\n\x00\x0c"
+
+
+def _pdf_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Decode a PDF literal string starting at ``data[i] == '('``;
+    returns (text, index-after-closing-paren).  Handles balanced
+    unescaped parens, ``\\``-escapes and 1-3 digit octal codes."""
+    out: list[str] = []
+    depth, i = 1, i + 1
+    while i < len(data) and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(data):
+                break
+            e = data[i]
+            if e in _PDF_ESC:
+                out.append(_PDF_ESC[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, len(data)) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(chr(int(data[i:j], 8) & 0xFF))
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < len(data) and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(chr(e))
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _pdf_content_text(data: bytes) -> str:
+    """Text shown by one decoded content stream: literal/hex strings
+    attached to ``Tj``/``TJ``/``'``/``\"``, with the line-moving
+    operators (``Td``/``TD``/``T*``/``'``/``\"``) rendered as
+    newlines.  Inline images (``BI..EI``) are skipped."""
+    out: list[str] = []
+    pending: list[str] = []
+
+    def newline() -> None:
+        if out and not out[-1].endswith("\n"):
+            out.append("\n")
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+        elif c == 0x28:  # ( literal string
+            s, i = _pdf_literal(data, i)
+            pending.append(s)
+        elif c == 0x3C and i + 1 < n and data[i + 1] != 0x3C:  # <hex>
+            j = data.find(b">", i)
+            j = n if j < 0 else j
+            hx = bytes(
+                b for b in data[i + 1:j] if b not in b" \t\r\n"
+            ).decode("ascii", "ignore")
+            if len(hx) % 2:
+                hx += "0"
+            pending.append(bytes.fromhex(hx).decode("latin-1"))
+            i = j + 1
+        elif c == 0x3C:  # << dict (e.g. inline-image params) — skip
+            i += 2
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in b"[]{}>/":
+            if c == 0x2F:  # /Name token
+                j = i + 1
+                while j < n and data[j] not in _PDF_DELIMS:
+                    j += 1
+                i = j
+            else:
+                i += 1
+        else:
+            j = i
+            while j < n and data[j] not in _PDF_DELIMS:
+                j += 1
+            tok = data[i:j]
+            i = j if j > i else i + 1
+            if tok == b"BI":  # inline image: skip to EI
+                k = data.find(b"EI", i)
+                i = n if k < 0 else k + 2
+                pending.clear()
+                continue
+            if not tok.lstrip(b"+-.0123456789"):
+                continue  # numeric operand: keep pending strings (TJ)
+            if tok in _PDF_LINE_OPS:
+                newline()
+            if tok in _PDF_SHOW_OPS:
+                out.append("".join(pending))
+            pending.clear()  # any operator consumes its operands
+    return "".join(out).strip("\n")
+
+
+def pdf_to_text_stdlib(blob: bytes) -> str:
+    """Minimal pure-stdlib PDF text extraction: every stream object
+    that is plain or FlateDecode-compressed (zlib IS stdlib) and
+    contains a text block (``BT``) contributes its shown strings.
+
+    Scope (documented, test-pinned): simple-font PDFs with
+    WinAnsi/ASCII-ish string bytes — the reference's own fixtures'
+    class.  CID/Type0 composite fonts, encryption, object streams and
+    non-Flate filters need ``pypdf``, which stays the registered
+    ``.pdf`` extractor whenever importable (reference loads PDFs via
+    PyPDFLoader, ``agents/confluence_agent.py``)."""
+    import re
+    import zlib
+
+    texts: list[str] = []
+    for m in re.finditer(
+        rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", blob, re.S
+    ):
+        d, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in d:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        elif b"/Filter" in d:
+            continue  # unsupported filter (DCT, LZW, ...)
+        if b"BT" not in data:
+            continue  # not a text content stream
+        t = _pdf_content_text(data)
+        if t:
+            texts.append(t)
+    return "\n\n".join(texts)
+
+
 #: extension (lowercase, with dot) -> bytes->str extractor.  Register new
 #: formats (pdf, html, ...) here; unknown extensions fall back to UTF-8
 #: text, mirroring the reference's TextLoader default.
@@ -122,9 +274,10 @@ EXTRACTORS: dict[str, Callable[[bytes], str]] = {
     ".sql": _utf8_to_text,
 }
 
-# .pdf registers only when a parser is importable — otherwise the
-# extension falls back to utf-8 like any unknown format, and users
-# register their own extractor instead of hitting task-time failures.
+# .pdf: pypdf when importable (full filter/encoding coverage), else the
+# pure-stdlib extractor — simple-font Flate/plain PDFs always work with
+# no optional dependency (see pdf_to_text_stdlib's scope note).
+EXTRACTORS[".pdf"] = pdf_to_text_stdlib
 try:  # pragma: no cover - container lacks pypdf
     import pypdf  # noqa: F401
 

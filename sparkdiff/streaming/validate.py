@@ -197,7 +197,7 @@ def streaming_bucket_checksums_cdc(
 
 def streaming_ingest_dedup(
     batches: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     on_duplicates: Callable[[DataFrame, int], None],
@@ -206,30 +206,97 @@ def streaming_ingest_dedup(
     num_perm: int = 64,
     bands: int = 16,
     hash_method: str = "xxhash64",
+    index_dir: str | None = None,
+    admit_clean: bool = True,
 ):
     """Continuous ingest-time dedup: per micro-batch of NEW documents,
     the docs that near-duplicate the EXISTING corpus are handed to
     ``on_duplicates`` as ``(corpus_id, batch_id, jaccard)`` rows — the
     streaming form of the q72 gate.
 
-    The corpus-side index (shingle sets + LSH band keys,
-    :func:`~sparkdiff.operators.dedup.corpus_dedup_index`) is computed
-    ONCE and persisted before the stream starts; each micro-batch then
-    pays only its own signatures plus a band-key equi-join (broadcast
-    under AQE for ingest-sized batches).  Corpus×corpus pairs are never
-    generated.  Returns the unstarted ``writeStream`` builder.
+    Two corpus-index modes:
+
+    - ``index_dir=None`` (session-lived): the corpus-side index
+      (shingle sets + LSH band keys,
+      :func:`~sparkdiff.operators.dedup.corpus_dedup_index`) is
+      computed ONCE and persisted in memory before the stream starts;
+      each micro-batch pays only its own signatures plus a band-key
+      equi-join (broadcast under AQE for ingest-sized batches).  The
+      index is FROZEN: batches dedup against the original corpus only.
+    - ``index_dir=<path>`` (amortized, durable): the index lives as
+      two parquet tables (``shingles``/``bands``).  If the directory
+      is empty and ``corpus`` is given, the corpus is indexed once and
+      saved (bootstrap); thereafter the corpus argument is ignored and
+      may be None — restarts pay a parquet READ, never a corpus
+      re-shingle.  After each micro-batch, the batch's own signature
+      rows are APPENDED, so the gate also screens against previously
+      ingested batches and survives stream restarts.  With
+      ``admit_clean=True`` (default) only docs that passed the gate
+      join the index — a near-duplicate batch doc is reported and kept
+      out, matching the "admit once" curation contract; set it False
+      to index every seen doc.  Per-batch cost is O(batch signatures +
+      index read); corpus-side compute is never repeated.
+
+    Corpus×corpus pairs are never generated in either mode.  The
+    ``pairs`` frame handed to ``on_duplicates`` is persisted for the
+    callback's duration (it is evaluated again for the admit filter)
+    and unpersisted before the next batch.  Returns the unstarted
+    ``writeStream`` builder.
     """
     from sparkdiff.operators.dedup import (
+        append_corpus_dedup_index,
         corpus_dedup_index,
         incremental_near_dup_pairs,
+        load_corpus_dedup_index,
+        save_corpus_dedup_index,
     )
 
-    sh_c, bk_c = corpus_dedup_index(
-        corpus, id_col, text_col, k, num_perm, bands, hash_method
-    )
-    sh_c, bk_c = sh_c.persist(), bk_c.persist()
+    if index_dir is None:
+        if corpus is None:
+            raise ValueError("need corpus when index_dir is None")
+        sh_c, bk_c = corpus_dedup_index(
+            corpus, id_col, text_col, k, num_perm, bands, hash_method
+        )
+        sh_c, bk_c = sh_c.persist(), bk_c.persist()
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            pairs = incremental_near_dup_pairs(
+                None,
+                batch_df,
+                id_col,
+                text_col,
+                threshold,
+                k,
+                num_perm,
+                bands,
+                hash_method,
+                corpus_index=(sh_c, bk_c),
+                # no per-batch cache entries: one would leak per
+                # micro-batch for the stream's lifetime, and ingest
+                # batches are tiny
+                persist_batch=False,
+            )
+            on_duplicates(pairs, batch_id)
+
+        return batches.writeStream.outputMode("append").foreachBatch(handle)
+
+    import os
+
+    if not os.path.isdir(os.path.join(index_dir, "bands")):
+        if corpus is None:
+            raise ValueError(
+                "index_dir has no index yet — pass corpus to bootstrap"
+            )
+        save_corpus_dedup_index(
+            corpus_dedup_index(
+                corpus, id_col, text_col, k, num_perm, bands, hash_method
+            ),
+            index_dir,
+        )
+
+    def handle_amortized(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = load_corpus_dedup_index(spark, index_dir)
         pairs = incremental_near_dup_pairs(
             None,
             batch_df,
@@ -240,14 +307,30 @@ def streaming_ingest_dedup(
             num_perm,
             bands,
             hash_method,
-            corpus_index=(sh_c, bk_c),
-            # no per-batch cache entries: one would leak per micro-batch
-            # for the stream's lifetime, and ingest batches are tiny
+            corpus_index=index,
             persist_batch=False,
-        )
-        on_duplicates(pairs, batch_id)
+        ).persist()
+        try:
+            on_duplicates(pairs, batch_id)
+            admitted = batch_df
+            if admit_clean:
+                dup_ids = pairs.select(
+                    F.col("batch_id").alias(id_col)
+                ).distinct()
+                admitted = batch_df.join(dup_ids, id_col, "left_anti")
+            append_corpus_dedup_index(
+                corpus_dedup_index(
+                    admitted, id_col, text_col, k, num_perm, bands,
+                    hash_method,
+                ),
+                index_dir,
+            )
+        finally:
+            pairs.unpersist()
 
-    return batches.writeStream.outputMode("append").foreachBatch(handle)
+    return (
+        batches.writeStream.outputMode("append").foreachBatch(handle_amortized)
+    )
 
 
 def checksum_drift_monitor(
@@ -398,6 +481,8 @@ def streaming_contamination_gate(
     on_contaminated: Callable[[DataFrame, int], None],
     id_col: str = "doc_id",
     text_col: str = "text",
+    pattern_id_col: str = "test_id",
+    pattern_col: str = "pat",
     max_patterns: int = 5_000_000,
 ):
     """Ingest-time exact-substring decontamination: per micro-batch of
@@ -421,8 +506,8 @@ def streaming_contamination_gate(
 
     rows = (
         patterns.select(
-            F.col("test_id").cast("long").alias("pid"),
-            F.col("pat").cast("string").alias("pat"),
+            F.col(pattern_id_col).cast("long").alias("pid"),
+            F.col(pattern_col).cast("string").alias("pat"),
         )
         .limit(max_patterns + 1)
         .collect()

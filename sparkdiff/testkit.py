@@ -28,6 +28,14 @@ from sparkdiff.session import load_table
 
 EXCLUDE_COLS = ("c_mktsegment",)
 
+#: dimensionality of the driver-generated ``embeddings.parquet`` vector
+#: column — fixed across every scale factor (TESTDATA.md).  Queries use
+#: this constant instead of a one-row ``first()`` probe so constructing
+#: the registry launches ZERO Spark jobs (pinned by
+#: tests/test_registry.py::test_registry_construction_is_lazy and
+#: validated against the real fixture in test_retrieval.py).
+EMBED_DIM = 64
+
 
 def hive_sf_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     customer = load_table(spark, sf_dir, "customer")

@@ -240,3 +240,39 @@ def test_excise_contamination_operator(spark):
     empty = spark.createDataFrame([], "test_id long, pat string")
     out = {r.doc_id: r.clean_text for r in excise_contamination(docs, empty).collect()}
     assert out[1] == "keep SECRET keep"
+
+
+def test_excise_contamination_rescan_reaches_fixpoint(spark):
+    """rescan=N: a splice that manufactures a NEW pattern occurrence
+    (the documented one-pass limitation: {'ab','XY'} over 'aXYb' ->
+    'ab') is itself excised; counts accumulate across passes, and a
+    clean doc pays nothing."""
+    from sparkdiff.operators.contamination import excise_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aXYb"),          # one pass -> 'ab' (new match), two -> ''
+            (2, "plain text"),
+            (3, "aaXYXYbb"),      # nested: needs multiple passes
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [(1, "ab"), (2, "XY")], "test_id long, pat string"
+    )
+    one = {
+        r.doc_id: (r.clean_text, r.n_spans)
+        for r in excise_contamination(docs, pats).collect()
+    }
+    assert one[1] == ("ab", 1)  # the documented splice artifact
+    fix = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_chars_excised)
+        for r in excise_contamination(docs, pats, rescan=10).collect()
+    }
+    assert fix[1] == ("", 2, 4)
+    assert fix[2] == ("plain text", 0, 0)
+    assert fix[3][0] == ""  # fully decontaminated
+    assert fix[3][2] == 8   # every char was pattern mass
+    # and the certified-clean texts really contain no pattern
+    for t, _, _ in fix.values():
+        assert "ab" not in t and "XY" not in t

@@ -399,3 +399,70 @@ def test_setsim_join_groups_duplicate_sets_losslessly(spark):
         ).collect()
     }
     assert got_flat == want
+
+
+def test_setsim_join_ignores_empty_and_null_sets(spark):
+    """Empty/null token sets must never pair — Jaccard over two empty
+    sets is 0/0 — and the grouped path must agree with the ungrouped
+    one, which structurally cannot pair them (no prefix tokens).
+    Regression: the duplicate-set grouping used to collapse all empty
+    sets into one group and emit their all-pairs clique at 1.0."""
+    from sparkdiff.operators.dedup import setsim_join
+
+    df = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40, 50]),
+            (2, [50, 40, 30, 20, 10]),  # dup of 1
+            (3, []),
+            (4, []),
+            (5, None),
+            (6, []),
+        ],
+        "doc_id long, s array<long>",
+    )
+    want = {(1, 2): 1.0}
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in setsim_join(df, 4, 5).collect()
+    }
+    assert got == want
+    got_flat = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_join(df, 4, 5, group_duplicates=False).collect()
+    }
+    assert got_flat == want
+
+
+def test_update_corpus_dedup_index_equals_full_rebuild(spark, tmp_path):
+    """index(corpus) + update(batch) must row-for-row equal
+    index(corpus UNION batch) — the amortization is free of drift —
+    and the parquet save/append/load cycle must round-trip it."""
+    from sparkdiff.operators.dedup import (
+        append_corpus_dedup_index,
+        corpus_dedup_index,
+        load_corpus_dedup_index,
+        save_corpus_dedup_index,
+        update_corpus_dedup_index,
+    )
+    from sparkdiff.session import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+
+    def rows(index):
+        sh, bk = index
+        return (
+            sorted((r["_id"], tuple(sorted(r["_sh"]))) for r in sh.collect()),
+            sorted(map(tuple, bk.select("_id", "band", "key").collect())),
+        )
+
+    full = rows(corpus_dedup_index(corpus.unionByName(batch), "doc_id", "text"))
+    grown = update_corpus_dedup_index(
+        corpus_dedup_index(corpus, "doc_id", "text"), batch, "doc_id", "text"
+    )
+    assert rows(grown) == full
+
+    d = str(tmp_path / "idx")
+    save_corpus_dedup_index(corpus_dedup_index(corpus, "doc_id", "text"), d)
+    append_corpus_dedup_index(corpus_dedup_index(batch, "doc_id", "text"), d)
+    assert rows(load_corpus_dedup_index(spark, d)) == full

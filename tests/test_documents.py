@@ -103,10 +103,83 @@ def test_html_loads_through_document_source(spark, tmp_path):
 
 
 def test_pdf_registration_tracks_importability():
-    from sparkdiff.sources.documents import EXTRACTORS
+    """.pdf is ALWAYS registered: pypdf when importable, the stdlib
+    extractor otherwise — no optional dependency leaves a format hole."""
+    from sparkdiff.sources.documents import EXTRACTORS, pdf_to_text_stdlib
 
     try:
         import pypdf  # noqa: F401
-        assert ".pdf" in EXTRACTORS
+        assert EXTRACTORS[".pdf"] is not pdf_to_text_stdlib
     except ImportError:
-        assert ".pdf" not in EXTRACTORS
+        assert EXTRACTORS[".pdf"] is pdf_to_text_stdlib
+
+
+def _minimal_pdf(compress: bool) -> bytes:
+    """A structurally-valid one-page PDF whose content stream shows two
+    lines via Tj / TJ, optionally FlateDecode-compressed."""
+    import zlib
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(Hive to \\(Snowflake\\) parity) Tj "
+        b"0 -14 Td [(kerned ) -120 (ar) 20 (ray)] TJ "
+        b"T* (third <line>) Tj ET"
+    )
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< "
+        + filt
+        + b"/Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream",
+    ]
+    out = [b"%PDF-1.4"]
+    for i, o in enumerate(objs, 1):
+        out.append(str(i).encode() + b" 0 obj\n" + o + b"\nendobj")
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF")
+    return b"\n".join(out)
+
+
+@pytest.mark.parametrize("compress", [False, True], ids=["plain", "flate"])
+def test_pdf_to_text_stdlib_plain_and_flate(compress):
+    from sparkdiff.sources.documents import pdf_to_text_stdlib
+
+    text = pdf_to_text_stdlib(_minimal_pdf(compress))
+    assert text.splitlines() == [
+        "Hive to (Snowflake) parity",
+        "kerned array",
+        "third <line>",
+    ]
+
+
+def test_pdf_registered_end_to_end(spark, tmp_path):
+    """.pdf flows through load_documents with no optional dependency —
+    the stdlib extractor is the registered fallback."""
+    (tmp_path / "doc.pdf").write_bytes(_minimal_pdf(True))
+    rows = load_documents(spark, str(tmp_path)).collect()
+    assert rows[0].doc_format == "pdf"
+    assert rows[0].text.startswith("Hive to (Snowflake) parity")
+
+
+def test_pdf_to_text_stdlib_ignores_binary_streams():
+    """Image/xref streams (no BT, or non-Flate filters) contribute
+    nothing; malformed Flate data is skipped, not raised."""
+    from sparkdiff.sources.documents import pdf_to_text_stdlib
+
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Filter /DCTDecode "
+        b"/Length 4 >>\nstream\n\xff\xd8\xff\xe0\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Filter /FlateDecode /Length 3 >>\nstream\n"
+        b"bad\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Length 20 >>\nstream\nBT (ok) Tj ET\nendstream"
+        b"\nendobj\n%%EOF"
+    )
+    assert pdf_to_text_stdlib(blob) == "ok"

@@ -66,7 +66,9 @@ _INTENTIONAL_NLJ = {
     "q81_hard_negatives",
     # q88's SemDeDup runs the q75 Lloyd assignment (k×d centroid
     # broadcast); its pair stage is a plain cluster-id equi-join.
+    # q136 is the same pipeline with the auto-k heuristic.
     "q88_semdedup",
+    "q136_semdedup_auto",
     # q90 broadcasts a ONE-ROW node-count aggregate over the rank table
     # (the q76 stats shape) so N stays in-plan without a driver collect.
     "q90_pagerank",

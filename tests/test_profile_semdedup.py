@@ -114,6 +114,32 @@ def test_semdedup_recovers_planted_duplicates(spark):
     assert out.count() == e.count() + len(expect)
 
 
+def test_semdedup_auto_k_matches_explicit_heuristic_k(spark):
+    """k=None derives max(4, n // 100) from one corpus count; the
+    result must be identical to passing that k explicitly (the auto
+    path adds no other behavior), and small corpora floor at k=4."""
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.count()  # 500 -> heuristic k = max(4, 5) = 5
+    k_expect = max(4, n // 100)
+    assert k_expect == 5
+    auto = semdedup(e, "vec_id", "v", k=None, iters=2, threshold=0.95)
+    explicit = semdedup(
+        e, "vec_id", "v", k=k_expect, iters=2, threshold=0.95
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    assert auto.select("cluster").distinct().count() == k_expect
+    # floor: 50 vectors -> k = 4, never fewer
+    small = semdedup(
+        e.filter(F.col("vec_id") < 50), "vec_id", "v", k=None, iters=2
+    )
+    assert small.select("cluster").distinct().count() == 4
+
+
 def test_quantize_int8_codes_and_error_bound(spark):
     e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")

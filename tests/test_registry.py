@@ -1,0 +1,100 @@
+"""Registry-level contracts: lazy construction and driver-window order.
+
+The external driver (a) smoke-constructs every ``queries()`` entry and
+(b) value-hash-verifies only the FIRST 50 registry entries against the
+DuckDB oracles (CORRECTNESS_r*.json has exactly 50 rows each round).
+Two things must therefore never regress silently:
+
+1. constructing a query DAG must not launch Spark jobs — construction
+   happens on the driver's critical path for all 135 entries, and an
+   eager collect hidden in a builder turns the registry into a
+   serialized job queue (round-4 verdict #5);
+2. the q01–q50 window must keep covering the SURVEY §2 operator surface
+   — a re-ordering could move an operator out of driver verification
+   without any test noticing (round-4 verdict #8).
+"""
+
+from __future__ import annotations
+
+from sparkdiff.oracles import ORACLES
+from sparkdiff.queries import QUERIES
+
+from .conftest import SF_DIR_SMALL
+
+#: Queries whose CONSTRUCTION is deliberately eager, each with a reason
+#: the eagerness is intrinsic (not a lazy-convention leak):
+#: - q52/q53: adaptive two-phase refinement — a bounded (≤ n_buckets)
+#:   dirty-bucket collect decides what the second phase scans; skipping
+#:   the full-table pass IS the operator (operators/diff.py:419).
+#: - q65/q68/q90/q113: iterative convergence loops (connected
+#:   components' large-star/small-star, PageRank) — each round is an
+#:   eagerly-checkpointed job and the stop condition is a driver-side
+#:   fixpoint test (operators/cluster.py, operators/graph.py).
+#: - q134: the Aho-Corasick automaton is compiled from a bounded
+#:   pattern-suite collect and broadcast once (operators/contamination).
+#: - q136: the k ∝ n semdedup default derives k from one corpus count
+#:   (operators/similarity.semdedup's scale-safe auto-k path).
+EAGER_BY_DESIGN = {
+    "q52_refined_diff",
+    "q53_refined_metrics",
+    "q65_dedup_clusters",
+    "q68_curated_corpus",
+    "q90_pagerank",
+    "q113_dup_families",
+    "q134_exact_contamination",
+    "q136_semdedup_auto",
+}
+
+#: The driver-verified window, verbatim (CORRECTNESS checks the first 50
+#: registry entries in insertion order).  Any edit here is a conscious
+#: decision to move an operator in or out of driver verification.
+DRIVER_WINDOW = [
+    "q01_pricing_summary", "q02_presence_diff", "q03_cell_diff",
+    "q04_metrics_summary", "q05_rownum_dedup", "q06_union_dedup_workload",
+    "q07_expr_join", "q08_argmax", "q09_conditional_agg", "q10_histogram",
+    "q11_argmax_histogram", "q12_topk_per_group", "q13_minmax_rollup",
+    "q14_distinct_agg", "q15_keyword_score", "q16_jaccard_pairs",
+    "q17_token_stats", "q18_quality_score", "q19_exact_dedup",
+    "q20_fingerprint_dedup", "q21_relevance_blend", "q22_snippet_window",
+    "q23_lang_id", "q24_cosine_topk", "q25_minhash_neardup",
+    "q26_ngram_jaccard_dups", "q27_simhash", "q28_time_buckets",
+    "q29_sessionize", "q30_keepmax_dedup", "q31_json_props",
+    "q32_date_arithmetic", "q33_macro_workload", "q34_script_pair_diff",
+    "q35_entity_extraction", "q36_word_boundary_classify",
+    "q37_source_insights", "q38_metrics_discovery", "q39_function_surface",
+    "q40_change_detection", "q41_rollup", "q42_set_ops", "q43_window_suite",
+    "q44_asof_join", "q45_pivot", "q46_lineitem_diff",
+    "q47_shipping_priority", "q48_local_supplier_volume", "q49_chunking",
+    "q50_quantiles",
+]
+
+
+def test_driver_window_order_pinned():
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+
+
+def test_every_query_has_oracle_or_is_documented():
+    # 135/135 have full value-hash oracles as of round 4; keep it that way
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_registry_construction_is_lazy(spark):
+    """Constructing every registry DAG launches ZERO Spark jobs, except
+    the documented EAGER_BY_DESIGN set — and that set must not grow."""
+    from sparkdiff.session import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:  # warm the one-time schema cache
+        load_table(spark, SF_DIR_SMALL, t)
+    tracker = spark.sparkContext.statusTracker()
+    eager = set()
+    for name, fn in QUERIES.items():
+        before = set(tracker.getJobIdsForGroup())
+        fn(spark, SF_DIR_SMALL)
+        if set(tracker.getJobIdsForGroup()) - before:
+            eager.add(name)
+    assert eager == EAGER_BY_DESIGN, (
+        f"unexpectedly eager: {sorted(eager - EAGER_BY_DESIGN)}; "
+        f"newly lazy (remove from EAGER_BY_DESIGN): "
+        f"{sorted(EAGER_BY_DESIGN - eager)}"
+    )

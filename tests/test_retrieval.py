@@ -96,3 +96,17 @@ def test_cdc_apply_latest_wins_delete_drops_insert_appears(spark):
     out = {r["k"]: (r["val"], r["src"]) for r in
            cdc_apply(base, changes, "k").collect()}
     assert out == {1: (122, "U"), 3: (300, "B"), 9: (900, "I")}
+
+
+def test_embed_dim_constant_matches_fixture(spark):
+    """testkit.EMBED_DIM replaces the one-row first() probes (lazy
+    registry); it must track the driver-generated fixture."""
+    from sparkdiff.session import load_table
+    from sparkdiff.testkit import EMBED_DIM
+
+    row = (
+        load_table(spark, SF_DIR_SMALL, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
+    assert row["d"] == EMBED_DIM

@@ -200,6 +200,19 @@ def test_systematic_weighted_sample_validation(spark):
     neg = spark.createDataFrame([(1, 5), (2, -1)], "doc_id long, w long")
     with pytest.raises(Exception, match="weights must be"):
         systematic_weighted_sample(neg, "doc_id", "w", 3).collect()
+    # all-zero weights: W = 0 makes the draw positions undefined; must
+    # raise, not silently return an empty sample (regression: the old
+    # guard let `div (2*W)` produce NULL counts)
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="positive total"):
+        systematic_weighted_sample(zero, "doc_id", "w", 3).collect()
+    # headroom boundary: W*(2k+1) just over 2^63-1 must raise — the old
+    # floor-form guard admitted the exact 2*k*W == 2^63 boundary
+    k = 4
+    w_bad = ((1 << 63) - 1) // (2 * k + 1) + 1
+    big = spark.createDataFrame([(1, w_bad)], "doc_id long, w long")
+    with pytest.raises(Exception, match="signed long"):
+        systematic_weighted_sample(big, "doc_id", "w", k).collect()
 
 
 def test_systematic_weighted_sample_no_single_partition_exchange(spark):

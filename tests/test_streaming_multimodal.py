@@ -743,3 +743,71 @@ def test_streaming_contamination_gate_matches_batch_scan(spark, tmp_path):
     assert len(batch_ids) >= 2, "expected multiple micro-batches"
     assert got == expected
     assert expected, "batch scan found nothing — fixture broken"
+
+
+def test_streaming_ingest_dedup_amortized_index_grows(spark, tmp_path):
+    """index_dir mode: the gate bootstraps the corpus index to parquet,
+    appends each batch's ADMITTED docs, and therefore flags a later
+    batch doc that near-duplicates an EARLIER batch's doc — which the
+    frozen-index mode structurally cannot see.  Duplicate (rejected)
+    docs must NOT join the index."""
+    from sparkdiff.operators.dedup import load_corpus_dedup_index
+    from sparkdiff.streaming.validate import streaming_ingest_dedup
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 17 == 0)
+    # batch A: fresh docs (bases %17==5 are NOT in the corpus) -> admitted
+    batch_a = (
+        docs.filter(F.col("doc_id") % 17 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh material")))
+    )
+    # batch B: near-dups OF BATCH A -> must be flagged against A's ids
+    batch_b = (
+        batch_a.withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" second revision")))
+    )
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    got: dict[int, set] = {}
+
+    def collect(pairs, bid):
+        got.setdefault(bid, set()).update(
+            (r.corpus_id, r.batch_id) for r in pairs.collect()
+        )
+
+    def run_all():
+        stream = spark.readStream.schema(batch_a.schema).parquet(src)
+        q = (
+            streaming_ingest_dedup(
+                stream, corpus, "doc_id", "text", collect,
+                threshold=0.6, index_dir=idx,
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    run_all()
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    run_all()  # restart: index + checkpoint both reload from disk
+
+    flat = {p for s in got.values() for p in s}
+    # a few fixture docs are genuinely similar across the %17 strata, so
+    # derive A's ADMITTED set from what the gate actually flagged
+    a_ids = {r.doc_id for r in batch_a.collect()}
+    rejected_a = {b for _, b in flat if b in a_ids}
+    admitted_a = a_ids - rejected_a
+    assert len(admitted_a) > 10, "fixture degenerated — nothing admitted"
+    # every B doc whose A origin was admitted pairs against that origin
+    # (ids 50k..100k) — proof the index grew past the original corpus
+    expected_cross = {(a, a + 50_000) for a in admitted_a}
+    assert expected_cross <= flat, f"missed: {expected_cross - flat}"
+    # admitted = corpus + admitted A docs; duplicates (rejected A docs,
+    # all of B) must be kept out of the index
+    sh, bk = load_corpus_dedup_index(spark, idx)
+    ids = {r["_id"] for r in sh.select("_id").collect()}
+    assert ids == {r.doc_id for r in corpus.collect()} | admitted_a
+    assert bk.filter(F.col("_id") >= 100_000).count() == 0
