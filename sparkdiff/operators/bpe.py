@@ -1,0 +1,180 @@
+"""Distributed byte-pair-encoding vocabulary learning.
+
+The tokenizer-fitting step of a pretraining pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"):
+repeatedly find the most frequent adjacent symbol pair in the corpus
+and merge it into a new symbol.  The reference implementation trains on
+the **word-frequency table**, not the raw corpus — and that is exactly
+what makes the algorithm distributable: ONE corpus scan builds the
+vocabulary-sized ``(word, freq)`` table, then every merge round is an
+aggregation over that table (vocabulary-sized, bounded regardless of
+corpus bytes).  At 100 TB the corpus scan is the only big job; the
+merge loop never touches the corpus again.
+
+Symbol sequences travel as delimiter-wrapped strings — ``low`` with the
+end-of-word marker is ``(l)(o)(w)($)`` — so applying a merge is ONE
+literal ``replace``: merging ``(l)(o)`` rewrites to ``(lo)``.  Literal
+``replace`` is left-to-right and non-overlapping in every engine (the
+same occurrence set BPE merges), and because ``(`` only ever starts a
+symbol, a pattern ``(a)(b)`` can never false-match inside longer
+symbols like ``(xa)(b...`` — the classic substring-boundary bug the
+wrapping exists to prevent.  The naive space-separated form
+("l o w") is WRONG under plain replace: merging ``b b`` in
+``b b b b`` consumes the middle delimiter and yields
+``[bb, b, b]`` instead of ``[bb, bb]``.
+
+Every step (pair counts, argmax with a total tiebreak, replace) is
+engine-portable integer/string work, so a SQL oracle replays training
+bit-for-bit (q138).
+
+Reference behavioral anchor: the reference repo has no tokenizer
+trainer; this extends the curation family SURVEY.md §6 scopes for the
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: symbol delimiters + end-of-word marker.  Symbols must never contain
+#: these characters — ``bpe_merges`` guards its input with a regex
+#: filter the caller can widen.
+SYM_OPEN, SYM_CLOSE, EOW = "(", ")", "$"
+
+
+def encode_word(col: Column | str) -> Column:
+    """``low`` -> ``(l)(o)(w)($)``: one wrapped symbol per character
+    plus the end-of-word marker symbol."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.regexp_replace(c, "(.)", f"{SYM_OPEN}$1{SYM_CLOSE}"),
+        F.lit(f"{SYM_OPEN}{EOW}{SYM_CLOSE}"),
+    )
+
+
+def _symbols(seq: Column) -> Column:
+    """``(l)(o)(w)`` -> array ``[l, o, w]``."""
+    return F.split(F.substring(seq, F.lit(2), F.length(seq) - 2), "\\)\\(")
+
+
+def bpe_merges(
+    tokens: DataFrame,
+    token_col: str = "token",
+    rounds: int = 8,
+    token_pattern: str = "^[a-z0-9]+$",
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges from a token column.
+
+    Returns one row per merge round: ``(round, sym_l, sym_r, merged,
+    cnt)`` — the trained artifact a tokenizer ships.  Tiebreak is total
+    (count desc, then pair lexicographic), so training is deterministic
+    on any engine and any partitioning.
+
+    Plan shape: ``groupBy(token).count()`` collapses the corpus to the
+    word-frequency table once (persisted — every round reads it); each
+    round is then (a) one vocabulary-sized pair aggregation, (b) a
+    1-row ``orderBy().limit(1)`` argmax (TakeOrderedAndProject), and
+    (c) a broadcast-crossJoin of that 1 row applying the merge via
+    literal ``replace``.  ``rounds`` is configuration-sized; nothing
+    rescans the corpus and nothing is collected to the driver — the
+    result is a lazy union of the per-round 1-row argmaxes.
+
+    Tokens not matching ``token_pattern`` are dropped (the delimiters
+    ``( ) $`` must not occur inside symbols).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    words = (
+        tokens.filter(F.col(token_col).rlike(token_pattern))
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(encode_word(token_col).alias("seq"), "freq")
+        .persist()
+    )
+    vocab = words
+    merges: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        syms = _symbols(F.col("seq"))
+        n = F.size(syms)
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            syms[i - 1].alias("sym_l"), syms[i].alias("sym_r")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<sym_l:string,sym_r:string>>")
+                )
+            ).alias("_p"),
+        ).select(F.col("_p.sym_l"), F.col("_p.sym_r"), "freq")
+        best = (
+            pairs.groupBy("sym_l", "sym_r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym_l"), F.asc("sym_r"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                "sym_l",
+                "sym_r",
+                F.concat("sym_l", "sym_r").alias("merged"),
+                "cnt",
+            )
+        )
+        pat = F.concat(
+            F.lit(SYM_OPEN),
+            F.col("sym_l"),
+            F.lit(SYM_CLOSE + SYM_OPEN),
+            F.col("sym_r"),
+            F.lit(SYM_CLOSE),
+        )
+        rep = F.concat(
+            F.lit(SYM_OPEN), F.col("sym_l"), F.col("sym_r"), F.lit(SYM_CLOSE)
+        )
+        rule = best.select(pat.alias("_pat"), rep.alias("_rep"))
+        # persist each round's vocabulary: without this, round r's argmax
+        # re-derives every earlier round's table through the lineage —
+        # O(rounds^2) stages of pure scheduler latency.  Each table is
+        # vocabulary-sized; materialized once, read by round r+1 and by
+        # the final union branch.
+        vocab = (
+            vocab.crossJoin(F.broadcast(rule))
+            .withColumn("seq", F.expr("replace(seq, _pat, _rep)"))
+            .select("seq", "freq")
+            .persist()
+        )
+    return reduce(DataFrame.unionAll, merges)
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned merges to a WORD column: the encode side of the
+    tokenizer.  ``merges`` is the (bounded, rounds-sized) learned rule
+    list — a plain Python list because a trained tokenizer is a shipped
+    configuration artifact, not data.  Pure column expressions: encode,
+    then one literal ``replace`` per merge in training order, then
+    split back to symbols."""
+    expr: Column = encode_word(text_col)
+    for left, right in merges:
+        for ch in left + right:
+            if ch in (SYM_OPEN + SYM_CLOSE):
+                raise ValueError(f"merge symbol contains delimiter: {left, right}")
+        expr = F.replace(
+            expr,
+            F.lit(f"{SYM_OPEN}{left}{SYM_CLOSE}{SYM_OPEN}{right}{SYM_CLOSE}"),
+            F.lit(f"{SYM_OPEN}{left}{right}{SYM_CLOSE}"),
+        )
+    return df.withColumn(out_col, _symbols(expr))

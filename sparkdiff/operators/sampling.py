@@ -332,3 +332,82 @@ def systematic_weighted_sample(
         .filter(F.col(out_col) >= 1)
         .drop("_u", "_pid", "_lc", "_off", "_W", "_cum", "_c0")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    priority_col: str = "priority",
+    est_col: str = "est_weight",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep exactly ``min(k, n)``
+    rows by **priority sampling** (Duffield–Lund–Thorup, JACM 2007) —
+    the one-pass complement to ``systematic_weighted_sample`` (which is
+    WITH replacement: heavy rows draw multiple copies; here each row
+    appears at most once, the "pick k distinct documents, weight-
+    biased" knob).  Each row gets priority ``q = w / u`` for a uniform
+    ``u`` in (0, 1]; the top-k priorities are the sample, and with
+    ``tau`` = the (k+1)-th priority, ``est_col = max(w, tau)`` is the
+    Horvitz–Thompson-style weight estimate: ``sum(est_col)`` over the
+    sample is an unbiased estimator of ``sum(w)`` over the population —
+    subset-sum estimation from the sample alone, the paper's point.
+
+    Determinism + engine portability: ``u = (m+1)/10^6`` from the
+    content-hash variate (``m`` = md5-60-bit mod 10^6, so u is in
+    (0, 1] and never zero), and the priority is computed as
+    ``double(w * 10^6) / double(m + 1)`` — both operands exact
+    integers (exact in double for ``w < 2^33``), one correctly-rounded
+    IEEE division, so ANY engine orders the candidates identically;
+    ties break on the key.
+
+    Scale shape: the top-(k+1) selection is ``orderBy().limit()`` =
+    TakeOrderedAndProject (per-partition top-(k+1), driver merges
+    (k+1)·P rows) — no global sort, no rank window.  The tau/estimate
+    pass then runs on the k+1 SELECTED rows only, where a bounded
+    single-partition window is free.  Zero-weight rows are never
+    sampled (q = 0 sorts last; filtered up front).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    m = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_RESOLUTION),
+    )
+    q = (w * F.lit(_RESOLUTION)).cast("double") / (m + 1).cast("double")
+    top = (
+        df.filter(w > 0)
+        .withColumn(priority_col, q)
+        .orderBy(F.desc(priority_col), F.asc(key))
+        .limit(k + 1)
+    )
+    # k+1 rows at most: the empty-partitionBy windows below are bounded
+    # by construction (the repo's bounded-window convention)
+    order = Window.orderBy(F.desc(priority_col), F.asc(key))
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        top.withColumn("_rn", F.row_number().over(order))
+        .withColumn(
+            "_tau",
+            F.when(
+                F.count(F.lit(1)).over(whole) == k + 1,
+                F.min(priority_col).over(whole),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("_rn") <= k)
+        .withColumn(est_col, F.greatest(w.cast("double"), F.col("_tau")))
+        .drop("_rn", "_tau")
+    )

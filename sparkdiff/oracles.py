@@ -3543,3 +3543,146 @@ ORACLES["q135_pps_sample"] = """
     )
     SELECT doc_id, n_tok, n_copies FROM c WHERE n_copies >= 1
 """
+
+
+# q137: priority sampling — priorities are exact-integer operands through
+# one correctly-rounded IEEE division, so both engines rank identically;
+# tau is the 251st priority (or 0 when the population is <= 250).
+ORACLES["q137_priority_sample"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 15))
+                    AS BIGINT) % 1000000 AS m
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_tok,
+               CAST(n_tok * 1000000 AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+                   AS priority
+        FROM t WHERE n_tok > 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+        FROM q
+    ),
+    tau AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM q) >= 251
+                    THEN (SELECT priority FROM r WHERE rn = 251)
+                    ELSE 0.0 END AS tau
+    )
+    SELECT doc_id, n_tok, priority,
+           greatest(CAST(n_tok AS DOUBLE), tau) AS est_weight
+    FROM r, tau WHERE rn <= 250
+"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Replay distributed BPE training round by round: the word-frequency
+    table is built once, then each round counts adjacent symbol pairs,
+    picks the (count desc, pair asc) argmax, and applies the merge with
+    the same literal left-to-right ``replace`` Spark uses on the
+    delimiter-wrapped symbol string (see ``operators/bpe.py``)."""
+    parts = [
+        """WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS token
+    FROM documents
+),
+words0 AS (
+    SELECT regexp_replace(token, '(.)', '(\\1)', 'g') || '($)' AS seq,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks WHERE regexp_matches(token, '^[a-z0-9]+$')
+    GROUP BY token
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pairs{r} AS (
+    SELECT p.l AS sym_l, p.r AS sym_r, freq FROM (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> {{'l': s[i], 'r': s[i+1]}})) AS p, freq
+        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS s,
+                     freq FROM words{r - 1})
+    )
+),
+best{r} AS (
+    SELECT sym_l, sym_r, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs{r} GROUP BY sym_l, sym_r
+    ORDER BY cnt DESC, sym_l ASC, sym_r ASC LIMIT 1
+),
+words{r} AS (
+    SELECT replace(seq, '(' || b.sym_l || ')(' || b.sym_r || ')',
+                   '(' || b.sym_l || b.sym_r || ')') AS seq, freq
+    FROM words{r - 1}, best{r} b
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, sym_l, sym_r, "
+        f"sym_l || sym_r AS merged, cnt FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({finals})"
+
+
+ORACLES["q138_bpe_vocab"] = _bpe_oracle(8)
+
+
+# q139: temperature mixture — sqrt is correctly rounded (alpha = 0.5 by
+# design), the denominator is an exact integer sum of floor(sqrt*2^20),
+# and every double op after that is a single correctly-rounded step.
+ORACLES["q139_temperature_mix"] = """
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> length(x) > 0)) AS BIGINT))
+                    AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ),
+    per2 AS (
+        SELECT source, n_tok,
+               CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+                   AS q
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) AS N, CAST(SUM(q) AS BIGINT) AS S
+        FROM per2
+    )
+    SELECT source, n_tok,
+           CAST(n_tok AS DOUBLE) / CAST(N AS DOUBLE) AS nat_frac,
+           CAST(q AS DOUBLE) / CAST(S AS DOUBLE) AS temp_weight,
+           1000000.0 * (CAST(q AS DOUBLE) / CAST(S AS DOUBLE))
+               / CAST(n_tok AS DOUBLE) AS epochs
+    FROM per2, tot
+"""
+
+
+# q140: Bloom gate — membership is the SPEC ("all h positions set"), so
+# the oracle replays the md5 positions and joins the distinct corpus
+# position set directly; the packed-long bitmap is implementation.
+ORACLES["q140_bloom_gate"] = """
+    WITH pos AS (
+        SELECT doc_id, source, h.i AS i,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || 'bloom-r5#' || h.i), 1, 15))
+                    AS BIGINT) % 8192 AS p
+        FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) h
+    ),
+    corpus_bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 5 <> 0),
+    flags AS (
+        SELECT pos.doc_id, pos.source,
+               MIN(CASE WHEN cb.p IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM pos LEFT JOIN corpus_bits cb ON pos.p = cb.p
+        GROUP BY pos.doc_id, pos.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hit) AS BIGINT) AS n_flagged,
+           CAST(SUM(1 - hit) AS BIGINT) AS n_certified_new,
+           CAST(SUM(CASE WHEN hit = 1 AND doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flags GROUP BY source
+"""

@@ -4411,6 +4411,131 @@ def q136_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — priority sampling
+    (Duffield–Lund–Thorup): exactly 250 distinct documents chosen with
+    token-count-biased inclusion odds, each carrying the
+    ``est_weight = max(w, tau)`` subset-sum estimator (Σ est over the
+    sample unbiasedly estimates total corpus tokens).  Completes the
+    sampling family: q135 is WITH replacement (epoch multipliers),
+    q87 is per-stratum uniform, this is the "k distinct, weight-biased"
+    knob.  Priorities are ``double(w·10^6)/double(m+1)`` — exact
+    integers through one correctly-rounded IEEE division, so both
+    engines order candidates bit-identically; selection is
+    TakeOrderedAndProject (no global sort), and the tau/estimate pass
+    touches only the k+1 selected rows."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tok")
+    )
+    return priority_sample(d, "doc_id", "n_tok", k=250, seed="r5")
+
+
+def q138_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    first 8 merge rounds learned from the corpus, as ``(round, sym_l,
+    sym_r, merged, cnt)`` — the trained artifact a subword tokenizer
+    ships.  One corpus scan builds the word-frequency table (persisted,
+    vocabulary-sized); each round is a vocabulary-sized pair count, a
+    1-row argmax (count desc, pair asc — total order), and a broadcast
+    1-row crossJoin applying the merge as a literal ``replace`` on the
+    delimiter-wrapped symbol string (see ``operators/bpe.py`` for why
+    the wrapping makes left-to-right replace EXACTLY the BPE merge).
+    The oracle replays all 8 rounds with chained CTEs bit-for-bit."""
+    from sparkdiff.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokenized_docs(d).select(F.explode("_toks").alias("token"))
+    return bpe_merges(toks, "token", rounds=8)
+
+
+def q139_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-sampling
+    rule of mBERT/XLM-R: p_i ∝ n_i^alpha): per-source sampling weights
+    at alpha = 0.5 and the per-source epoch multiplier that fills a
+    1M-token budget.  alpha = 0.5 is deliberate — sqrt is CORRECTLY
+    ROUNDED in IEEE 754 (pow(x, 0.3) is not), so the weights are
+    engine-exact.  The denominator Σ√n_i is summed in integer space
+    (√n quantized by floor(·2^20) — exact: ·2^20 is a power-of-two
+    scale, floor and the long sum are exact), because a float sum's
+    partial-aggregation order is not portable.  One vocabulary-sized
+    aggregate (20 sources), one broadcast one-row total."""
+    from sparkdiff.functions.textstats import ws_token_count
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(ws_token_count("text")).cast("long").alias("n_tok"))
+    )
+    q = F.floor(F.sqrt(F.col("n_tok").cast("double")) * F.lit(1048576.0)).cast(
+        "long"
+    )
+    per = per.withColumn("_q", q)
+    tot = per.groupBy().agg(
+        F.sum("n_tok").cast("long").alias("_N"),
+        F.sum("_q").cast("long").alias("_S"),
+    )
+    budget = 1_000_000
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tok",
+            (F.col("n_tok").cast("double") / F.col("_N").cast("double")).alias(
+                "nat_frac"
+            ),
+            (F.col("_q").cast("double") / F.col("_S").cast("double")).alias(
+                "temp_weight"
+            ),
+            (
+                F.lit(float(budget))
+                * (F.col("_q").cast("double") / F.col("_S").cast("double"))
+                / F.col("n_tok").cast("double")
+            ).alias("epochs"),
+        )
+    )
+
+
+def q140_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate (`operators/bloom.py`): an 8192-bit /
+    4-hash filter built over the "already ingested" corpus (docs with
+    ``doc_id % 5 != 0``), probed by the full feed; per source: how many
+    docs the gate flags as maybe-seen, how many it certifies new, and
+    the actual false-positive count (flagged but genuinely novel) —
+    zero false NEGATIVES is the filter's contract and the oracle
+    checks the exact per-source flag counts.  Build is one scan +
+    bit_or into m/64 packed longs; probe is an h-way position explode
+    against the broadcast filter — the cheap pre-gate that lets novel
+    content skip the exact dedup index."""
+    from sparkdiff.operators.bloom import bloom_build, bloom_probe
+
+    M, H, SEED = 8192, 4, "bloom-r5"
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("doc_id")
+    filt = bloom_build(corpus, "doc_id", M, H, SEED)
+    probed = bloom_probe(
+        d.select("doc_id", "source"), "doc_id", filt, M, H, SEED
+    )
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(~F.col("maybe_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_certified_new"),
+        F.sum(
+            F.when(F.col("maybe_seen") & (F.col("doc_id") % 5 == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4548,4 +4673,8 @@ QUERIES: dict[str, callable] = {
     "q134_exact_contamination": q134_exact_contamination,
     "q135_pps_sample": q135_pps_sample,
     "q136_semdedup_auto": q136_semdedup_auto,
+    "q137_priority_sample": q137_priority_sample,
+    "q138_bpe_vocab": q138_bpe_vocab,
+    "q139_temperature_mix": q139_temperature_mix,
+    "q140_bloom_gate": q140_bloom_gate,
 }

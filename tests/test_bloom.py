@@ -1,0 +1,102 @@
+"""Bloom gate: zero false negatives, sane fpp, compact == join probe."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+    bloom_probe_compact,
+    bloom_size,
+)
+
+M, H, SEED = 4096, 4, "t"
+
+
+def _keys(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_no_false_negatives(spark):
+    corpus = _keys(spark, 0, 300)
+    filt = bloom_build(corpus, "k", M, H, SEED)
+    probed = bloom_probe(corpus, "k", filt, M, H, SEED)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_false_positive_rate_is_designed(spark):
+    n = 300
+    corpus = _keys(spark, 0, n)
+    filt = bloom_build(corpus, "k", M, H, SEED)
+    novel = _keys(spark, 10_000, 12_000)
+    fp = (
+        bloom_probe(novel, "k", filt, M, H, SEED)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    # theoretical fpp = (1 - e^{-hn/m})^h ~ 0.43% here; allow 5x slack
+    p = (1 - math.exp(-H * n / M)) ** H
+    assert fp / 2000 < max(5 * p, 0.02)
+
+
+def test_compact_probe_matches_join_probe(spark):
+    corpus = _keys(spark, 0, 250)
+    filt = bloom_build(corpus, "k", M, H, SEED)
+    words = {r["word_idx"]: r["bits"] for r in filt.collect()}
+    batch = _keys(spark, 0, 3000)
+    a = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_probe(batch, "k", filt, M, H, SEED).collect()
+    }
+    b = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_probe_compact(batch, "k", words, M, H, SEED).collect()
+    }
+    assert a == b
+
+
+def test_union_of_builds_is_incremental_append(spark):
+    a = bloom_build(_keys(spark, 0, 100), "k", M, H, SEED)
+    b = bloom_build(_keys(spark, 100, 200), "k", M, H, SEED)
+    merged = (
+        a.unionAll(b).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    full = bloom_build(_keys(spark, 0, 200), "k", M, H, SEED)
+    got = {(r["word_idx"], r["bits"]) for r in merged.collect()}
+    want = {(r["word_idx"], r["bits"]) for r in full.collect()}
+    assert got == want
+
+
+def test_bloom_size_closed_form():
+    m, h = bloom_size(1000, 0.01)
+    assert m % 64 == 0
+    assert abs(m - (-1000 * math.log(0.01) / math.log(2) ** 2)) <= 64
+    assert h == round(m / 1000 * math.log(2))
+    with pytest.raises(ValueError):
+        bloom_size(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_size(10, 1.5)
+
+
+def test_build_validates_geometry(spark):
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, 0, 10), "k", 100, 2, SEED)  # not mult of 64
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, 0, 10), "k", 128, 0, SEED)
+
+
+def test_high_bit_word63_roundtrip(spark):
+    # force keys whose positions include bit 63 of some word: build over
+    # many keys so every bit index class is exercised, then probe them
+    corpus = _keys(spark, 0, 2000)
+    filt = bloom_build(corpus, "k", 1024, 2, SEED)
+    # with 2000*2 positions into 1024 bits, words are dense; bit 63 of
+    # several words is set and longs go negative — arithmetic shift
+    # must still read single bits correctly
+    assert filt.filter(F.col("bits") < 0).count() > 0
+    probed = bloom_probe(corpus, "k", filt, 1024, 2, SEED)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0

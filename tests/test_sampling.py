@@ -271,3 +271,87 @@ def test_systematic_weighted_sample_empty_input(spark):
     out = systematic_weighted_sample(df, "doc_id", "w", 5)
     assert out.count() == 0
     assert "n_copies" in out.columns
+
+
+def _priority_reference(rows, k, seed=""):
+    """Pure-python priority sampling on the same md5 variate."""
+    import hashlib
+
+    cand = []
+    for key, w in rows:
+        if w <= 0:
+            continue
+        m = int(hashlib.md5(f"{key}{seed}".encode()).hexdigest()[:15], 16) % 10**6
+        cand.append((float(w * 10**6) / float(m + 1), key, w))
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    tau = cand[k][0] if len(cand) >= k + 1 else 0.0
+    return [(key, w, q, max(float(w), tau)) for q, key, w in cand[:k]]
+
+
+def test_priority_sample_matches_reference(spark):
+    from sparkdiff.operators.sampling import priority_sample
+
+    rows = [(i, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["w"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, "doc_id", "w", k=50, seed="s")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    ref = sorted(_priority_reference(rows, 50, "s"))
+    assert got == ref
+
+
+def test_priority_sample_small_population_tau_zero(spark):
+    from sparkdiff.operators.sampling import priority_sample
+
+    rows = [(1, 10), (2, 20), (3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, "doc_id", "w", k=5).collect()
+    # n <= k: everything positive-weight sampled, tau = 0, est == w
+    assert sorted((r["doc_id"], r["est_weight"]) for r in out) == [
+        (1, 10.0),
+        (2, 20.0),
+    ]
+
+
+def test_priority_sample_estimator_is_unbiased_over_seeds(spark):
+    from sparkdiff.operators.sampling import priority_sample
+
+    rows = [(i, 1 + (i % 13)) for i in range(300)]
+    total = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    ests = []
+    for s in range(12):
+        out = priority_sample(df, "doc_id", "w", k=40, seed=f"e{s}")
+        est = out.groupBy().agg(F.sum("est_weight").alias("e")).first()["e"]
+        ests.append(est)
+    mean = sum(ests) / len(ests)
+    # unbiased subset-sum estimator: mean over seeds within 15% of truth
+    assert abs(mean - total) / total < 0.15
+
+
+def test_priority_sample_heavy_items_always_kept(spark):
+    from sparkdiff.operators.sampling import priority_sample
+
+    # one row with weight >> rest: its priority >= w exceeds any tau
+    # whenever tau <= w, i.e. the certainty-inclusion property
+    rows = [(0, 10**6)] + [(i, 1) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for s in ("a", "b", "c"):
+        kept = {
+            r["doc_id"]
+            for r in priority_sample(df, "doc_id", "w", 20, seed=s).collect()
+        }
+        assert 0 in kept, s
+
+
+def test_priority_sample_validation(spark):
+    import pytest
+
+    from sparkdiff.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError):
+        priority_sample(df, "doc_id", "w", k=0)
