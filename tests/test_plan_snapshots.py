@@ -125,10 +125,6 @@ _INTENTIONAL_NLJ = {
     # q133 broadcasts the ONE-ROW date-span aggregate over the daily
     # report table (q76/q90 stats shape).
     "q133_stickiness",
-    # q138's BPE rounds each cross-join the ONE-ROW argmax merge rule
-    # over the vocabulary-sized word table (q76/q90 stats shape, once
-    # per round — rounds is configuration-sized).
-    "q138_bpe_vocab",
     # q139 broadcasts the ONE-ROW (total tokens, Σ√n) aggregate over
     # the 20-row per-source table (q76/q90 stats shape).
     "q139_temperature_mix",

@@ -34,6 +34,10 @@ from .conftest import SF_DIR_SMALL
 #:   pattern-suite collect and broadcast once (operators/contamination).
 #: - q136: the k ∝ n semdedup default derives k from one corpus count
 #:   (operators/similarity.semdedup's scale-safe auto-k path).
+#: - q138: BPE training is inherently sequential — round r's merge rule
+#:   is the 1-row argmax of round r-1's rewritten vocabulary, collected
+#:   and applied as a literal (operators/bpe.py:bpe_merges; rounds-sized
+#:   bounded collect, one job per round).
 EAGER_BY_DESIGN = {
     "q52_refined_diff",
     "q53_refined_metrics",
@@ -43,6 +47,7 @@ EAGER_BY_DESIGN = {
     "q113_dup_families",
     "q134_exact_contamination",
     "q136_semdedup_auto",
+    "q138_bpe_vocab",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
