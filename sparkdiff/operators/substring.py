@@ -1,0 +1,235 @@
+"""Exact repeated-substring detection and self-deduplication.
+
+The within-corpus complement of ``operators/contamination.py``: instead
+of scanning for a known external pattern suite, find every span of at
+least ``min_len`` characters that occurs VERBATIM more than once across
+the corpus (or again within the same document), and optionally excise
+every occurrence except the corpus-first one.  This is the
+"ExactSubstr" deduplication of Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better"), who showed verbatim
+repeated spans dominate memorization; their single-node suffix-array
+construction does not distribute, so this module uses the standard
+scalable equivalent: stride-1 ``L``-gram seeds.
+
+Exactness: a window of length ``L = min_len`` starting at position
+``p`` is repeated iff its ``L``-gram occurs >= 2 times in the corpus —
+so marking every position whose seed gram repeats, then merging
+overlapping/adjacent ``[p, p+L)`` intervals per document, yields
+exactly the maximal regions in which EVERY length-``L`` window is
+repeated (any repeated span of length >= L is covered end-to-end by
+its own repeated seeds).  Grams are compared by the portable 60-bit
+md5 hash (``dedup.token_hash(..., 'md5')``): a collision would mark a
+non-repeated position, with probability ~ n^2 / 2^61 over n corpus
+positions — negligible below ~10^8 positions per hash domain and
+bit-reproducible in any engine, which is what lets a SQL oracle replay
+the whole pipeline (q141/q142).
+
+Plan shape, sized for 100 TB:
+
+1. the position table is ONE row per corpus character (the honest cost
+   of exact substring dedup — linear in corpus bytes, carrying only
+   ``(doc, pos, hash64)``, ~24 bytes/row before encoding);
+2. repeated-gram discovery is ``groupBy(hash)`` with map-side combine
+   (COUNT + MIN are combinable), NOT a window over the hash — a
+   degenerate gram repeated 10^9 times (whitespace runs) partially
+   aggregates in place instead of melting one reducer;
+3. only repeated grams (typically a small fraction) survive the HAVING
+   filter, so the join back to positions is a shuffle join against a
+   much smaller right side, 1:k per gram;
+4. island-merge windows partition by document — bounded by document
+   length, never corpus-sized;
+5. excision is a pure JVM ``aggregate`` over each document's sorted
+   span array (substring concat) — no Python, no UDF, one narrow pass.
+
+Reference behavioral anchor: the reference repo has no corpus-level
+dedup (its diff surface is row-keyed tables, `tools/data_matrix_tool.py`);
+this extends the training-data curation family SURVEY.md §6 scopes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkdiff.operators.dedup import token_hash
+
+
+def _seed_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """One row per stride-1 seed position: ``(_id, _p, _h)`` with
+    ``_h`` the 60-bit md5 hash of the length-``min_len`` gram starting
+    at 1-based ``_p``.  Documents shorter than ``min_len`` contribute
+    nothing (the guard matters: Spark's ``sequence(1, 0)`` would count
+    DOWN, not return empty).
+
+    ``parallelism``: the explode amplifies each doc row into ~doc_len
+    position rows and each position pays an md5 — when the input is a
+    FEW splits (one small parquet file), that work serializes into one
+    task unless the doc projection is repartitioned first.  Leave None
+    when the input already has scan parallelism (any real multi-file
+    corpus): the extra doc shuffle buys nothing there."""
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if parallelism:
+        base = base.repartition(parallelism)
+    t, n = F.col("_t"), F.length("_t")
+    seq = F.when(
+        n >= min_len, F.sequence(F.lit(1), n - min_len + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.select("_id", "_t", F.explode(seq).alias("_p"))
+        .select(
+            "_id",
+            "_p",
+            token_hash(t.substr(F.col("_p"), F.lit(min_len)), "md5").alias("_h"),
+        )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    min_len: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Maximal repeated spans per document: ``(id_col, span_start,
+    span_end, n_seeds)`` with 1-based inclusive bounds.
+
+    ``keep_first=False`` (report mode): a position is marked when its
+    seed gram occurs >= 2 times anywhere in the corpus — BOTH copies of
+    a duplicated span are reported (the symmetric "this text exists
+    verbatim elsewhere" signal).
+
+    ``keep_first=True`` (dedup mode): the corpus-first occurrence of
+    each gram — minimum ``(doc, pos)``, a total order, so deterministic
+    on any engine — is left unmarked; only later occurrences are
+    spanned.  This is the keeper election :func:`excise_repeated_spans`
+    cuts against: the first document to use a phrase keeps it.
+
+    ``n_seeds`` is the count of marked seed positions merged into the
+    span (== span length - min_len + 1 for a fully-repeated region).
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    # the position table feeds BOTH the gram aggregation and the join
+    # back; persist it so the 35x-amplified explode+md5 runs once (the
+    # q26/q83 persisted-shingle-table convention — corpus-linear, and
+    # recomputing it costs more than storing it)
+    pos = _seed_positions(docs, id_col, text_col, min_len, parallelism).persist()
+    grams = (
+        pos.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_id", "_p")).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    marked = pos.join(grams, "_h")
+    if keep_first:
+        marked = marked.filter(
+            F.struct("_id", "_p") != F.col("_first")
+        )
+    w = Window.partitionBy("_id").orderBy("_p")
+    prev = F.lag("_p").over(w)
+    new_island = (
+        prev.isNull() | (F.col("_p") - prev > min_len)
+    ).cast("long")
+    return (
+        marked.select("_id", "_p")
+        .withColumn(
+            "_isl",
+            F.sum(new_island).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_p").cast("long").alias("span_start"),
+            (F.max("_p") + min_len - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_seeds"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "span_start", "span_end", "n_seeds"
+        )
+    )
+
+
+def excise_repeated_spans(
+    docs: DataFrame,
+    min_len: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Self-deduplicate the corpus: cut every repeated span except its
+    corpus-first occurrence (``repeated_spans(keep_first=True)``).
+    Returns one row per input document: ``(id_col, clean_text, n_spans,
+    n_chars_excised)`` — documents with nothing to cut pass through
+    untouched with zeros.
+
+    The cut itself is a single JVM ``aggregate`` over the document's
+    sorted, non-overlapping span array: the accumulator walks
+    ``(next_uncut_pos, rebuilt_prefix)``, appending the kept segment
+    before each span, and the finish step appends the tail.  Span
+    arrays are bounded per document (<= doc_len / 1 spans, in practice
+    few), so the ``collect_list`` is per-group bounded, not corpus-
+    bounded.
+
+    Same one-pass caveat as ``contamination.excise_contamination``:
+    splicing flanks together can create a NEW repeated-span instance;
+    a second application reaches the fixpoint in practice.  Unlike the
+    pattern-suite case the guarantee here is statistical anyway (the
+    repeats removed were elected against the ORIGINAL corpus).
+    """
+    spans = repeated_spans(
+        docs,
+        min_len,
+        id_col=id_col,
+        text_col=text_col,
+        keep_first=True,
+        parallelism=parallelism,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("_cut"),
+    )
+    t = F.col(text_col)
+    rebuilt = F.aggregate(
+        F.col("_sp"),
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda a, s: F.struct(
+            (s["span_end"] + 1).cast("int").alias("pos"),
+            F.concat(
+                a["acc"], t.substr(a["pos"], s["span_start"] - a["pos"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], t.substr(a["pos"], F.length(t) - a["pos"] + 1)
+        ),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_sp").isNull(), t)
+            .otherwise(rebuilt)
+            .alias("clean_text"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("_cut", F.lit(0)).cast("long").alias("n_chars_excised"),
+        )
+    )

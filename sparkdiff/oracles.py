@@ -3686,3 +3686,132 @@ ORACLES["q140_bloom_gate"] = """
                 AS BIGINT) AS n_false_pos
     FROM flags GROUP BY source
 """
+
+
+def _repeated_span_ctes(min_len: int, keep_first: bool) -> str:
+    """Shared CTE chain for q141/q142: stride-1 seed positions on the
+    portable 60-bit md5 gram hash -> repeated-gram counts with the
+    corpus-first occurrence (min (doc_id, p) ROW — lexicographic, same
+    total order Spark's min(struct) uses) -> marked positions ->
+    gaps-and-islands merge into maximal spans (new island when the gap
+    exceeds the gram length, i.e. intervals no longer overlap/abut).
+
+    The keeper election is ``row_number() OVER (PARTITION BY h ORDER BY
+    doc_id, p)`` — rn 1 is exactly Spark's ``min(struct(doc, pos))``
+    (same lexicographic total order).  Deliberately NOT the
+    min-struct + join form: DuckDB 1.0 evaluates struct aggregates /
+    comparisons row-at-a-time (measured 134 s vs 0.24 s for the whole
+    span pipeline on the sf0.01 position table)."""
+    L = min_len
+    kf = " AND rn > 1" if keep_first else ""
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {L} + 1)) AS p
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(md5(substr(text, p, {L})), 1, 15)
+                    AS BIGINT) AS h
+        FROM pos
+    ),
+    marked AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   count(*) OVER (PARTITION BY h) AS cnt,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, p)
+                       AS rn
+            FROM hashed)
+        WHERE cnt >= 2{kf}
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p - lag(p) OVER w > {L} THEN 1 ELSE 0 END AS ni
+        FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    numbered AS (
+        SELECT doc_id, p,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(p) + {L} - 1 AS span_end,
+               COUNT(*) AS n_seeds
+        FROM numbered GROUP BY doc_id, island
+    )"""
+
+
+# q141: repeated-substring report — symmetric detection (both copies of
+# a duplicated span are spanned), per-source rollup.
+ORACLES["q141_repeated_substrings"] = (
+    _repeated_span_ctes(30, keep_first=False)
+    + """
+    SELECT d.source,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs_with_repeats,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(s.span_end - s.span_start + 1) AS BIGINT)
+               AS n_repeated_chars,
+           CAST(MAX(s.span_end - s.span_start + 1) AS BIGINT) AS max_span_len
+    FROM spans s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+)
+
+# q142: keep-first excision — rebuild each touched document from its
+# complement segments (lag window over the sorted spans + the tail
+# piece), then hash the doc_id-ordered cleaned corpus per source.  The
+# digest must equal Spark's aggregate-over-span-array rebuild exactly.
+ORACLES["q142_substring_selfdedup"] = (
+    _repeated_span_ctes(30, keep_first=True)
+    + """,
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(span_end - span_start + 1) AS n_cut
+        FROM spans GROUP BY doc_id
+    ),
+    headpieces AS (
+        SELECT doc_id,
+               lag(span_end, 1, 0)
+                   OVER (PARTITION BY doc_id ORDER BY span_start) + 1
+                   AS seg_start,
+               span_start - 1 AS seg_end,
+               span_start AS ord
+        FROM spans
+    ),
+    pieces AS (
+        SELECT doc_id, seg_start, seg_end, ord FROM headpieces
+        UNION ALL
+        SELECT doc_id, MAX(span_end) + 1 AS seg_start,
+               NULL AS seg_end, 2147483647 AS ord
+        FROM spans GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT p.doc_id,
+               string_agg(
+                   CASE WHEN p.seg_end IS NULL THEN substr(d.text, p.seg_start)
+                        ELSE substr(d.text, p.seg_start,
+                                    p.seg_end - p.seg_start + 1) END,
+                   '' ORDER BY p.ord) AS clean_text
+        FROM pieces p JOIN documents d USING (doc_id)
+        GROUP BY p.doc_id
+    ),
+    cleaned AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(r.clean_text, d.text) AS clean_text,
+               COALESCE(pd.n_spans, 0) AS n_spans,
+               COALESCE(pd.n_cut, 0) AS n_cut
+        FROM documents d
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN per_doc pd USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched,
+           CAST(SUM(n_cut) AS BIGINT) AS n_chars_removed,
+           md5(string_agg(clean_text, chr(31) ORDER BY doc_id)) AS corpus_md5
+    FROM cleaned GROUP BY source
+"""
+)

@@ -4536,6 +4536,84 @@ def q140_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring report (Lee et al. 2022 "ExactSubstr",
+    `operators/substring.py`): every maximal span of >= 30 chars that
+    occurs verbatim more than once in the corpus, aggregated per
+    source — docs affected, span count, repeated chars, longest span.
+    Detection is stride-1 30-gram seeds: position table (one row per
+    corpus char — the honest linear cost), skew-safe
+    ``groupBy(hash)`` with map-side combine (never a window over the
+    gram hash), HAVING-filtered join back, per-doc island merge.  The
+    oracle replays seeds → gram counts → islands in SQL on the same
+    60-bit md5 grams, so spans match bit-for-bit."""
+    from sparkdiff.operators.substring import repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = repeated_spans(
+        d.select("doc_id", "text"),
+        30,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        spans.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_with_repeats"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_repeated_chars"),
+            F.max(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("max_span_len"),
+        )
+    )
+
+
+def q142_substring_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-deduplication by surgical excision
+    (`operators/substring.py`): cut every >= 30-char repeated span
+    except its corpus-first occurrence (min (doc, pos) — a total
+    order, so the keeper election is engine-deterministic), rebuild
+    each document with one JVM ``aggregate`` over its sorted span
+    array, and report per source: docs, docs touched, chars removed,
+    and the md5 of the cleaned corpus (doc_id-ordered, chr(31)-joined)
+    — the hash pins the full string surgery, not just the counts.  The
+    oracle rebuilds via complement segments (lag window + string_agg)
+    and must reach the identical corpus digest."""
+    from sparkdiff.operators.substring import excise_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = excise_repeated_spans(
+        d.select("doc_id", "text"),
+        30,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return (
+        ex.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.sum("n_chars_excised").cast("long").alias("n_chars_removed"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "clean_text"))
+                        ),
+                        lambda s: s["clean_text"],
+                    ),
+                )
+            ).alias("corpus_md5"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4677,4 +4755,6 @@ QUERIES: dict[str, callable] = {
     "q138_bpe_vocab": q138_bpe_vocab,
     "q139_temperature_mix": q139_temperature_mix,
     "q140_bloom_gate": q140_bloom_gate,
+    "q141_repeated_substrings": q141_repeated_substrings,
+    "q142_substring_selfdedup": q142_substring_selfdedup,
 }
