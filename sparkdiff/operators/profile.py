@@ -10,31 +10,41 @@ to sanity-check a pair before diffing.
 
 Scale notes: non-null/min/max come from ONE no-distinct aggregation
 pass; exact NDV for ALL profiled columns comes from ONE additional
-melt scan — ``posexplode`` of the columns rendered through an
-injective string encoding → ``groupBy(_cid, _v)`` (map-side partial
-dedup, shuffle carries only distinct (column, value) pairs) →
-``groupBy(_cid).count()`` (tiny second shuffle: one row per distinct
-value).  Two scans + two shuffles per table, independent of column
-count.  This replaces two rejected shapes, both measured on 600k rows
-× 4-6 columns: (a) the single-agg multi-COUNT(DISTINCT) — Catalyst
-plans it as an Expand that funnels every column's row stream through
-ONE aggregate pipeline with no per-column parallelism (11-16 s); (b)
-one single-distinct job per column — narrow shuffles but N+1 full
-scan jobs whose scheduler+GC overhead made q107 the most volatile
-bench query (median 5.5 s, runs 2-10 s).  The melt is the same shape
-as ``quantiles._dist_quantiles`` (quantiles.py:102-109) and inherits
-its property: parallelism is (columns × value-hash) wide at every
-stage.  For wide exploratory profiling at 100 TB swap
-``exact_ndv=False`` to use HyperLogLog (``approx_count_distinct``) —
-one pass, no melt; the approx variant is pinned within rtol in tests
-but is NOT the oracle path (sketches are not engine-portable).
+melt scan — ``posexplode`` of the encoded columns →
+``groupBy(_cid, _v)`` (map-side partial dedup, shuffle carries only
+distinct (column, value) pairs) → ``groupBy(_cid).count()`` (tiny
+second shuffle: one row per distinct value).  Two scans + two
+shuffles per table, independent of column count.  This replaces two
+rejected shapes, both measured on 600k rows × 4-6 columns: (a) the
+single-agg multi-COUNT(DISTINCT) — Catalyst plans it as an Expand
+that funnels every column's row stream through ONE aggregate pipeline
+with no per-column parallelism (11-16 s); (b) one single-distinct job
+per column — narrow shuffles but N+1 full scan jobs whose
+scheduler+GC overhead made q107 the most volatile bench query
+(median 5.5 s, runs 2-10 s).  The melt is the same shape as
+``quantiles._dist_quantiles`` (quantiles.py:102-109) and inherits its
+property: parallelism is (columns × value-hash) wide at every stage.
+For wide exploratory profiling at 100 TB swap ``exact_ndv=False`` to
+use HyperLogLog (``approx_count_distinct``) — one pass, no melt; the
+approx variant is pinned within rtol in tests but is NOT the oracle
+path (sketches are not engine-portable).
 
-NDV-encoding injectivity: each column is cast to string, which is
-injective per Spark type (doubles/floats use shortest round-trip
-rendering; timestamps keep microseconds; decimals keep fixed scale),
-so COUNT(DISTINCT encoded) == COUNT(DISTINCT value).  Floating
-columns are normalized with ``+ 0.0`` first so -0.0 and 0.0 — equal
-under aggregate comparison — also render identically.
+NDV encoding (``ndv_encoding``): the default ``"hash"`` melts each
+value as ``xxhash64(value)`` — the shuffle carries (int, long) pairs
+instead of rendered strings, which halved the melt wall-clock on the
+600k-row profile (decimal/date string rendering plus string shuffle
+bytes were the cost, not the explode).  ``COUNT(DISTINCT hash)``
+equals the exact NDV unless two distinct values collide in 64 bits
+(p ≈ n²/2^65 per column — 1e-8 at 10M distincts, deterministic: a
+given dataset either collides or it never does, so an oracle-green
+result stays green).  ``"string"`` keeps the provably-injective
+rendering (doubles via shortest round-trip, timestamps with
+microseconds, decimals at fixed scale) for when certainty matters
+more than the shuffle.  NULL guard matters for the hash path:
+``xxhash64(NULL)`` is the seed hash, NOT NULL, so values are
+null-checked BEFORE encoding.  Floating columns are normalized with
+``+ 0.0`` first so -0.0 and 0.0 — equal under aggregate comparison —
+encode identically under either encoding.
 
 The min/max canonical rendering mirrors ``functions/canonical.py``'s
 rules (scaled-long for doubles, second-precision timestamps) so the
@@ -64,7 +74,10 @@ def _canon(c: Column, dt: T.DataType) -> Column:
 
 
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_ndv: bool = True,
+    ndv_encoding: str = "hash",
 ) -> DataFrame:
     """Profile ``columns`` (default: every non-complex column) in one
     aggregation pass; returns one row per column:
@@ -116,10 +129,18 @@ def profile_table(
     # exact NDV for ALL columns in one melt scan + two shuffles (see
     # module docstring): posexplode(injective string encodings) ->
     # distinct (column, value) -> count per column.
+    if ndv_encoding not in ("hash", "string"):
+        raise ValueError(f"ndv_encoding must be hash|string: {ndv_encoding!r}")
+
     def _enc(c: str) -> Column:
         col = F.col(c)
         if isinstance(dtypes[c], (T.DoubleType, T.FloatType)):
             col = col + F.lit(0.0)  # -0.0 -> 0.0, matching agg equality
+        if ndv_encoding == "hash":
+            # null-check BEFORE hashing: xxhash64(NULL) = hash(seed),
+            # which would count nulls as a distinct value.  Stays a
+            # LONG — the whole point is a long shuffle, not strings.
+            return F.when(col.isNotNull(), F.xxhash64(col))
         return col.cast("string")
 
     melted = df.select(

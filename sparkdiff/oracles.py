@@ -3815,3 +3815,138 @@ ORACLES["q142_substring_selfdedup"] = (
     FROM cleaned GROUP BY source
 """
 )
+
+
+def _sql_spread2(expr: str) -> str:
+    """Morton 16-bit spread — the same mask cascade as
+    ``operators/layout._spread2``, emitted as one nested SQL
+    expression (DuckDB's &, |, << are plain BIGINT ops)."""
+    x = f"(({expr}) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def _q143_skip_branch(layout: str, files_cte: str, pred: str,
+                      col: str, lo: int, hi: int) -> str:
+    hit = f"(min_{col} <= {hi} AND max_{col} >= {lo})"
+    return f"""
+    SELECT '{layout}' AS layout, '{pred}' AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_hit,
+           CAST(SUM(CASE WHEN {hit} THEN frows ELSE 0 END) AS BIGINT)
+               AS rows_in_hit_files
+    FROM {files_cte}"""
+
+
+# q143: replay scaling + Morton cascade + row_number file assignment +
+# per-file min/max + overlap test — bit-identical integer arithmetic.
+ORACLES["q143_zorder_skipping"] = (
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS o_day
+        FROM orders
+    ),
+    rng AS (
+        SELECT min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+               min(o_day) AS d_min, max(o_day) AS d_max
+        FROM o
+    ),
+    scaled AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_day,
+               CAST(floor(((o_custkey - ck_min) * 65535.0)
+                          / greatest(ck_max - ck_min, 1)) AS BIGINT) AS sx,
+               CAST(floor(((o_day - d_min) * 65535.0)
+                          / greatest(d_max - d_min, 1)) AS BIGINT) AS sy
+        FROM o, rng
+    ),
+    keyed AS (
+        SELECT o_orderkey, o_custkey, o_day,
+               ("""
+    + _sql_spread2("sx")
+    + " | ("
+    + _sql_spread2("sy")
+    + """ << 1)) AS zkey
+        FROM scaled
+    ),
+    lin_files AS (
+        SELECT (row_number() OVER (ORDER BY o_day, o_orderkey) - 1) // 500
+                   AS fid,
+               o_custkey, o_day
+        FROM keyed
+    ),
+    z_files AS (
+        SELECT (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // 500
+                   AS fid,
+               o_custkey, o_day
+        FROM keyed
+    ),
+    lin_stats AS (
+        SELECT fid, COUNT(*) AS frows,
+               min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+               min(o_day) AS min_o_day, max(o_day) AS max_o_day
+        FROM lin_files GROUP BY fid
+    ),
+    z_stats AS (
+        SELECT fid, COUNT(*) AS frows,
+               min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+               min(o_day) AS min_o_day, max(o_day) AS max_o_day
+        FROM z_files GROUP BY fid
+    )
+"""
+    + _q143_skip_branch("linear_date", "lin_stats", "custkey_band",
+                        "o_custkey", 100, 400)
+    + " UNION ALL "
+    + _q143_skip_branch("linear_date", "lin_stats", "date_quarter",
+                        "o_day", 10408, 10499)
+    + " UNION ALL "
+    + _q143_skip_branch("zorder", "z_stats", "custkey_band",
+                        "o_custkey", 100, 400)
+    + " UNION ALL "
+    + _q143_skip_branch("zorder", "z_stats", "date_quarter",
+                        "o_day", 10408, 10499)
+)
+
+# q144: quantile normalization — within-source midpoint rank mapped to
+# the global order statistic; every step integer, the score itself the
+# mirrored-expression quality double scaled to a long.
+ORACLES["q144_quantile_calibration"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(floor(({sql_quality_score('text')}) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM documents
+    ),
+    g AS (
+        SELECT q AS q_cal,
+               row_number() OVER (ORDER BY q, doc_id) AS _g
+        FROM d
+    ),
+    nt AS (SELECT COUNT(*) AS _n FROM d),
+    ranked AS (
+        SELECT d.*,
+               row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+                   AS rr,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM d
+    ),
+    mapped AS (
+        SELECT ranked.*,
+               greatest(1, least(_n,
+                   ((2*rr - 1) * _n + 2*n - 1) // (2*n))) AS _g
+        FROM ranked, nt
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(min(q) AS BIGINT) AS raw_min,
+           CAST(max(q) AS BIGINT) AS raw_max,
+           CAST(min(q_cal) AS BIGINT) AS cal_min,
+           CAST(max(q_cal) AS BIGINT) AS cal_max,
+           CAST(SUM(q_cal) AS BIGINT) AS cal_sum
+    FROM mapped JOIN g USING (_g)
+    GROUP BY source
+"""

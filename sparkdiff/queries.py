@@ -3298,7 +3298,8 @@ def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_str").alias("min_s"),
         F.col("max_str").alias("max_s"),
     )
-    return ph.join(ps, "column").select(
+    # one row per profiled column on each side — always broadcast
+    return ph.join(F.broadcast(ps), "column").select(
         "column",
         "nn_h",
         "nn_s",
@@ -4614,6 +4615,127 @@ def q142_substring_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning (`operators/layout.py`): simulate two
+    physical layouts of the orders table — linear date-sorted vs
+    Morton-interleaved (custkey × order-day) — at 500-row files, and
+    report min/max file-skipping effectiveness for three range
+    predicates (a customer band, a date quarter, and their
+    conjunction).  The 100 TB story in one table: the linear layout
+    prunes perfectly on its sort column and not at all on the other;
+    Z-order prunes BOTH to small file fractions — the decision input
+    for `OPTIMIZE ZORDER BY`-style compaction.  Everything is integer
+    bit arithmetic on the scalable row-number rail (no SinglePartition
+    exchange, no UDF); the oracle replays the same mask cascade and
+    floor scaling bit-for-bit."""
+    from sparkdiff.operators.layout import (
+        scale16,
+        skipping_report,
+        zorder_key2,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("o_day"),
+    )
+    rng = o.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("o_day").alias("d_min"),
+        F.max("o_day").alias("d_max"),
+    )
+    z = o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_day",
+        zorder_key2(
+            scale16(F.col("o_custkey"), F.col("ck_min"), F.col("ck_max")),
+            scale16(F.col("o_day"), F.col("d_min"), F.col("d_max")),
+        ).alias("zkey"),
+    )
+    lo_ck, hi_ck = 100, 400
+    lo_d, hi_d = 10_408, 10_499  # 1998-07-01 .. 1998-09-30
+    rep = skipping_report(
+        z,
+        layouts={
+            "linear_date": [F.col("o_day"), F.col("o_orderkey")],
+            "zorder": [F.col("zkey"), F.col("o_orderkey")],
+        },
+        stat_cols=["o_custkey", "o_day"],
+        predicates={
+            "custkey_band": ("o_custkey", lo_ck, hi_ck),
+            "date_quarter": ("o_day", lo_d, hi_d),
+        },
+        rows_per_file=500,
+    )
+    return rep.orderBy("layout", "predicate")
+
+
+def q144_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration by quantile normalization
+    (the microarray-era Bolstad et al. method, applied the way corpus
+    curators align heterogeneous quality scores before a global
+    threshold): each document's score is replaced by the GLOBAL
+    empirical quantile at its within-source midpoint rank, so every
+    source's calibrated distribution is a subsample of the same global
+    one and one corpus-wide cutoff treats sources fairly.  Ranks are
+    integers (row_number over (score, doc_id) — a total order), the
+    midpoint index map is pure integer arithmetic, and the global rank
+    table rides the scalable row-number rail; the only join is
+    data-sized equi on the target index.  Output: per source, docs +
+    min/median/max of raw and calibrated scores (scaled longs)."""
+    from sparkdiff.functions.textstats import quality_score
+    from sparkdiff.operators.quantiles import scalable_row_number
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.floor(quality_score("text") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+    # global sorted table: g-th smallest score (g = 1..N)
+    glob = scalable_row_number(d, [F.col("q"), F.col("doc_id")], "g").select(
+        F.col("g").alias("_g"), F.col("q").alias("q_cal")
+    )
+    n_tot = d.agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = (
+        d.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .crossJoin(F.broadcast(n_tot))
+        # midpoint-rank index map: g = ceil((2r-1)*N / (2n)) via the
+        # (num + den - 1) div den form — all terms positive, so trunc
+        # and floor division agree on both engines; clamp to [1, N]
+        .withColumn(
+            "_g",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.col("_n").cast("long"),
+                    F.expr("((2*r - 1) * _n + 2*n - 1) div (2*n)"),
+                ),
+            ).cast("long"),
+        )
+    )
+    cal = ranked.join(glob, "_g")
+    return (
+        cal.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("q").cast("long").alias("raw_min"),
+            F.max("q").cast("long").alias("raw_max"),
+            F.min("q_cal").cast("long").alias("cal_min"),
+            F.max("q_cal").cast("long").alias("cal_max"),
+            F.sum("q_cal").cast("long").alias("cal_sum"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4757,4 +4879,6 @@ QUERIES: dict[str, callable] = {
     "q140_bloom_gate": q140_bloom_gate,
     "q141_repeated_substrings": q141_repeated_substrings,
     "q142_substring_selfdedup": q142_substring_selfdedup,
+    "q143_zorder_skipping": q143_zorder_skipping,
+    "q144_quantile_calibration": q144_quantile_calibration,
 }

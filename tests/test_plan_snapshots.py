@@ -128,6 +128,15 @@ _INTENTIONAL_NLJ = {
     # q139 broadcasts the ONE-ROW (total tokens, Σ√n) aggregate over
     # the 20-row per-source table (q76/q90 stats shape).
     "q139_temperature_mix",
+    # q143 rides the scalable_row_number rail once per candidate layout
+    # (bounded bucket-offset non-equi joins, q117/q135 shape) and
+    # broadcasts the ONE-ROW min/max range aggregate for the integer
+    # scaling (q76/q90 stats shape).
+    "q143_zorder_skipping",
+    # q144: the same rail for the global order statistics plus the
+    # ONE-ROW corpus-count broadcast (q76/q90 stats shape); the
+    # midpoint-index lookup itself is a data-sized equi-join.
+    "q144_quantile_calibration",
 }
 
 
