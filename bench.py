@@ -84,6 +84,14 @@ def main() -> None:
         # several queries persist() bounded intermediates; drop them so
         # cached tables don't accumulate across the 133-query run
         spark.catalog.clearCache()
+        # ContextCleaner frees broadcast/shuffle blocks only after a
+        # DRIVER GC; with a 16g heap that never happens inside one
+        # bench, so late queries run against dozens of queries' worth
+        # of accumulated blocks (measured: isolated runs ~1.5-2x faster
+        # than the same query 100 queries into the session).  A forced
+        # GC every 20 queries keeps the session state flat.
+        if len(timings) % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
     full = {

@@ -58,6 +58,16 @@ def get_spark(
         # read as long and rebuild a microsecond timestamp in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARKDIFF_DRIVER_MEM", "16g"))
+        # NOTE on long-lived many-query sessions: broadcast/shuffle
+        # blocks are freed by ContextCleaner only after a DRIVER GC;
+        # with a 16g heap that can take hours, and late queries inherit
+        # dozens of queries' worth of accumulated state (measured:
+        # 1.5-2x slowdown ~100 queries into a bench session).  The
+        # async knob (spark.cleaner.periodicGC.interval) is left at its
+        # 30min default ON PURPOSE — a 2min timer fixed the drift but
+        # landed stop-the-world pauses inside timed runs (q126: 1.0s ->
+        # [12.3, 7.3, 1.0]).  Drive GC deterministically BETWEEN units
+        # of work instead, as bench.py does every 20 queries.
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
