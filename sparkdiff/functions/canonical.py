@@ -143,6 +143,44 @@ def row_fingerprint(
     return F.md5(F.concat_ws(SEP, *parts))
 
 
+def content_checksum(*cols: Column | str) -> Column:
+    """Commutative, engine-portable content-checksum AGGREGATE: the SUM
+    of per-row 60-bit md5 digests over the chr(31)-joined rendering of
+    ``cols``, accumulated in ``decimal(38,0)`` and rendered as a plain
+    digit string.
+
+    This is the bucket-checksum idiom of ``operators.diff`` (sum of
+    bounded per-row hashes — order-independent, partitioning-
+    independent, mergeable) made oracle-portable: DuckDB replays it as
+    ``CAST(SUM(CAST('0x' || substr(md5(a || chr(31) || b), 1, 15) AS
+    BIGINT)) AS VARCHAR)`` bit-for-bit.  Each summand is < 2^60 and the
+    decimal(38,0) accumulator holds > 2^126, so the sum is exact past
+    10^18 rows — no unbounded per-group buffer, no collect_list: every
+    aggregation state is one decimal.  The string rendering exists
+    because both engines' pandas fetch would round a 38-digit numeric
+    to float64.
+
+    A single-character change in any row flips its 60-bit digest, so
+    the sum changes unless a second row's digest moves by the exact
+    opposite amount (probability ~2^-60 per pair) — the same collision
+    contract as the rest of the md5-60-bit family."""
+    rendered = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    row_digest = F.conv(
+        F.substring(F.md5(F.concat_ws(SEP, *rendered)), 1, 15), 16, 10
+    ).cast("decimal(28,0)")
+    return F.sum(row_digest).cast("decimal(38,0)").cast("string")
+
+
+def oracle_content_checksum_sql(*exprs: str) -> str:
+    """The DuckDB replay of :func:`content_checksum` (chr(31) IS the
+    ``SEP`` separator)."""
+    joined = " || chr(31) || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return (
+        f"CAST(SUM(CAST('0x' || substr(md5({joined}), 1, 15) AS BIGINT)) "
+        "AS VARCHAR)"
+    )
+
+
 def oracle_canonical_sql(col: str, duck_type: str) -> str:
     """The DuckDB-SQL expression equivalent to :func:`canonical_col`.
 

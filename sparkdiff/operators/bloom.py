@@ -25,6 +25,11 @@ h-way explode -> broadcast join against the filter words -> per-key
 ``min(bit set)`` — one bounded shuffle of batch×h rows.  The compact
 form collects the (configuration-sized) filter once and probes with
 pure column expressions — zero shuffle, for hot streaming gates.
+
+NULL keys are first-class: build and probe both render NULL through the
+``NULL_KEY`` sentinel, so a NULL-keyed row inserts, probes, and joins
+back like any other key (probe output is TOTAL over input rows — no
+silent third bucket).
 """
 
 from __future__ import annotations
@@ -48,8 +53,22 @@ def bloom_size(n_keys: int, fpp: float) -> tuple[int, int]:
     return m, h
 
 
+#: rendering of a NULL key — NULL is a legal, insertable, probeable
+#: member (md5(concat(NULL, ...)) would otherwise be NULL, silently
+#: dropping NULL-keyed rows from BOTH buckets).  The NUL prefix keeps
+#: the sentinel out of any realistic key domain; a corpus whose string
+#: keys genuinely start with chr(0) must pre-escape them.
+NULL_KEY = "\x00<null-key>"
+
+
+def _key_str(key: Column) -> Column:
+    """Total string rendering of the key: NULL → :data:`NULL_KEY`."""
+    return F.coalesce(key.cast("string"), F.lit(NULL_KEY))
+
+
 def _positions(key: Column, m_bits: int, n_hashes: int, seed: str) -> Column:
-    """Array of the key's ``n_hashes`` bit positions in ``[0, m)``."""
+    """Array of the key's ``n_hashes`` bit positions in ``[0, m)``.
+    Total over input rows — NULL keys hash via :data:`NULL_KEY`."""
     return F.array(
         *[
             F.pmod(
@@ -57,7 +76,7 @@ def _positions(key: Column, m_bits: int, n_hashes: int, seed: str) -> Column:
                     F.substring(
                         F.md5(
                             F.concat(
-                                key.cast("string"), F.lit(f"{seed}#{i}")
+                                _key_str(key), F.lit(f"{seed}#{i}")
                             )
                         ),
                         1,
@@ -121,9 +140,14 @@ def bloom_probe(
     hash position is set (zero false negatives by construction; false
     positives at the designed fpp).  Geometry/seed must match the
     build.  Broadcast-joins the filter words, then one ``groupBy`` on
-    the probe key ANDs the h bits."""
+    the probe key ANDs the h bits.
+
+    TOTAL over input rows: NULL keys hash via the :data:`NULL_KEY`
+    sentinel and the join back rides the sentinel string (an equi join
+    on a NULL key would never match), so every row — NULL-keyed
+    included — gets a definite true/false ``out_col``."""
     probe = df.select(
-        F.col(key_col),
+        _key_str(F.col(key_col)).alias("_k"),
         F.explode(
             _positions(F.col(key_col), m_bits, n_hashes, seed)
         ).alias("_pos"),
@@ -139,10 +163,14 @@ def bloom_probe(
                 "cast(pmod(_pos, 64) as int)) & 1 as int)"
             ),
         )
-        .groupBy(key_col)
+        .groupBy("_k")
         .agg((F.min("_hit") == 1).alias(out_col))
     )
-    return df.join(hit, key_col, "left")
+    return (
+        df.withColumn("_k", _key_str(F.col(key_col)))
+        .join(hit, "_k", "left")
+        .drop("_k")
+    )
 
 
 def bloom_probe_compact(

@@ -64,6 +64,7 @@ def bpe_merges(
     rounds: int = 8,
     token_pattern: str = "^[a-z0-9]+$",
     checkpoint_every: int = 16,
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges from a token column.
 
@@ -96,11 +97,29 @@ def bpe_merges(
 
     Tokens not matching ``token_pattern`` are dropped (the delimiters
     ``( ) $`` must not occur inside symbols).
+
+    ``batch_size=m`` (> 1) is the standard BATCHED variant for
+    production vocabularies (10⁴–10⁵ merges): each JOB collects the
+    top ``m + slack`` pairs (still a bounded TakeOrderedAndProject —
+    m·4 rows, configuration-sized) and applies, in count order, the
+    prefix of pairs that are pairwise SYMBOL-DISJOINT — no selected
+    pair shares a symbol with an earlier selected pair, so the m
+    literal replaces commute and the batch is order-independent (the
+    classic correctness condition: overlapping pairs like (a,b),(b,c)
+    compete for the same occurrences, so only the best of an
+    overlapping family merges per batch).  Each selected pair's
+    recorded ``cnt`` is its count BEFORE the batch (the count the
+    argmax ranked on).  ``batch_size=1`` is exact sequential BPE;
+    batched training is the throughput knob — rounds/m jobs instead of
+    rounds — at the cost of the (standard, quantified) deviation that
+    a later in-batch pair was ranked on pre-batch counts.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     spark = tokens.sparkSession
     base = (
         tokens.filter(F.col(token_col).rlike(token_pattern))
@@ -112,7 +131,8 @@ def bpe_merges(
     caches = [base]
     seq_expr: Column = F.col("seq")
     merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(1, rounds + 1):
+    jobs_since_ckpt = 0
+    while len(merges) < rounds:
         syms = _symbols(seq_expr)
         n = F.size(syms)
         pairs = caches[-1].select(
@@ -131,23 +151,38 @@ def bpe_merges(
                 )
             ).alias("_p"),
         ).select(F.col("_p.sym_l"), F.col("_p.sym_r"), "freq")
+        want = min(batch_size, rounds - len(merges))
+        # over-fetch 4x so the disjointness filter still fills the batch
+        # when top pairs overlap; the collect stays configuration-bounded
+        fetch = want if want == 1 else want * 4
         best = (
             pairs.groupBy("sym_l", "sym_r")
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("sym_l"), F.asc("sym_r"))
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
         if not best:
             break  # vocabulary fully merged: no adjacent pairs left
-        left, right, cnt = best[0]["sym_l"], best[0]["sym_r"], best[0]["cnt"]
-        merges.append((r, left, right, left + right, cnt))
-        seq_expr = F.replace(
-            seq_expr,
-            F.lit(f"{SYM_OPEN}{left}{SYM_CLOSE}{SYM_OPEN}{right}{SYM_CLOSE}"),
-            F.lit(f"{SYM_OPEN}{left}{right}{SYM_CLOSE}"),
-        )
-        if r % checkpoint_every == 0 and r < rounds:
+        used: set[str] = set()
+        selected = 0
+        for row in best:
+            if selected == want:
+                break
+            left, right, cnt = row["sym_l"], row["sym_r"], row["cnt"]
+            # symbol-disjointness within the batch: the replaces commute
+            if left in used or right in used or (left + right) in used:
+                continue
+            used.update((left, right, left + right))
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+            seq_expr = F.replace(
+                seq_expr,
+                F.lit(f"{SYM_OPEN}{left}{SYM_CLOSE}{SYM_OPEN}{right}{SYM_CLOSE}"),
+                F.lit(f"{SYM_OPEN}{left}{right}{SYM_CLOSE}"),
+            )
+            selected += 1
+        jobs_since_ckpt += 1
+        if jobs_since_ckpt % checkpoint_every == 0 and len(merges) < rounds:
             caches.append(
                 caches[-1].select(seq_expr.alias("seq"), "freq").persist()
             )
@@ -170,8 +205,31 @@ def bpe_segment(
     list — a plain Python list because a trained tokenizer is a shipped
     configuration artifact, not data.  Pure column expressions: encode,
     then one literal ``replace`` per merge in training order, then
-    split back to symbols."""
-    expr: Column = encode_word(text_col)
+    split back to symbols.
+
+    The delimiter guard is symmetric with ``bpe_merges``'s
+    ``token_pattern`` filter: a word containing ``(``, ``)`` or ``$``
+    would encode AMBIGUOUSLY (its characters collide with the symbol
+    wrapping / end-of-word marker) and corrupt segmentation silently —
+    so such rows RAISE at execution time rather than mis-tokenize
+    (the segment side must not silently drop rows the way the training
+    side's filter may)."""
+    guard = F.col(text_col).rlike(r"[()$]")
+    encoded = F.when(
+        ~F.coalesce(guard, F.lit(False)),
+        encode_word(text_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bpe_segment: word contains a symbol delimiter "
+                    f"( ) $ and cannot encode unambiguously: {text_col}="
+                ),
+                F.col(text_col),
+            )
+        )
+    )
+    expr: Column = encoded
     for left, right in merges:
         for ch in left + right:
             if ch in (SYM_OPEN + SYM_CLOSE):

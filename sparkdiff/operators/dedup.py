@@ -378,26 +378,96 @@ def update_corpus_dedup_index(
     return sh_c.unionByName(sh_b), bk_c.unionByName(bk_b)
 
 
+#: band-table partition column for the bucketed index layout
+KEY_BUCKET_COL = "_kb"
+
+
+def band_keys_from_shingles(
+    sh: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """``(_id, band, key)`` LSH band keys from precomputed ``(_id,
+    _sh)`` shingle sets — the reuse entry point for eager per-batch
+    drivers that persist the batch shingles once and derive both the
+    band keys and the verify join from the same cache entry."""
+    assert num_perm % bands == 0
+    return _band_keys(
+        minhash_signatures(sh, "_id", F.col("_sh"), num_perm, hash_method),
+        bands,
+        num_perm // bands,
+    )
+
+
+def _key_bucket(key_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("key")), F.lit(key_buckets))
+
+
+def index_key_buckets(path: str) -> int | None:
+    """The bucketed-layout parameter a persisted index was written
+    with (``None`` = flat layout)."""
+    import json
+    import os
+
+    meta = os.path.join(path, "layout.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as fh:
+        return json.load(fh).get("key_buckets")
+
+
 def save_corpus_dedup_index(
-    index: tuple[DataFrame, DataFrame], path: str, mode: str = "overwrite"
+    index: tuple[DataFrame, DataFrame],
+    path: str,
+    mode: str = "overwrite",
+    key_buckets: int | None = None,
 ) -> None:
     """Persist a corpus dedup index as two parquet tables
     (``<path>/shingles``, ``<path>/bands``) — the durable form that
     makes the ingest gate's corpus-side cost O(read) instead of
     O(reshingle) per run.  ``mode="append"`` is the incremental path
-    (:func:`append_corpus_dedup_index`)."""
+    (:func:`append_corpus_dedup_index`).
+
+    ``key_buckets=N`` writes the band table PARTITIONED by
+    ``_kb = pmod(xxhash64(key), N)`` and records the layout in
+    ``<path>/layout.json``; appends then route new rows into the same
+    partitions automatically.  The point is probe-side READ pruning
+    (:func:`pruned_index_bands`): an ingest micro-batch touches at most
+    ``batch_docs × bands`` distinct buckets, so at the 10⁹-doc corpus
+    scale — where the band table is itself billions of rows and its
+    scan, not the verify join, dominates the gate — a small batch reads
+    a bounded fraction of the table instead of all of it.  (At the
+    local probe tiers the full band read measures ~0.14 s of a ~4 s
+    gate, so the flat layout stays the default; the bucketed layout is
+    the declared scale path, mechanically pinned by tests.)"""
+    import json
     import os
 
     sh, bk = index
+    existing = index_key_buckets(path)
+    if mode == "append" and existing is not None:
+        key_buckets = existing  # appends must match the stored layout
     sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
-    bk.write.mode(mode).parquet(os.path.join(path, "bands"))
+    bw = bk
+    if key_buckets:
+        bw = bk.withColumn(KEY_BUCKET_COL, _key_bucket(key_buckets))
+        bw.write.mode(mode).partitionBy(KEY_BUCKET_COL).parquet(
+            os.path.join(path, "bands")
+        )
+    else:
+        bw.write.mode(mode).parquet(os.path.join(path, "bands"))
+    if mode == "overwrite":
+        with open(os.path.join(path, "layout.json"), "w") as fh:
+            json.dump({"key_buckets": key_buckets}, fh)
 
 
 def append_corpus_dedup_index(
     index: tuple[DataFrame, DataFrame], path: str
 ) -> None:
     """Append (typically batch-only) index rows to a persisted index —
-    per-ingest cost is writing the batch's own signature rows."""
+    per-ingest cost is writing the batch's own signature rows (routed
+    into the stored bucketed layout when one was declared)."""
     save_corpus_dedup_index(index, path, mode="append")
 
 
@@ -406,13 +476,45 @@ def load_corpus_dedup_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Open a persisted corpus dedup index; the scan is lazy, so an
     ingest batch's band-key join reads the band table straight off
-    parquet (columnar, key-pruned) with no recompute."""
+    parquet (columnar, key-pruned) with no recompute.  A bucketed
+    band table comes back with its ``_kb`` partition column — harmless
+    to consumers (they select explicit columns) and required by
+    :func:`pruned_index_bands`."""
     import os
 
     return (
         spark.read.parquet(os.path.join(path, "shingles")),
         spark.read.parquet(os.path.join(path, "bands")),
     )
+
+
+def pruned_index_bands(
+    spark, path: str, batch_band_keys: DataFrame
+) -> DataFrame:
+    """The probe-side read prune for a BUCKETED persisted index: read
+    only the band-table partitions the batch's band keys can live in.
+
+    The bucket list comes from one bounded collect over the batch's
+    band keys (≤ ``key_buckets`` distinct values — configuration-
+    sized, the repo's bounded-collect convention; the caller is an
+    eager per-batch driver anyway).  The returned frame filters on the
+    ``_kb`` partition column with literals, which Spark turns into
+    real partition-directory pruning — files outside the batch's
+    buckets are never opened.  Falls back to the full read on a flat
+    layout."""
+    import os
+
+    bands_df = spark.read.parquet(os.path.join(path, "bands"))
+    n = index_key_buckets(path)
+    if not n:
+        return bands_df
+    kbs = [
+        r[0]
+        for r in batch_band_keys.select(
+            _key_bucket(n).alias("_b")
+        ).distinct().collect()
+    ]
+    return bands_df.filter(F.col(KEY_BUCKET_COL).isin(kbs))
 
 
 def incremental_near_dup_pairs(
@@ -428,6 +530,8 @@ def incremental_near_dup_pairs(
     tokens_col: str | None = None,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
     persist_batch: bool = True,
+    batch_shingles: DataFrame | None = None,
+    batch_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: which NEW-batch docs near-duplicate the
     EXISTING corpus — the ingest-time dedup gate every continuously-fed
@@ -439,6 +543,19 @@ def incremental_near_dup_pairs(
     ``streaming_ingest_dedup``), where an unreclaimed cache entry per
     batch would accumulate for the stream's lifetime and re-shingling a
     tiny ingest batch costs less than the bookkeeping.
+
+    ``batch_shingles`` / ``batch_band_keys``: caller-precomputed batch
+    signatures (``(_id, _sh)`` shingle sets / ``(_id, band, key)`` LSH
+    keys from the same (k, num_perm, bands, hash_method) — the caller
+    owns that invariant and their persistence/unpersist lifecycle).
+    This is the SCOPED reuse path for eager per-batch drivers
+    (``streaming_ingest_dedup``, ``tools/gate_probe.py``): without it,
+    ``persist_batch=False`` recomputes the batch shingle+MinHash work
+    for BOTH consumers (band keys and the verify join) — measured at
+    the 16x probe tier as ~2.8 s of a 4.2 s gate — while
+    ``persist_batch=True`` would leak one cache entry per micro-batch
+    for the stream's lifetime.  A caller that persists, passes in, and
+    unpersists in ``finally`` gets reuse with a bounded lifecycle.
 
     Scale shape vs the symmetric form: candidates come ONLY from
     batch-side band keys equi-joined against corpus-side band keys —
@@ -466,14 +583,22 @@ def incremental_near_dup_pairs(
     sh_c, bk_c_raw = corpus_index
     bk_c = bk_c_raw.select(F.col("_id").alias("corpus_id"), "band", "key")
     # batch side: band keys + verify join both read the shingle sets
-    sh_b = _shingle_sets(batch, id_col, text_col, k, tokens_col)
-    if persist_batch:
-        sh_b = sh_b.persist()
-    bk_b = _band_keys(
-        minhash_signatures(sh_b, "_id", F.col("_sh"), num_perm, hash_method),
-        bands,
-        rows,
-    ).select(F.col("_id").alias("batch_id"), "band", "key")
+    if batch_shingles is not None:
+        sh_b = batch_shingles
+    else:
+        sh_b = _shingle_sets(batch, id_col, text_col, k, tokens_col)
+        if persist_batch:
+            sh_b = sh_b.persist()
+    if batch_band_keys is not None:
+        bk_b = batch_band_keys.select(
+            F.col("_id").alias("batch_id"), "band", "key"
+        )
+    else:
+        bk_b = _band_keys(
+            minhash_signatures(sh_b, "_id", F.col("_sh"), num_perm, hash_method),
+            bands,
+            rows,
+        ).select(F.col("_id").alias("batch_id"), "band", "key")
     cands = (
         bk_c.join(bk_b, ["band", "key"]).select("corpus_id", "batch_id").distinct()
     )

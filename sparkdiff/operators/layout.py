@@ -80,7 +80,9 @@ def skipping_report(
     df: DataFrame,
     layouts: dict[str, Sequence[Column | str]],
     stat_cols: Sequence[str],
-    predicates: dict[str, tuple[str, int, int]],
+    predicates: dict[
+        str, tuple[str, int, int] | Sequence[tuple[str, int, int]]
+    ],
     rows_per_file: int,
 ) -> DataFrame:
     """Simulate each candidate file layout and measure min/max
@@ -89,12 +91,15 @@ def skipping_report(
     ``layouts`` maps layout name → total-order sort key (include a
     unique tiebreak column so file assignment is deterministic);
     ``stat_cols`` are the integer columns whose per-file min/max a
-    reader would keep; ``predicates`` maps predicate name →
-    ``(stat_col, lo, hi)`` inclusive range.  Returns one row per
-    (layout, predicate): total files, files a min/max reader must
-    read (``[min,max]`` overlaps ``[lo,hi]``), and the matching rows
-    inside those files — ``files_hit / n_files`` IS the fraction of
-    the table scanned at 100 TB.
+    reader would keep; ``predicates`` maps predicate name → either one
+    ``(stat_col, lo, hi)`` inclusive range or a SEQUENCE of them — a
+    multi-clause entry is the CONJUNCTION (a reader skips a file when
+    ANY clause's ``[lo,hi]`` misses the file's ``[min,max]``, so the
+    hit test ANDs the per-clause overlap tests — exactly the pruning a
+    multi-column WHERE gets).  Returns one row per (layout, predicate):
+    total files, files a min/max reader must read, and the matching
+    rows inside those files — ``files_hit / n_files`` IS the fraction
+    of the table scanned at 100 TB.
 
     Cost per layout: the scalable_row_number range rail (parallel
     external sort, broadcast offsets) + one groupBy(file) — never a
@@ -126,10 +131,14 @@ def skipping_report(
         # table (a per-predicate branch would re-run the whole sort
         # rail per predicate), then a 1-row stack fans out the report.
         paggs = [F.count(F.lit(1)).cast("long").alias("n_files")]
-        for pname, (c, lo, hi) in predicates.items():
-            hit = (F.col(f"_min_{c}") <= F.lit(hi)) & (
-                F.col(f"_max_{c}") >= F.lit(lo)
-            )
+        for pname, spec in predicates.items():
+            clauses = [spec] if isinstance(spec[0], str) else list(spec)
+            hit = F.lit(True)
+            for c, lo, hi in clauses:
+                hit = hit & (
+                    (F.col(f"_min_{c}") <= F.lit(hi))
+                    & (F.col(f"_max_{c}") >= F.lit(lo))
+                )
             paggs += [
                 F.sum(hit.cast("long")).cast("long").alias(f"_fh_{pname}"),
                 F.sum(F.when(hit, F.col("_frows")).otherwise(0))

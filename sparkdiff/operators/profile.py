@@ -29,18 +29,20 @@ use HyperLogLog (``approx_count_distinct``) — one pass, no melt; the
 approx variant is pinned within rtol in tests but is NOT the oracle
 path (sketches are not engine-portable).
 
-NDV encoding (``ndv_encoding``): the default ``"hash"`` melts each
-value as ``xxhash64(value)`` — the shuffle carries (int, long) pairs
-instead of rendered strings, which halved the melt wall-clock on the
-600k-row profile (decimal/date string rendering plus string shuffle
-bytes were the cost, not the explode).  ``COUNT(DISTINCT hash)``
-equals the exact NDV unless two distinct values collide in 64 bits
-(p ≈ n²/2^65 per column — 1e-8 at 10M distincts, deterministic: a
-given dataset either collides or it never does, so an oracle-green
-result stays green).  ``"string"`` keeps the provably-injective
-rendering (doubles via shortest round-trip, timestamps with
-microseconds, decimals at fixed scale) for when certainty matters
-more than the shuffle.  NULL guard matters for the hash path:
+NDV encoding (``ndv_encoding``): the default ``"string"`` melts the
+provably-injective rendering (doubles via shortest round-trip,
+timestamps with microseconds, decimals at fixed scale) — the reported
+NDV is exact unconditionally, which is the right default for an API
+field documented as exact.  ``"hash"`` melts each value as
+``xxhash64(value)`` — the shuffle carries (int, long) pairs instead
+of rendered strings, which halved the melt wall-clock on the 600k-row
+profile (decimal/date string rendering plus string shuffle bytes were
+the cost, not the explode); ``COUNT(DISTINCT hash)`` equals the exact
+NDV unless two distinct values collide in 64 bits (p ≈ n²/2^65 per
+column — 1e-8 at 10M distincts, deterministic: a given dataset either
+collides or it never does, so an oracle-green result stays green).
+Callers that tolerate that contract opt in explicitly (q107's drift
+probe does).  NULL guard matters for the hash path:
 ``xxhash64(NULL)`` is the seed hash, NOT NULL, so values are
 null-checked BEFORE encoding.  Floating columns are normalized with
 ``+ 0.0`` first so -0.0 and 0.0 — equal under aggregate comparison —
@@ -77,11 +79,24 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_ndv: bool = True,
-    ndv_encoding: str = "hash",
+    ndv_encoding: str = "string",
 ) -> DataFrame:
     """Profile ``columns`` (default: every non-complex column) in one
     aggregation pass; returns one row per column:
-    ``(column, n_rows, n_nonnull, ndv, min_str, max_str)``."""
+    ``(column, n_rows, n_nonnull, ndv, min_str, max_str)``.
+
+    ``ndv_encoding`` picks the melt-NDV value encoding:
+
+    - ``'string'`` (default): provably injective — the reported NDV is
+      EXACT, full stop.  The melt shuffles rendered strings.
+    - ``'hash'``: shuffles 64-bit ``xxhash64`` longs instead — the
+      cheaper wire format for wide/long columns, but a 64-bit collision
+      WITHIN a column would undercount by 1 (probability ~n²/2⁶⁵ per
+      column; deterministic given the data).  Opt in where the shuffle
+      savings matter and the caller tolerates that contract (q107's
+      drift probe does); the exact/oracle-checked default stays
+      injective.
+    """
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     if columns is None:
         columns = [

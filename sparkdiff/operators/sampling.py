@@ -369,12 +369,37 @@ def priority_sample(
     pass then runs on the k+1 SELECTED rows only, where a bounded
     single-partition window is free.  Zero-weight rows are never
     sampled (q = 0 sorts last; filtered up front).
+
+    PRECONDITION — integral weights: the engine-exact priority needs
+    ``w`` as an exact integer (``w * 10^6`` must be an exactly-
+    represented double), so ``weight_col`` must hold integral values.
+    A fractional weight is NOT silently floored: the plan embeds a
+    per-row guard that raises at execution time (``w != floor(w)`` →
+    error), because truncation would silently skew inclusion odds.
+    NULL weights are excluded like non-positive ones.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    w = F.col(weight_col).cast("long")
+    wd = F.col(weight_col).cast("double")
+    # integral-weight guard, evaluated in the same projection (no extra
+    # pass): fractional weights raise instead of silently truncating.
+    integral = wd.isNull() | (wd == F.floor(wd).cast("double"))
+    w = F.when(
+        integral, F.col(weight_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "priority_sample requires integral weights "
+                    f"(got fractional {weight_col}="
+                ),
+                F.col(weight_col).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     m = F.pmod(
         F.conv(
             F.substring(

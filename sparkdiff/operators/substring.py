@@ -168,6 +168,7 @@ def excise_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     parallelism: int | None = None,
+    rescan: int = 0,
 ) -> DataFrame:
     """Self-deduplicate the corpus: cut every repeated span except its
     corpus-first occurrence (``repeated_spans(keep_first=True)``).
@@ -183,12 +184,65 @@ def excise_repeated_spans(
     few), so the ``collect_list`` is per-group bounded, not corpus-
     bounded.
 
-    Same one-pass caveat as ``contamination.excise_contamination``:
-    splicing flanks together can create a NEW repeated-span instance;
-    a second application reaches the fixpoint in practice.  Unlike the
-    pattern-suite case the guarantee here is statistical anyway (the
-    repeats removed were elected against the ORIGINAL corpus).
+    ONE-PASS LIMITATION (``rescan=0``, the default) — the same splice
+    hazard as ``contamination.excise_contamination``: cutting a span
+    splices its flanks together, and the splice can itself equal text
+    that exists elsewhere, forming a NEW repeated span the pass never
+    saw.  ``rescan=N`` iterates the WHOLE operator up to ``N`` more
+    times, each pass re-detecting against the PREVIOUS pass's cleaned
+    corpus; counts accumulate across passes.  Unlike the pattern-suite
+    case this cannot run per-document inside one scan — repetition is
+    a CORPUS-GLOBAL property (a splice in doc A is only a repeat
+    because of text in doc B), so each extra pass is a full detection
+    pipeline (position table + gram aggregation) over the cleaned
+    corpus, EAGER: the previous pass's output is persisted and its
+    total span count checked (one bounded 1-row action per pass) so
+    iteration stops at the first pass that found nothing — and a pass
+    that finds nothing CERTIFIES the corpus span-free at the seed
+    length (every pass removes >= min_len chars from some doc, so the
+    loop terminates).  Documents still spliceable after N extra passes
+    keep their last state; gate with :func:`repeated_spans` afterwards
+    if certification is required.
     """
+    if rescan < 0:
+        raise ValueError(f"rescan must be >= 0, got {rescan}")
+    out = _excise_once(
+        docs, min_len, id_col=id_col, text_col=text_col, parallelism=parallelism
+    )
+    for _ in range(rescan):
+        out = out.persist()
+        # bounded action: one aggregated row — did the last pass cut?
+        if out.agg(F.sum("n_spans")).first()[0] == 0:
+            break
+        nxt = _excise_once(
+            out.select(id_col, F.col("clean_text").alias(text_col)),
+            min_len,
+            id_col=id_col,
+            text_col=text_col,
+            parallelism=parallelism,
+        )
+        prev = out.select(
+            id_col,
+            F.col("n_spans").alias("_pn"),
+            F.col("n_chars_excised").alias("_pc"),
+        )
+        out = nxt.join(prev, id_col).select(
+            id_col,
+            "clean_text",
+            (F.col("n_spans") + F.col("_pn")).alias("n_spans"),
+            (F.col("n_chars_excised") + F.col("_pc")).alias("n_chars_excised"),
+        )
+    return out
+
+
+def _excise_once(
+    docs: DataFrame,
+    min_len: int,
+    *,
+    id_col: str,
+    text_col: str,
+    parallelism: int | None,
+) -> DataFrame:
     spans = repeated_spans(
         docs,
         min_len,

@@ -3688,7 +3688,9 @@ ORACLES["q140_bloom_gate"] = """
 """
 
 
-def _repeated_span_ctes(min_len: int, keep_first: bool) -> str:
+def _repeated_span_ctes(
+    min_len: int, keep_first: bool, rel: str = "documents", tag: str = ""
+) -> str:
     """Shared CTE chain for q141/q142: stride-1 seed positions on the
     portable 60-bit md5 gram hash -> repeated-gram counts with the
     corpus-first occurrence (min (doc_id, p) ROW — lexicographic, same
@@ -3701,45 +3703,101 @@ def _repeated_span_ctes(min_len: int, keep_first: bool) -> str:
     (same lexicographic total order).  Deliberately NOT the
     min-struct + join form: DuckDB 1.0 evaluates struct aggregates /
     comparisons row-at-a-time (measured 134 s vs 0.24 s for the whole
-    span pipeline on the sf0.01 position table)."""
+    span pipeline on the sf0.01 position table).
+
+    ``rel``/``tag``: read from a different source relation (must expose
+    ``doc_id, text``) with ``tag``-suffixed CTE names — the chaining
+    hook q145's two-pass fixpoint oracle uses (pass 2's CTEs read pass
+    1's rebuilt corpus).  With a non-empty tag the chain CONTINUES an
+    existing WITH (leading comma instead of the WITH keyword)."""
     L = min_len
     kf = " AND rn > 1" if keep_first else ""
-    return f"""
-    WITH pos AS (
+    t = tag
+    lead = "," if tag else "\n    WITH"
+    return f"""{lead} pos{t} AS (
         SELECT doc_id, text,
                unnest(generate_series(1, length(text) - {L} + 1)) AS p
-        FROM documents
+        FROM {rel}
     ),
-    hashed AS (
+    hashed{t} AS (
         SELECT doc_id, p,
                CAST('0x' || substr(md5(substr(text, p, {L})), 1, 15)
                     AS BIGINT) AS h
-        FROM pos
+        FROM pos{t}
     ),
-    marked AS (
+    marked{t} AS (
         SELECT doc_id, p FROM (
             SELECT doc_id, p,
                    count(*) OVER (PARTITION BY h) AS cnt,
                    row_number() OVER (PARTITION BY h ORDER BY doc_id, p)
                        AS rn
-            FROM hashed)
+            FROM hashed{t})
         WHERE cnt >= 2{kf}
     ),
-    isl AS (
+    isl{t} AS (
         SELECT doc_id, p,
                CASE WHEN lag(p) OVER w IS NULL
                          OR p - lag(p) OVER w > {L} THEN 1 ELSE 0 END AS ni
-        FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        FROM marked{t} WINDOW w AS (PARTITION BY doc_id ORDER BY p)
     ),
-    numbered AS (
+    numbered{t} AS (
         SELECT doc_id, p,
                SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
-        FROM isl
+        FROM isl{t}
     ),
-    spans AS (
+    spans{t} AS (
         SELECT doc_id, MIN(p) AS span_start, MAX(p) + {L} - 1 AS span_end,
                COUNT(*) AS n_seeds
-        FROM numbered GROUP BY doc_id, island
+        FROM numbered{t} GROUP BY doc_id, island
+    )"""
+
+
+def _excise_rebuild_ctes(rel: str, spans: str, tag: str) -> str:
+    """Continuation CTEs rebuilding each document of ``rel`` from the
+    complement segments of ``spans`` (q142's lag-window + string_agg
+    surgery), ending in ``cleaned{tag} (doc_id, text, n_spans, n_cut)``
+    — ``text`` already renamed so another span pass can chain off it."""
+    t = tag
+    return f""",
+    per_doc{t} AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(span_end - span_start + 1) AS n_cut
+        FROM {spans} GROUP BY doc_id
+    ),
+    headpieces{t} AS (
+        SELECT doc_id,
+               lag(span_end, 1, 0)
+                   OVER (PARTITION BY doc_id ORDER BY span_start) + 1
+                   AS seg_start,
+               span_start - 1 AS seg_end,
+               span_start AS ord
+        FROM {spans}
+    ),
+    pieces{t} AS (
+        SELECT doc_id, seg_start, seg_end, ord FROM headpieces{t}
+        UNION ALL
+        SELECT doc_id, MAX(span_end) + 1 AS seg_start,
+               NULL AS seg_end, 2147483647 AS ord
+        FROM {spans} GROUP BY doc_id
+    ),
+    rebuilt{t} AS (
+        SELECT p.doc_id,
+               string_agg(
+                   CASE WHEN p.seg_end IS NULL THEN substr(d.text, p.seg_start)
+                        ELSE substr(d.text, p.seg_start,
+                                    p.seg_end - p.seg_start + 1) END,
+                   '' ORDER BY p.ord) AS clean_text
+        FROM pieces{t} p JOIN {rel} d USING (doc_id)
+        GROUP BY p.doc_id
+    ),
+    cleaned{t} AS (
+        SELECT d.doc_id,
+               COALESCE(r.clean_text, d.text) AS text,
+               COALESCE(pd.n_spans, 0) AS n_spans,
+               COALESCE(pd.n_cut, 0) AS n_cut
+        FROM {rel} d
+        LEFT JOIN rebuilt{t} r USING (doc_id)
+        LEFT JOIN per_doc{t} pd USING (doc_id)
     )"""
 
 
@@ -3761,8 +3819,11 @@ ORACLES["q141_repeated_substrings"] = (
 
 # q142: keep-first excision — rebuild each touched document from its
 # complement segments (lag window over the sorted spans + the tail
-# piece), then hash the doc_id-ordered cleaned corpus per source.  The
-# digest must equal Spark's aggregate-over-span-array rebuild exactly.
+# piece), then digest the cleaned corpus per source with the
+# COMMUTATIVE sum-of-per-doc-md5 checksum (content_checksum replay —
+# HUGEINT sum rendered as VARCHAR because pandas would float64 it).
+# The digest must equal Spark's aggregate-over-span-array rebuild
+# exactly.
 ORACLES["q142_substring_selfdedup"] = (
     _repeated_span_ctes(30, keep_first=True)
     + """,
@@ -3811,7 +3872,9 @@ ORACLES["q142_substring_selfdedup"] = (
            CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_docs_touched,
            CAST(SUM(n_cut) AS BIGINT) AS n_chars_removed,
-           md5(string_agg(clean_text, chr(31) ORDER BY doc_id)) AS corpus_md5
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || chr(31) || clean_text), 1, 15) AS BIGINT)) AS VARCHAR)
+               AS corpus_digest
     FROM cleaned GROUP BY source
 """
 )
@@ -3829,8 +3892,11 @@ def _sql_spread2(expr: str) -> str:
 
 
 def _q143_skip_branch(layout: str, files_cte: str, pred: str,
-                      col: str, lo: int, hi: int) -> str:
-    hit = f"(min_{col} <= {hi} AND max_{col} >= {lo})"
+                      *clauses: tuple[str, int, int]) -> str:
+    hit = " AND ".join(
+        f"(min_{col} <= {hi} AND max_{col} >= {lo})"
+        for col, lo, hi in clauses
+    )
     return f"""
     SELECT '{layout}' AS layout, '{pred}' AS predicate,
            CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -3899,16 +3965,22 @@ ORACLES["q143_zorder_skipping"] = (
     )
 """
     + _q143_skip_branch("linear_date", "lin_stats", "custkey_band",
-                        "o_custkey", 100, 400)
+                        ("o_custkey", 100, 400))
+    + " UNION ALL "
+    + _q143_skip_branch("linear_date", "lin_stats", "custkey_and_quarter",
+                        ("o_custkey", 100, 400), ("o_day", 10408, 10499))
     + " UNION ALL "
     + _q143_skip_branch("linear_date", "lin_stats", "date_quarter",
-                        "o_day", 10408, 10499)
+                        ("o_day", 10408, 10499))
     + " UNION ALL "
     + _q143_skip_branch("zorder", "z_stats", "custkey_band",
-                        "o_custkey", 100, 400)
+                        ("o_custkey", 100, 400))
+    + " UNION ALL "
+    + _q143_skip_branch("zorder", "z_stats", "custkey_and_quarter",
+                        ("o_custkey", 100, 400), ("o_day", 10408, 10499))
     + " UNION ALL "
     + _q143_skip_branch("zorder", "z_stats", "date_quarter",
-                        "o_day", 10408, 10499)
+                        ("o_day", 10408, 10499))
 )
 
 # q144: quantile normalization — within-source midpoint rank mapped to
@@ -3950,3 +4022,35 @@ ORACLES["q144_quantile_calibration"] = f"""
     FROM mapped JOIN g USING (_g)
     GROUP BY source
 """
+
+# q145: two-pass self-dedup fixpoint — the rescan=1 contract replayed
+# end-to-end: pass-1 detection+excision (q142's chain on the doc_id%3
+# slice), then the SAME chain re-run against the pass-1 rebuilt corpus
+# (the splice-manufactured repeats only the second pass can see),
+# counts accumulated across passes, commutative digest over the final
+# text.  When pass 1 cut nothing the corpora coincide and pass 2 adds
+# zeros — exactly the operator's early-stop semantics.
+ORACLES["q145_selfdedup_fixpoint"] = (
+    """
+    WITH d0 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    )"""
+    + _repeated_span_ctes(30, keep_first=True, rel="d0", tag="1")
+    + _excise_rebuild_ctes("d0", "spans1", "1")
+    + _repeated_span_ctes(30, keep_first=True, rel="cleaned1", tag="2")
+    + _excise_rebuild_ctes("cleaned1", "spans2", "2")
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c1.n_spans + c2.n_spans > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+           CAST(SUM(c1.n_cut + c2.n_cut) AS BIGINT) AS n_chars_removed,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(c2.doc_id AS VARCHAR)
+                    || chr(31) || c2.text), 1, 15) AS BIGINT)) AS VARCHAR)
+               AS corpus_digest
+    FROM cleaned2 c2
+    JOIN cleaned1 c1 USING (doc_id)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+)

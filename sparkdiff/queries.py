@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkdiff import testkit
+from sparkdiff.functions.canonical import content_checksum
 from sparkdiff.operators.diff import cell_diff, presence_diff, table_metrics
 from sparkdiff.session import load_table
 
@@ -3284,14 +3285,18 @@ def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hive, sf = testkit.lineitem_pair(spark, sf_dir)
     cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
-    ph = profile_table(hive, cols).select(
+    # ndv_encoding='hash': the drift probe tolerates the quantified
+    # 64-bit-collision NDV contract in exchange for a long-typed melt
+    # shuffle (the q107 5.5 s -> 1.4 s win); the exact default stays
+    # injective for oracle-checked profiling (q86).
+    ph = profile_table(hive, cols, ndv_encoding="hash").select(
         "column",
         F.col("n_nonnull").alias("nn_h"),
         F.col("ndv").alias("ndv_h"),
         F.col("min_str").alias("min_h"),
         F.col("max_str").alias("max_h"),
     )
-    ps = profile_table(sf, cols).select(
+    ps = profile_table(sf, cols, ndv_encoding="hash").select(
         "column",
         F.col("n_nonnull").alias("nn_s"),
         F.col("ndv").alias("ndv_s"),
@@ -4439,12 +4444,16 @@ def q138_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 8 merge rounds learned from the corpus, as ``(round, sym_l,
     sym_r, merged, cnt)`` — the trained artifact a subword tokenizer
     ships.  One corpus scan builds the word-frequency table (persisted,
-    vocabulary-sized); each round is a vocabulary-sized pair count, a
-    1-row argmax (count desc, pair asc — total order), and a broadcast
-    1-row crossJoin applying the merge as a literal ``replace`` on the
-    delimiter-wrapped symbol string (see ``operators/bpe.py`` for why
-    the wrapping makes left-to-right replace EXACTLY the BPE merge).
-    The oracle replays all 8 rounds with chained CTEs bit-for-bit."""
+    vocabulary-sized); each round is ONE job — a vocabulary-sized pair
+    count topped by a 1-row ``orderBy().limit(1)`` argmax (count desc,
+    pair asc — total order) whose single winning row is COLLECTED
+    (bounded by construction: 1 row × rounds; ``operators/bpe.py``'s
+    docstring records the measured 16 s → 2 s win over the rejected
+    lazy-broadcast-crossJoin form), the merge then applied as a literal
+    ``replace`` on the delimiter-wrapped symbol string (see
+    ``operators/bpe.py`` for why the wrapping makes left-to-right
+    replace EXACTLY the BPE merge).  The oracle replays all 8 rounds
+    with chained CTEs bit-for-bit."""
     from sparkdiff.operators.bpe import bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
@@ -4579,10 +4588,15 @@ def q142_substring_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the keeper election is engine-deterministic), rebuild
     each document with one JVM ``aggregate`` over its sorted span
     array, and report per source: docs, docs touched, chars removed,
-    and the md5 of the cleaned corpus (doc_id-ordered, chr(31)-joined)
-    — the hash pins the full string surgery, not just the counts.  The
-    oracle rebuilds via complement segments (lag window + string_agg)
-    and must reach the identical corpus digest."""
+    and a COMMUTATIVE per-source content digest — the SUM of bounded
+    per-doc ``md5(doc_id ‖ chr31 ‖ clean_text)`` 60-bit digests
+    (`functions.canonical.content_checksum`, the diff bucket-checksum
+    idiom).  The digest still pins the full string surgery (any
+    single-character change flips a summand), but every aggregation
+    buffer is ONE decimal: a source's share of a 100 TB corpus never
+    materializes in a collect_list.  The oracle rebuilds via complement
+    segments (lag window + string_agg) and must reach the identical
+    digest sum."""
     from sparkdiff.operators.substring import excise_repeated_spans
 
     d = load_table(spark, sf_dir, "documents")
@@ -4600,17 +4614,7 @@ def q142_substring_selfdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_docs_touched"),
             F.sum("n_chars_excised").cast("long").alias("n_chars_removed"),
-            F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("doc_id", "clean_text"))
-                        ),
-                        lambda s: s["clean_text"],
-                    ),
-                )
-            ).alias("corpus_md5"),
+            content_checksum("doc_id", "clean_text").alias("corpus_digest"),
         )
     )
 
@@ -4668,6 +4672,12 @@ def q143_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicates={
             "custkey_band": ("o_custkey", lo_ck, hi_ck),
             "date_quarter": ("o_day", lo_d, hi_d),
+            # the conjunction: a two-column WHERE — the case Z-order
+            # exists for (both clauses prune, multiplicatively)
+            "custkey_and_quarter": [
+                ("o_custkey", lo_ck, hi_ck),
+                ("o_day", lo_d, hi_d),
+            ],
         },
         rows_per_file=500,
     )
@@ -4732,6 +4742,44 @@ def q144_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("q_cal").cast("long").alias("cal_min"),
             F.max("q_cal").cast("long").alias("cal_max"),
             F.sum("q_cal").cast("long").alias("cal_sum"),
+        )
+    )
+
+
+def q145_selfdedup_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-dedup to the SPLICE FIXPOINT (``excise_repeated_spans(
+    rescan=1)``, `operators/substring.py`): pass 1 cuts every non-first
+    repeated span; cutting splices flanks together, and a splice can
+    itself equal text that exists elsewhere — a repeat only a SECOND
+    detection pass over the cleaned corpus can see.  rescan=1 runs that
+    second pass (full detection pipeline against pass-1's output — the
+    honest cost, since repetition is corpus-global), accumulating
+    per-doc counts; the report is q142's rollup with the commutative
+    per-doc digest over the FINAL text.  Runs on the doc_id%3 slice to
+    bound the bench cost of the doubled detection.  Construction-eager
+    by design (one bounded 1-row action checks whether pass 1 cut
+    anything before scheduling pass 2 — `test_registry` documents it).
+    The oracle chains the q142 CTE pipeline twice."""
+    from sparkdiff.operators.substring import excise_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    sub = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    ex = excise_repeated_spans(
+        sub,
+        30,
+        parallelism=spark.sparkContext.defaultParallelism,
+        rescan=1,
+    )
+    return (
+        ex.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+            F.sum("n_chars_excised").cast("long").alias("n_chars_removed"),
+            content_checksum("doc_id", "clean_text").alias("corpus_digest"),
         )
     )
 
@@ -4881,4 +4929,5 @@ QUERIES: dict[str, callable] = {
     "q142_substring_selfdedup": q142_substring_selfdedup,
     "q143_zorder_skipping": q143_zorder_skipping,
     "q144_quantile_calibration": q144_quantile_calibration,
+    "q145_selfdedup_fixpoint": q145_selfdedup_fixpoint,
 }

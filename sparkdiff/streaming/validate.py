@@ -208,6 +208,8 @@ def streaming_ingest_dedup(
     hash_method: str = "xxhash64",
     index_dir: str | None = None,
     admit_clean: bool = True,
+    key_buckets: int | None = None,
+    bloom_gate: tuple[int, int] | None = None,
 ):
     """Continuous ingest-time dedup: per micro-batch of NEW documents,
     the docs that near-duplicate the EXISTING corpus are handed to
@@ -235,7 +237,33 @@ def streaming_ingest_dedup(
       join the index — a near-duplicate batch doc is reported and kept
       out, matching the "admit once" curation contract; set it False
       to index every seen doc.  Per-batch cost is O(batch signatures +
-      index read); corpus-side compute is never repeated.
+      index read); corpus-side compute is never repeated.  The batch's
+      shingle sets and band keys are computed ONCE per micro-batch
+      (persisted, passed to the gate AND reused for the append, and
+      unpersisted in ``finally`` — the scoped-reuse lifecycle
+      ``incremental_near_dup_pairs(batch_shingles=...)`` documents).
+
+    Amortized-mode scale knobs:
+
+    - ``key_buckets=N`` (bootstrap only): writes the band table in the
+      BUCKETED layout (partitioned by ``pmod(xxhash64(key), N)``) and
+      every micro-batch then reads only the partitions its own band
+      keys can live in (`pruned_index_bands`) — the read prune that
+      matters when the corpus band table is billions of rows.  Opening
+      an existing index keeps whatever layout it was written with.
+    - ``bloom_gate=(m_bits, n_hashes)``: maintains a Bloom filter over
+      the corpus band keys (``<index_dir>/bloom`` parquet,
+      ``operators/bloom.py`` geometry) as the CHEAP pre-gate: each
+      micro-batch first probes its band keys against the
+      configuration-sized filter (one broadcast-free column-expression
+      pass + a 1-row any() aggregate), and a batch with ZERO maybe-seen
+      keys — the common case for genuinely novel content —
+      short-circuits past the exact index entirely (no band read, no
+      verify join; ``on_duplicates`` gets an empty frame).  Admitted
+      docs' band keys are OR-merged into the filter after each batch
+      (bit_or of packed words — m/64 rows).  Zero false negatives: a
+      key the filter has never seen cannot be in the index, so the
+      short-circuit can never hide a duplicate.
 
     Corpus×corpus pairs are never generated in either mode.  The
     ``pairs`` frame handed to ``on_duplicates`` is persisted for the
@@ -244,10 +272,13 @@ def streaming_ingest_dedup(
     ``writeStream`` builder.
     """
     from sparkdiff.operators.dedup import (
+        _shingle_sets,
         append_corpus_dedup_index,
+        band_keys_from_shingles,
         corpus_dedup_index,
         incremental_near_dup_pairs,
         load_corpus_dedup_index,
+        pruned_index_bands,
         save_corpus_dedup_index,
     )
 
@@ -280,6 +311,7 @@ def streaming_ingest_dedup(
 
         return batches.writeStream.outputMode("append").foreachBatch(handle)
 
+    import json
     import os
 
     if not os.path.isdir(os.path.join(index_dir, "bands")):
@@ -292,45 +324,178 @@ def streaming_ingest_dedup(
                 corpus, id_col, text_col, k, num_perm, bands, hash_method
             ),
             index_dir,
+            key_buckets=key_buckets,
         )
 
+    # ---- optional Bloom pre-gate state (configuration-sized) --------
+    _composite = F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
+    bloom_state: dict[int, int] | None = None
+    bloom_dir = os.path.join(index_dir, "bloom")
+    bloom_meta = os.path.join(index_dir, "bloom_meta.json")
+    if bloom_gate is not None:
+        from sparkdiff.operators.bloom import bloom_build
+
+        m_bits, n_hashes = bloom_gate
+        if os.path.exists(bloom_meta):
+            with open(bloom_meta) as fh:
+                stored = json.load(fh)
+            if (stored["m_bits"], stored["n_hashes"]) != (m_bits, n_hashes):
+                raise ValueError(
+                    f"bloom_gate {bloom_gate} != stored geometry {stored}"
+                )
+
+        def _spark_for_bloom():
+            return (corpus if corpus is not None else batches).sparkSession
+
+        if os.path.isdir(bloom_dir):
+            bloom_state = {
+                r["word_idx"]: r["bits"]
+                for r in _spark_for_bloom().read.parquet(bloom_dir).collect()
+            }
+        else:
+            # bootstrap the filter from the index's own band table —
+            # one read, then the filter lives as a tiny word table
+            spark0 = _spark_for_bloom()
+            bk_all = spark0.read.parquet(os.path.join(index_dir, "bands"))
+            bloom_state = {
+                r["word_idx"]: r["bits"]
+                for r in bloom_build(
+                    bk_all.select(_composite.alias("_bk")),
+                    "_bk",
+                    m_bits,
+                    n_hashes,
+                    seed="ingest-gate",
+                ).collect()
+            }
+            _write_bloom(spark0, bloom_dir, bloom_meta, bloom_state,
+                         m_bits, n_hashes)
+
     def handle_amortized(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal bloom_state
         spark = batch_df.sparkSession
-        index = load_corpus_dedup_index(spark, index_dir)
-        pairs = incremental_near_dup_pairs(
-            None,
-            batch_df,
-            id_col,
-            text_col,
-            threshold,
-            k,
-            num_perm,
-            bands,
-            hash_method,
-            corpus_index=index,
-            persist_batch=False,
+        # batch signatures ONCE per micro-batch: shingles feed the band
+        # keys, the gate's verify join, AND the admit append — scoped
+        # persist, unpersisted in finally (no per-batch cache leak)
+        sh_b = _shingle_sets(batch_df, id_col, text_col, k).persist()
+        bk_b = band_keys_from_shingles(
+            sh_b, num_perm, bands, hash_method
         ).persist()
+        pairs = None
         try:
-            on_duplicates(pairs, batch_id)
-            admitted = batch_df
-            if admit_clean:
-                dup_ids = pairs.select(
-                    F.col("batch_id").alias(id_col)
-                ).distinct()
-                admitted = batch_df.join(dup_ids, id_col, "left_anti")
-            append_corpus_dedup_index(
-                corpus_dedup_index(
-                    admitted, id_col, text_col, k, num_perm, bands,
+            novel = False
+            if bloom_state is not None:
+                from sparkdiff.operators.bloom import bloom_probe_compact
+
+                m_bits, n_hashes = bloom_gate
+                hits = (
+                    bloom_probe_compact(
+                        bk_b.select(_composite.alias("_bk")),
+                        "_bk",
+                        bloom_state,
+                        m_bits,
+                        n_hashes,
+                        seed="ingest-gate",
+                    )
+                    .filter(F.col("maybe_seen"))
+                    .limit(1)
+                    .count()
+                )
+                novel = hits == 0
+            if novel:
+                # zero maybe-seen band keys: the exact index CANNOT
+                # contain a duplicate (no false negatives) — skip the
+                # band read and verify join entirely
+                pairs = (
+                    sh_b.select(
+                        F.col("_id").alias("corpus_id"),
+                        F.col("_id").alias("batch_id"),
+                        F.lit(0.0).alias("jaccard"),
+                    )
+                    .filter(F.lit(False))
+                    .persist()
+                )
+            else:
+                sh_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
+                bk_c = pruned_index_bands(spark, index_dir, bk_b)
+                pairs = incremental_near_dup_pairs(
+                    None,
+                    batch_df,
+                    id_col,
+                    text_col,
+                    threshold,
+                    k,
+                    num_perm,
+                    bands,
                     hash_method,
+                    corpus_index=(sh_c, bk_c),
+                    persist_batch=False,
+                    batch_shingles=sh_b,
+                    batch_band_keys=bk_b,
+                ).persist()
+            on_duplicates(pairs, batch_id)
+            admitted_ids = sh_b.select("_id")
+            if admit_clean:
+                admitted_ids = admitted_ids.join(
+                    pairs.select(F.col("batch_id").alias("_id")).distinct(),
+                    "_id",
+                    "left_anti",
+                )
+            # append the batch's OWN precomputed signature rows — the
+            # shingle/MinHash work is never redone for the admit path
+            append_corpus_dedup_index(
+                (
+                    sh_b.join(admitted_ids, "_id"),
+                    bk_b.join(admitted_ids, "_id"),
                 ),
                 index_dir,
             )
+            if bloom_state is not None:
+                from sparkdiff.operators.bloom import bloom_build
+
+                m_bits, n_hashes = bloom_gate
+                fresh = bloom_build(
+                    bk_b.join(admitted_ids, "_id").select(
+                        _composite.alias("_bk")
+                    ),
+                    "_bk",
+                    m_bits,
+                    n_hashes,
+                    seed="ingest-gate",
+                ).collect()
+                for r in fresh:
+                    bloom_state[r["word_idx"]] = (
+                        bloom_state.get(r["word_idx"], 0) | r["bits"]
+                    )
+                _write_bloom(spark, bloom_dir, bloom_meta, bloom_state,
+                             m_bits, n_hashes)
         finally:
-            pairs.unpersist()
+            if pairs is not None:
+                pairs.unpersist()
+            bk_b.unpersist()
+            sh_b.unpersist()
 
     return (
         batches.writeStream.outputMode("append").foreachBatch(handle_amortized)
     )
+
+
+def _write_bloom(
+    spark,
+    bloom_dir: str,
+    meta_path: str,
+    words: dict[int, int],
+    m_bits: int,
+    n_hashes: int,
+) -> None:
+    """Persist the (configuration-sized) Bloom word table + geometry —
+    restart-safe alongside the parquet index it gates."""
+    import json
+
+    spark.createDataFrame(
+        list(words.items()) or [(0, 0)], "word_idx long, bits long"
+    ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
+    with open(meta_path, "w") as fh:
+        json.dump({"m_bits": m_bits, "n_hashes": n_hashes}, fh)
 
 
 def checksum_drift_monitor(

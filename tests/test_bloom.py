@@ -100,3 +100,32 @@ def test_high_bit_word63_roundtrip(spark):
     assert filt.filter(F.col("bits") < 0).count() > 0
     probed = bloom_probe(corpus, "k", filt, 1024, 2, SEED)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_null_keys_are_total_over_input_rows(spark):
+    """NULL keys: inserted via the sentinel on build, probed to a
+    definite true/false — never a silent NULL third bucket."""
+    corpus = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k int"
+    )
+    filt = bloom_build(corpus, "k", M, H, SEED)
+    probed = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_probe(corpus, "k", filt, M, H, SEED).collect()
+    }
+    assert probed == {1: True, 2: True, None: True}  # zero false negatives
+    # a filter built WITHOUT null keys answers definite false (modulo
+    # fpp, negligible at this geometry) for the null-keyed probe row
+    filt2 = bloom_build(corpus.filter(F.col("k").isNotNull()), "k", M, H, SEED)
+    probed2 = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_probe(corpus, "k", filt2, M, H, SEED).collect()
+    }
+    assert probed2[None] is False and probed2[1] is True
+    # compact probe agrees on the null row
+    words = {r["word_idx"]: r["bits"] for r in filt2.collect()}
+    compact = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_probe_compact(corpus, "k", words, M, H, SEED).collect()
+    }
+    assert compact == probed2

@@ -466,3 +466,91 @@ def test_update_corpus_dedup_index_equals_full_rebuild(spark, tmp_path):
     save_corpus_dedup_index(corpus_dedup_index(corpus, "doc_id", "text"), d)
     append_corpus_dedup_index(corpus_dedup_index(batch, "doc_id", "text"), d)
     assert rows(load_corpus_dedup_index(spark, d)) == full
+
+
+def test_bucketed_index_layout_roundtrip_and_prune(spark, tmp_path):
+    """Bucketed persisted index (`save_corpus_dedup_index(key_buckets=N)`):
+    same gate answers as the flat layout, appends route into the stored
+    layout, and a small batch's pruned read opens only the partitions
+    its band keys can live in (real directory pruning, not a row
+    filter)."""
+    import os
+
+    from sparkdiff.operators.dedup import (
+        _shingle_sets,
+        append_corpus_dedup_index,
+        band_keys_from_shingles,
+        corpus_dedup_index,
+        incremental_near_dup_pairs,
+        index_key_buckets,
+        load_corpus_dedup_index,
+        pruned_index_bands,
+        save_corpus_dedup_index,
+    )
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .withColumn("text", F.concat("text", F.lit(" revised")))
+        .unionByName(
+            corpus.limit(2)
+            .withColumn("doc_id", F.col("doc_id") + 20_000)
+        )  # 2 exact dups of corpus docs + 3 novel
+    )
+    flat_dir, buck_dir = str(tmp_path / "flat"), str(tmp_path / "buck")
+    idx = corpus_dedup_index(corpus, "doc_id", "text")
+    save_corpus_dedup_index(idx, flat_dir)
+    save_corpus_dedup_index(
+        corpus_dedup_index(corpus, "doc_id", "text"), buck_dir, key_buckets=256
+    )
+    assert index_key_buckets(flat_dir) is None
+    assert index_key_buckets(buck_dir) == 256
+    part_dirs = [
+        d for d in os.listdir(os.path.join(buck_dir, "bands"))
+        if d.startswith("_kb=")
+    ]
+    assert len(part_dirs) > 1  # physically partitioned
+
+    def pairs_with(index_dir, prune):
+        sh_b = _shingle_sets(batch, "doc_id", "text", 3)
+        bk_b = band_keys_from_shingles(sh_b)
+        sh_c, bk_c = load_corpus_dedup_index(spark, index_dir)
+        if prune:
+            bk_c = pruned_index_bands(spark, index_dir, bk_b)
+        return sorted(
+            (r.corpus_id, r.batch_id, round(r.jaccard, 6))
+            for r in incremental_near_dup_pairs(
+                None, batch, "doc_id", "text", threshold=0.6,
+                corpus_index=(sh_c, bk_c),
+                batch_shingles=sh_b, batch_band_keys=bk_b,
+                persist_batch=False,
+            ).collect()
+        )
+
+    flat_pairs = pairs_with(flat_dir, prune=False)
+    assert flat_pairs  # the exact dups must be found
+    assert pairs_with(buck_dir, prune=False) == flat_pairs
+    assert pairs_with(buck_dir, prune=True) == flat_pairs
+
+    # the prune is real PARTITION pruning (directory skipping), not a
+    # row filter: the scan carries PartitionFilters and the pruned scan
+    # sees only the batch's buckets' rows.  (inputFiles() is not
+    # pruning-aware, so pin the physical plan instead.)
+    # micro-batch regime: 2 docs x 16 bands = <=32 of 256 buckets
+    sh_b = _shingle_sets(batch.limit(2), "doc_id", "text", 3)
+    bk_b = band_keys_from_shingles(sh_b)
+    pruned = pruned_index_bands(spark, buck_dir, bk_b)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_kb" in plan and "INSET" in plan, plan[:800]
+    full_rows = spark.read.parquet(os.path.join(buck_dir, "bands")).count()
+    assert pruned.count() < full_rows / 2  # most buckets skipped
+
+    # appends route into the same layout and stay readable
+    sh_b2 = _shingle_sets(batch, "doc_id", "text", 3)
+    append_corpus_dedup_index((sh_b2, band_keys_from_shingles(sh_b2)), buck_dir)
+    sh, bk = load_corpus_dedup_index(spark, buck_dir)
+    assert bk.filter(F.col("_id") >= 10_000).count() > 0
+    assert index_key_buckets(buck_dir) == 256

@@ -110,3 +110,51 @@ def test_skipping_report_counts(spark):
     assert got[("zorder", "px")][1] < 10
     assert got[("zorder", "py")][1] < 10
     assert got[("zorder", "px")][1] + got[("zorder", "py")][1] < 20
+
+
+def test_skipping_report_conjunction_predicate(spark):
+    """A multi-clause predicate is the CONJUNCTION: a file is hit only
+    when every clause's range overlaps its stats — so the conjunction
+    never hits more files than its weakest clause, and a brute-force
+    per-file check agrees exactly."""
+    rows = [(i % 10, i // 10, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "x long, y long, id long").select(
+        "x", "y", "id",
+        zorder_key2(
+            scale16(F.col("x"), F.lit(0), F.lit(9)),
+            scale16(F.col("y"), F.lit(0), F.lit(9)),
+        ).alias("z"),
+    )
+    rep = skipping_report(
+        df,
+        layouts={"zorder": ["z", "id"]},
+        stat_cols=["x", "y"],
+        predicates={
+            "px": ("x", 3, 3),
+            "py": ("y", 7, 7),
+            "pboth": [("x", 3, 3), ("y", 7, 7)],
+        },
+        rows_per_file=10,
+    )
+    got = {r.predicate: r.files_hit for r in rep.collect()}
+    assert got["pboth"] <= min(got["px"], got["py"])
+
+    # brute-force replay: sort by (z, id), chunk by 10, AND the overlaps
+    def _morton(x, y):
+        sx = (x * 65535) // 9
+        sy = (y * 65535) // 9
+        def spread(v):
+            v &= 0xFFFF
+            for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                          (2, 0x33333333), (1, 0x55555555)):
+                v = (v | (v << sh)) & m
+            return v
+        return spread(sx) | (spread(sy) << 1)
+    keyed = sorted(rows, key=lambda t: (_morton(t[0], t[1]), t[2]))
+    hits = 0
+    for f in range(0, 100, 10):
+        chunk = keyed[f : f + 10]
+        xs = [c[0] for c in chunk]; ys = [c[1] for c in chunk]
+        if min(xs) <= 3 <= max(xs) and min(ys) <= 7 <= max(ys):
+            hits += 1
+    assert got["pboth"] == hits

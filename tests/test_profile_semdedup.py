@@ -156,3 +156,23 @@ def test_quantize_int8_codes_and_error_bound(spark):
     z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id: long, v: array<double>")
     rz = quantize_int8(z, "vec_id", "v").first()
     assert rz.max_code == 0 and rz.min_code == 0 and rz.qerr_s == 0
+
+
+def test_ndv_encodings_agree_and_default_is_injective(spark):
+    """The default encoding is the provably-injective 'string' (the
+    exact/oracle-checked contract); 'hash' is the opt-in long-shuffle
+    variant and must report the same NDV on real data."""
+    import inspect
+
+    assert (
+        inspect.signature(profile_table).parameters["ndv_encoding"].default
+        == "string"
+    )
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
+    s = {r["column"]: r["ndv"] for r in profile_table(li, cols).collect()}
+    h = {
+        r["column"]: r["ndv"]
+        for r in profile_table(li, cols, ndv_encoding="hash").collect()
+    }
+    assert s == h

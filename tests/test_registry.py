@@ -48,6 +48,10 @@ EAGER_BY_DESIGN = {
     "q134_exact_contamination",
     "q136_semdedup_auto",
     "q138_bpe_vocab",
+    # q145: rescan=1 fixpoint — one bounded 1-row action at
+    # construction decides whether pass 2 is scheduled (and pins the
+    # pass-1 persist the second detection pass reads)
+    "q145_selfdedup_fixpoint",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50

@@ -355,3 +355,47 @@ def test_priority_sample_validation(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
     with pytest.raises(ValueError):
         priority_sample(df, "doc_id", "w", k=0)
+
+
+def test_priority_sample_rejects_fractional_weights(spark):
+    """Fractional weights must raise, not silently truncate (a 0.5
+    weight floored to 0 would silently drop the row from the sample)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from sparkdiff.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.5), (3, 3.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception) as exc:
+        priority_sample(df, "doc_id", "w", k=2).collect()
+    assert "integral" in str(exc.value)
+
+
+def test_priority_sample_integral_doubles_match_longs(spark):
+    """Integral-VALUED double weights are legal and sample identically
+    to the same weights stored as longs; NULL weights are excluded like
+    non-positive ones."""
+    from sparkdiff.operators.sampling import priority_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(100)]
+    as_dbl = spark.createDataFrame(rows, "doc_id long, w double")
+    as_long = spark.createDataFrame(
+        [(i, int(w)) for i, w in rows], "doc_id long, w long"
+    )
+    a = sorted(
+        r["doc_id"] for r in priority_sample(as_dbl, "doc_id", "w", k=20).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in priority_sample(as_long, "doc_id", "w", k=20).collect()
+    )
+    assert a == b and len(a) == 20
+    with_null = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 4.0)], "doc_id long, w double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in priority_sample(with_null, "doc_id", "w", k=3).collect()
+    )
+    assert got == [1, 3]

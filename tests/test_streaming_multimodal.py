@@ -811,3 +811,126 @@ def test_streaming_ingest_dedup_amortized_index_grows(spark, tmp_path):
     ids = {r["_id"] for r in sh.select("_id").collect()}
     assert ids == {r.doc_id for r in corpus.collect()} | admitted_a
     assert bk.filter(F.col("_id") >= 100_000).count() == 0
+
+
+def test_streaming_ingest_dedup_bloom_gate(spark, tmp_path):
+    """bloom_gate: a genuinely novel batch short-circuits past the exact
+    index (zero pairs, by the zero-false-negative argument), while a
+    later batch duplicating an earlier one is still fully caught — the
+    filter grew with the admitted docs.  The filter persists beside the
+    index (restart-safe) with its geometry pinned."""
+    import json
+    import os
+
+    from sparkdiff.streaming.validate import streaming_ingest_dedup
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 17 == 0)
+    batch_a = (
+        docs.filter(F.col("doc_id") % 17 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh material")))
+    )
+    batch_b = (
+        batch_a.withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" second revision")))
+    )
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    got: dict[int, set] = {}
+
+    def collect(pairs, bid):
+        got.setdefault(bid, set()).update(
+            (r.corpus_id, r.batch_id) for r in pairs.collect()
+        )
+
+    def run_all(ckpt):
+        stream = spark.readStream.schema(batch_a.schema).parquet(src)
+        q = (
+            streaming_ingest_dedup(
+                stream, corpus, "doc_id", "text", collect,
+                threshold=0.6, index_dir=idx,
+                bloom_gate=(1 << 18, 4),
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    run_all("ckpt")
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    run_all("ckpt")  # restart: index + bloom reload from disk
+
+    # geometry + persistence
+    assert os.path.isdir(os.path.join(idx, "bloom"))
+    with open(os.path.join(idx, "bloom_meta.json")) as fh:
+        assert json.load(fh) == {"m_bits": 1 << 18, "n_hashes": 4}
+
+    flat = {p for s in got.values() for p in s}
+    # SAME contract as the non-bloom amortized test: every admitted A
+    # doc's B twin is caught against it — the bloom gate never hides a
+    # duplicate (zero false negatives through the short-circuit)
+    a_ids = {r.doc_id for r in batch_a.collect()}
+    rejected_a = {b for _, b in flat if b in a_ids}
+    admitted_a = a_ids - rejected_a
+    assert len(admitted_a) > 10
+    expected_cross = {(a, a + 50_000) for a in admitted_a}
+    assert expected_cross <= flat, f"missed: {expected_cross - flat}"
+
+    # geometry mismatch on reopen must refuse, not silently mis-probe
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_ingest_dedup(
+            spark.readStream.schema(batch_a.schema).parquet(src),
+            None, "doc_id", "text", collect,
+            index_dir=idx, bloom_gate=(1 << 16, 4),
+        )
+
+
+def test_bloom_gate_short_circuits_novel_batch(spark, tmp_path):
+    """The short-circuit itself: a batch with zero maybe-seen band keys
+    yields an EMPTY pairs frame without touching the exact index — and
+    a batch containing a true duplicate does probe it."""
+    from sparkdiff.streaming.validate import streaming_ingest_dedup
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 17 == 0).limit(40)
+    # synthetic, definitely-novel text: shares no 3-shingles with fixtures
+    novel = spark.createDataFrame(
+        [
+            (900_001, "zq xv qj wk vz jx kq zz " * 8),
+            (900_002, "mm nn oo pp qq rr ss tt " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    dup = corpus.limit(1).withColumn("doc_id", F.col("doc_id") + 77_000)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    seen: dict[int, int] = {}
+
+    def collect(pairs, bid):
+        seen[bid] = pairs.count()
+
+    def run_all():
+        stream = spark.readStream.schema(novel.schema).parquet(src)
+        q = (
+            streaming_ingest_dedup(
+                stream, corpus, "doc_id", "text", collect,
+                threshold=0.6, index_dir=idx, bloom_gate=(1 << 18, 4),
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    novel.coalesce(1).write.mode("append").parquet(src)
+    run_all()
+    dup.coalesce(1).write.mode("append").parquet(src)
+    run_all()
+    bids = sorted(seen)
+    assert seen[bids[0]] == 0  # novel batch: short-circuited, no pairs
+    assert seen[bids[1]] >= 1  # exact duplicate still caught

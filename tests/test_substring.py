@@ -156,3 +156,109 @@ def test_excise_matches_reference_property(spark, texts, L):
         for r in excise_repeated_spans(_df(spark, corpus), L).collect()
     }
     assert got == _ref_excise(corpus, L)
+
+
+def _ref_excise_fixpoint(texts: dict[int, str], L: int, rescan: int):
+    """Reference for ``rescan=N``: iterate _ref_excise, stopping early
+    when the previous pass cut nothing (the impl's check)."""
+    cur = dict(texts)
+    tot_n = {d: 0 for d in texts}
+    tot_c = {d: 0 for d in texts}
+    res = _ref_excise(cur, L)
+    for d, (c, n, x) in res.items():
+        cur[d], tot_n[d], tot_c[d] = c, tot_n[d] + n, tot_c[d] + x
+    last = sum(n for _, n, _ in res.values())
+    for _ in range(rescan):
+        if last == 0:
+            break
+        res = _ref_excise(cur, L)
+        for d, (c, n, x) in res.items():
+            cur[d], tot_n[d], tot_c[d] = c, tot_n[d] + n, tot_c[d] + x
+        last = sum(n for _, n, _ in res.values())
+    return {d: (cur[d], tot_n[d], tot_c[d]) for d in texts}
+
+
+# Splice-manufactured repeat: cutting "0123456789" out of doc 2 splices
+# "abc"+"def..." into "abcdef...", which ONLY THEN matches doc 1's
+# "abcdef" — the span a one-pass excision can never see.
+SPLICE_CORPUS = {
+    0: "pp0123456789rr",
+    1: "uvwabcdefxyz",
+    2: "abc0123456789defghijkl",
+}
+
+
+def test_rescan_reaches_splice_manufactured_repeat(spark):
+    # one pass leaves the spliced repeat behind...
+    once = {
+        r["doc_id"]: r["clean_text"]
+        for r in excise_repeated_spans(_df(spark, SPLICE_CORPUS), 6).collect()
+    }
+    assert once[2] == "abcdefghijkl"  # splice formed doc 1's "abcdef"
+    leftover = repeated_spans(
+        _df(spark, {d: t for d, t in once.items()}), 6
+    ).collect()
+    assert leftover, "the splice must manufacture a new repeated span"
+    # ...rescan=1 cuts it and matches the iterated Python reference
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_chars_excised"])
+        for r in excise_repeated_spans(
+            _df(spark, SPLICE_CORPUS), 6, rescan=1
+        ).collect()
+    }
+    assert got == _ref_excise_fixpoint(SPLICE_CORPUS, 6, 1)
+    assert got[2] == ("ghijkl", 2, 16)  # both passes accumulated
+
+
+def test_rescan_certifies_span_free(spark):
+    # a generous rescan whose final pass finds nothing certifies the
+    # cleaned corpus span-free at the seed length
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in excise_repeated_spans(
+            _df(spark, SPLICE_CORPUS), 6, rescan=3
+        ).collect()
+    }
+    assert repeated_spans(_df(spark, cleaned), 6).collect() == []
+
+
+def test_rescan_zero_is_the_one_pass_behavior(spark):
+    base = excise_repeated_spans(_df(spark, CORPUS), 10).collect()
+    same = excise_repeated_spans(_df(spark, CORPUS), 10, rescan=0).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, same))
+    with pytest.raises(ValueError):
+        excise_repeated_spans(_df(spark, CORPUS), 10, rescan=-1)
+
+
+def test_content_checksum_flips_on_single_char_change(spark):
+    """q142's commutative corpus digest: any one-character edit in any
+    document flips the per-source digest, and the digest is
+    partitioning-independent (it's a SUM of per-row hashes)."""
+    from pyspark.sql import functions as F
+
+    from sparkdiff.functions.canonical import content_checksum
+
+    def digest(texts):
+        return (
+            _df(spark, texts)
+            .agg(content_checksum("doc_id", F.col("text")).alias("d"))
+            .first()["d"]
+        )
+
+    base = {1: "alpha beta", 2: "gamma delta", 3: "epsilon zeta"}
+    d0 = digest(base)
+    assert d0.isdigit()  # plain digit string, no float rendering
+    # flip one character of one doc -> digest changes
+    edited = {**base, 2: "gamma delt_"}
+    assert digest(edited) != d0
+    # swap content BETWEEN docs -> digest changes (doc_id is hashed in)
+    swapped = {1: base[2], 2: base[1], 3: base[3]}
+    assert digest(swapped) != d0
+    # partitioning / order independence
+    df = _df(spark, base)
+    repart = (
+        df.repartition(7)
+        .agg(content_checksum("doc_id", F.col("text")).alias("d"))
+        .first()["d"]
+    )
+    assert repart == d0
