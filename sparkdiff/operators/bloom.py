@@ -185,11 +185,21 @@ def bloom_probe_compact(
     """Zero-shuffle probe for hot paths: the filter words arrive as a
     plain dict (collect the ``bloom_build`` result once per stream —
     configuration-sized by the same argument as the decontamination
-    automaton), are embedded as one dense array literal, and membership
+    automaton), are embedded as ONE dense array literal, and membership
     is a pure column expression — no join, no shuffle, whole-stage
-    codegen end to end."""
+    codegen end to end.
+
+    SIZE DOMAIN — small filters only (m ≲ 2^19, i.e. ≤ ~8k words):
+    the word array is evaluated per row, so probe cost scales with
+    m/64 × batch rows regardless of how the literal is built (measured
+    at m = 2^22: 142 s as an array(lit,...) expression tree, 37 s as
+    one lit(list), 5 s as a broadcast one-row crossJoin — the 512 KB
+    array is copied into every joined row either way).  For larger
+    geometries use :func:`bloom_probe`: the filter stays a word TABLE
+    and the probe is a broadcast equi-join on word index — per-row
+    cost is h lookups, independent of m."""
     words = [int(bloom_words.get(i, 0)) for i in range(m_bits // 64)]
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    arr = F.lit(words).cast("array<bigint>")
     out = df.withColumn("_flt", arr).withColumn(
         "_ps", _positions(F.col(key_col), m_bits, n_hashes, seed)
     )

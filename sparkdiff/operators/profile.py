@@ -29,11 +29,16 @@ use HyperLogLog (``approx_count_distinct``) — one pass, no melt; the
 approx variant is pinned within rtol in tests but is NOT the oracle
 path (sketches are not engine-portable).
 
-NDV encoding (``ndv_encoding``): the default ``"string"`` melts the
-provably-injective rendering (doubles via shortest round-trip,
-timestamps with microseconds, decimals at fixed scale) — the reported
-NDV is exact unconditionally, which is the right default for an API
-field documented as exact.  ``"hash"`` melts each value as
+NDV encoding (``ndv_encoding``): the default ``"typed"`` melts each
+value through a provably-injective PER-TYPE encoding — exact integer
+images on a long field where the type has one (integrals, dates,
+timestamps, small decimals), canonical strings otherwise — so the
+reported NDV is exact unconditionally (the right default for an API
+field documented as exact) at long-shuffle cost for the common
+numeric/date columns.  ``"string"`` is the all-string injective
+rendering (doubles via shortest round-trip, timestamps with
+microseconds, decimals at fixed scale) — same exactness, simpler wire
+format.  ``"hash"`` melts each value as
 ``xxhash64(value)`` — the shuffle carries (int, long) pairs instead
 of rendered strings, which halved the melt wall-clock on the 600k-row
 profile (decimal/date string rendering plus string shuffle bytes were
@@ -79,7 +84,7 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_ndv: bool = True,
-    ndv_encoding: str = "string",
+    ndv_encoding: str = "typed",
 ) -> DataFrame:
     """Profile ``columns`` (default: every non-complex column) in one
     aggregation pass; returns one row per column:
@@ -87,15 +92,24 @@ def profile_table(
 
     ``ndv_encoding`` picks the melt-NDV value encoding:
 
-    - ``'string'`` (default): provably injective — the reported NDV is
-      EXACT, full stop.  The melt shuffles rendered strings.
-    - ``'hash'``: shuffles 64-bit ``xxhash64`` longs instead — the
-      cheaper wire format for wide/long columns, but a 64-bit collision
-      WITHIN a column would undercount by 1 (probability ~n²/2⁶⁵ per
-      column; deterministic given the data).  Opt in where the shuffle
-      savings matter and the caller tolerates that contract (q107's
-      drift probe does); the exact/oracle-checked default stays
-      injective.
+    - ``'typed'`` (default): provably injective AND cheap — the melt
+      SPLITS by representability: columns with an exact integer image
+      (integrals as themselves, dates as epoch days, timestamps as
+      epoch micros, decimals of precision ≤ 18 as their unscaled
+      value) melt in one ``array<long>`` pass shuffling raw 8-byte
+      longs; everything else (strings, doubles, non-UTC NTZ) melts in
+      a second ``array<string>`` pass with the canonical rendering.
+      Injective per column because the mapping per TYPE is injective
+      and a column has one type.  Two column-pruned scans whose bytes
+      sum to the one wide scan; the shuffle never carries a rendered
+      numeric or a struct wrapper.
+    - ``'string'``: the all-string injective rendering — same exact
+      NDV, simpler wire format, kept for oracle replay parity.
+    - ``'hash'``: shuffles 64-bit ``xxhash64`` longs — the cheapest
+      wire format, but a 64-bit collision WITHIN a column would
+      undercount by 1 (probability ~n²/2⁶⁵ per column; deterministic
+      given the data).  Opt in where that contract is acceptable
+      (q107's drift probe does); the default stays injective.
     """
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     if columns is None:
@@ -142,39 +156,98 @@ def profile_table(
         "(column, n_nonnull, min_str, max_str)",
     )
     # exact NDV for ALL columns in one melt scan + two shuffles (see
-    # module docstring): posexplode(injective string encodings) ->
+    # module docstring): posexplode(injective encodings) ->
     # distinct (column, value) -> count per column.
-    if ndv_encoding not in ("hash", "string"):
-        raise ValueError(f"ndv_encoding must be hash|string: {ndv_encoding!r}")
+    if ndv_encoding not in ("hash", "string", "typed"):
+        raise ValueError(
+            f"ndv_encoding must be typed|hash|string: {ndv_encoding!r}"
+        )
 
-    def _enc(c: str) -> Column:
+    def _long_image(c: str) -> Column | None:
+        """The column's exact integer image, or None when the type has
+        no cheap injective long form (strings, floating)."""
+        col, dt = F.col(c), dtypes[c]
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType, T.BooleanType)):
+            return col.cast("long")
+        if isinstance(dt, T.DateType):
+            return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+        if isinstance(dt, T.TimestampType):
+            # instant semantics: epoch micros is a bijection
+            return F.unix_micros(col)
+        if isinstance(dt, T.TimestampNTZType):
+            # wall-clock semantics: epoch micros of the wall time read
+            # in the session zone.  The session zone is pinned to UTC
+            # (sparkdiff.session), where NTZ -> instant is a bijection
+            # (no DST gaps); under a non-UTC session zone the cast
+            # could collapse spring-forward gap times, so fall back to
+            # the full-precision string rendering there.
+            spark_tz = df.sparkSession.conf.get(
+                "spark.sql.session.timeZone", ""
+            )
+            if spark_tz == "UTC":
+                return F.unix_micros(col.cast("timestamp"))
+            return None
+        if isinstance(dt, T.DecimalType) and dt.precision <= 18:
+            # unscaled value: exact (×10^s is exact decimal arithmetic,
+            # ≤ 18 digits fits a long)
+            return (col * F.lit(10 ** dt.scale)).cast("decimal(38,0)").cast("long")
+        return None
+
+    def _norm(c: str) -> Column:
         col = F.col(c)
         if isinstance(dtypes[c], (T.DoubleType, T.FloatType)):
             col = col + F.lit(0.0)  # -0.0 -> 0.0, matching agg equality
+        return col
+
+    def _enc(c: str) -> Column:
         if ndv_encoding == "hash":
             # null-check BEFORE hashing: xxhash64(NULL) = hash(seed),
             # which would count nulls as a distinct value.  Stays a
             # LONG — the whole point is a long shuffle, not strings.
-            return F.when(col.isNotNull(), F.xxhash64(col))
-        return col.cast("string")
+            return F.when(_norm(c).isNotNull(), F.xxhash64(_norm(c)))
+        return _norm(c).cast("string")
 
-    melted = df.select(
-        F.posexplode(F.array(*[_enc(c) for c in columns])).alias(
-            "_cid", "_v"
+    def _melt_ndvs(cols: list[str], enc) -> Column:
+        """(column, ndv) for a same-typed column subset: posexplode of
+        the encoded array -> distinct (column, value) -> count."""
+        melted = df.select(
+            F.posexplode(F.array(*[enc(c) for c in cols])).alias(
+                "_cid", "_v"
+            )
+        ).filter(F.col("_v").isNotNull())
+        return (
+            melted.groupBy("_cid", "_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(c) for c in cols]), F.col("_cid") + 1
+                ).alias("column"),
+                "ndv",
+            )
         )
-    ).filter(F.col("_v").isNotNull())
-    ndvs = (
-        melted.groupBy("_cid", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("_cid")
-        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
-        .select(
-            F.element_at(
-                F.array(*[F.lit(c) for c in columns]), F.col("_cid") + 1
-            ).alias("column"),
-            "ndv",
-        )
-    )
+
+    if ndv_encoding == "typed":
+        # SPLIT melt: columns with an exact long image shuffle raw
+        # longs; the rest shuffle canonical strings.  Two column-pruned
+        # scans whose total bytes ≈ the one wide scan, but the shuffle
+        # never carries a struct wrapper or a rendered numeric.
+        long_cols = [c for c in columns if _long_image(c) is not None]
+        str_cols = [c for c in columns if c not in set(long_cols)]
+        parts_ndv = []
+        if long_cols:
+            parts_ndv.append(_melt_ndvs(long_cols, _long_image))
+        if str_cols:
+            parts_ndv.append(
+                _melt_ndvs(str_cols, lambda c: _norm(c).cast("string"))
+            )
+        ndvs = parts_ndv[0]
+        for p in parts_ndv[1:]:
+            ndvs = ndvs.unionByName(p)
+    else:
+        ndvs = _melt_ndvs(list(columns), _enc)
     return base.join(F.broadcast(ndvs), "column").select(
         "column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str"
     )

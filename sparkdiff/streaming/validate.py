@@ -384,21 +384,31 @@ def streaming_ingest_dedup(
         try:
             novel = False
             if bloom_state is not None:
-                from sparkdiff.operators.bloom import bloom_probe_compact
+                from sparkdiff.operators.bloom import (
+                    bloom_probe,
+                    bloom_probe_compact,
+                )
 
                 m_bits, n_hashes = bloom_gate
-                hits = (
-                    bloom_probe_compact(
-                        bk_b.select(_composite.alias("_bk")),
-                        "_bk",
-                        bloom_state,
-                        m_bits,
-                        n_hashes,
-                        seed="ingest-gate",
+                probe_keys = bk_b.select(_composite.alias("_bk"))
+                # size-adaptive probe (bloom.py's documented domain):
+                # small filters ride every row as one array literal
+                # (zero shuffle); large ones broadcast-join the word
+                # TABLE read back from the persisted filter, so probe
+                # cost never scales with m
+                if m_bits // 64 <= 8192:
+                    probed = bloom_probe_compact(
+                        probe_keys, "_bk", bloom_state,
+                        m_bits, n_hashes, seed="ingest-gate",
                     )
-                    .filter(F.col("maybe_seen"))
-                    .limit(1)
-                    .count()
+                else:
+                    probed = bloom_probe(
+                        probe_keys, "_bk",
+                        spark.read.parquet(bloom_dir),
+                        m_bits, n_hashes, seed="ingest-gate",
+                    )
+                hits = (
+                    probed.filter(F.col("maybe_seen")).limit(1).count()
                 )
                 novel = hits == 0
             if novel:

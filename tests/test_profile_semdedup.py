@@ -159,20 +159,25 @@ def test_quantize_int8_codes_and_error_bound(spark):
 
 
 def test_ndv_encodings_agree_and_default_is_injective(spark):
-    """The default encoding is the provably-injective 'string' (the
-    exact/oracle-checked contract); 'hash' is the opt-in long-shuffle
-    variant and must report the same NDV on real data."""
+    """The default encoding is the provably-injective 'typed' (exact
+    integer images on a long rail, strings otherwise); 'string' is the
+    all-string injective form and 'hash' the opt-in 64-bit variant —
+    all three must report the same NDV on real data."""
     import inspect
 
     assert (
         inspect.signature(profile_table).parameters["ndv_encoding"].default
-        == "string"
+        == "typed"
     )
     li = load_table(spark, SF_DIR_SMALL, "lineitem")
-    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
-    s = {r["column"]: r["ndv"] for r in profile_table(li, cols).collect()}
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    t = {r["column"]: r["ndv"] for r in profile_table(li, cols).collect()}
+    s = {
+        r["column"]: r["ndv"]
+        for r in profile_table(li, cols, ndv_encoding="string").collect()
+    }
     h = {
         r["column"]: r["ndv"]
         for r in profile_table(li, cols, ndv_encoding="hash").collect()
     }
-    assert s == h
+    assert t == s == h

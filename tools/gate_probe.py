@@ -30,7 +30,7 @@ import tools.scaling_probe as sp
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from sparkdiff.operators.bloom import bloom_build, bloom_probe_compact
+    from sparkdiff.operators.bloom import bloom_build, bloom_probe
     from sparkdiff.operators.dedup import (
         _shingle_sets,
         band_keys_from_shingles,
@@ -125,18 +125,18 @@ def main() -> None:
         # mode 4: Bloom pre-gate on a NOVEL batch — the short-circuit
         # path streaming_ingest_dedup(bloom_gate=...) takes.  Filter
         # built once from the index band table (untimed, amortized like
-        # the index itself); the timed probe is: batch signatures +
-        # compact column-expression membership + 1-row any() — versus
-        # the full exact gate on the same novel batch.
-        m_bits, n_h = 1 << 22, 4
+        # the index itself) and kept as the persisted word TABLE; the
+        # timed probe is: batch signatures + broadcast word-table join
+        # + 1-row any() (the large-m probe path — per-row cost
+        # independent of m) — versus the full exact gate on the same
+        # novel batch.
+        m_bits, n_h = 1 << 24, 4
         comp = F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
         bk_all = load_corpus_dedup_index(spark, idx_dir)[1]
-        words = {
-            r["word_idx"]: r["bits"]
-            for r in bloom_build(
-                bk_all.select(comp.alias("_bk")), "_bk", m_bits, n_h, seed="g"
-            ).collect()
-        }
+        words_df = bloom_build(
+            bk_all.select(comp.alias("_bk")), "_bk", m_bits, n_h, seed="g"
+        ).persist()
+        words_df.count()  # materialize outside the timed loop
         novel = batch.withColumn(
             "text", F.concat(F.lit("zq xv qj wk vz jx kq "), F.col("doc_id").cast("string"))
         )
@@ -148,9 +148,9 @@ def main() -> None:
                 bk_b = band_keys_from_shingles(sh_b).persist()
                 try:
                     hits = (
-                        bloom_probe_compact(
+                        bloom_probe(
                             bk_b.select(comp.alias("_bk")),
-                            "_bk", words, m_bits, n_h, seed="g",
+                            "_bk", words_df, m_bits, n_h, seed="g",
                         )
                         .filter(F.col("maybe_seen"))
                         .limit(1)
@@ -188,6 +188,7 @@ def main() -> None:
                 f"{sorted(runs_exact)[1]:.2f}s",
                 flush=True,
             )
+        words_df.unpersist()
     spark.stop()
 
 
