@@ -4054,3 +4054,146 @@ ORACLES["q145_selfdedup_fixpoint"] = (
     GROUP BY d.source
 """
 )
+
+
+def _q146_oracle(rounds: int = 8) -> str:
+    """q146: the q138 training chain re-played on the doc_id%5 slice
+    with the raw token carried through every merge round, then the
+    trained word table joined back to the per-source token stream —
+    fit, apply, measure, all in SQL."""
+    parts = [
+        """WITH base AS (
+    SELECT source, text FROM documents WHERE doc_id % 5 = 0
+),
+stream AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS token
+    FROM base
+),
+stream_f AS (
+    SELECT source, token FROM stream
+    WHERE regexp_matches(token, '^[a-z0-9]+$')
+),
+words0 AS (
+    SELECT token,
+           regexp_replace(token, '(.)', '(\\1)', 'g') || '($)' AS seq,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM stream_f GROUP BY token
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pairs{r} AS (
+    SELECT p.l AS sym_l, p.r AS sym_r, freq FROM (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> {{'l': s[i], 'r': s[i+1]}})) AS p, freq
+        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS s,
+                     freq FROM words{r - 1})
+    )
+),
+best{r} AS (
+    SELECT sym_l, sym_r, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs{r} GROUP BY sym_l, sym_r
+    ORDER BY cnt DESC, sym_l ASC, sym_r ASC LIMIT 1
+),
+words{r} AS (
+    SELECT token,
+           replace(seq, '(' || b.sym_l || ')(' || b.sym_r || ')',
+                   '(' || b.sym_l || b.sym_r || ')') AS seq, freq
+    FROM words{r - 1}, best{r} b
+)"""
+        )
+    return "".join(parts) + f"""
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(s.token)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(w.seq) - length(replace(w.seq, '(', ''))) AS BIGINT)
+               AS n_symbols,
+           CAST((1000 * SUM(length(s.token)))
+                // SUM(length(w.seq) - length(replace(w.seq, '(', '')))
+                AS BIGINT) AS chars_per_1000_symbols
+    FROM stream_f s JOIN words{rounds} w USING (token)
+    GROUP BY s.source
+"""
+
+
+ORACLES["q146_bpe_compression"] = _q146_oracle(8)
+
+
+def _q147_oracle() -> str:
+    """q147: per-source shingle sets (the q25 word-shingle CTEs keyed
+    by source), exact pair intersections over distinct (source,
+    shingle) rows, and per-source MinHash signatures (MIN over the
+    source's shingle rows = union semantics) with the SAME permutation
+    coefficients the Spark operator draws."""
+    from sparkdiff.operators.dedup import MERSENNE_PRIME, _lcg_coefficients
+
+    p = MERSENNE_PRIME
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(_lcg_coefficients(64))
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END)" for j in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT source,
+               list_distinct(CASE
+                   WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               END) AS sh
+        FROM toks
+    ),
+    shingle_rows AS (SELECT source, unnest(sh) AS t FROM sh),
+    ss AS (SELECT DISTINCT source, t FROM shingle_rows),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM ss a JOIN ss b ON a.t = b.t AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    hashes AS (
+        SELECT source, {_md5_token_hash('t')} % {p} AS h FROM shingle_rows
+    ),
+    sigs AS (
+        SELECT source,
+               {mins}
+        FROM hashes GROUP BY source
+    ),
+    est AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               CAST({agree} AS BIGINT) AS minhash_agree
+        FROM sigs x JOIN sigs y ON x.source < y.source
+    )
+    SELECT p.source_a, p.source_b,
+           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
+           CAST((1000 * p.n_common)
+                // (sa.n_sh + sb.n_sh - p.n_common) AS BIGINT)
+               AS jaccard_milli,
+           e.minhash_agree,
+           CAST((1000 * e.minhash_agree) // 64 AS BIGINT)
+               AS est_jaccard_milli
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    JOIN est e ON e.source_a = p.source_a AND e.source_b = p.source_b
+"""
+
+
+ORACLES["q147_source_overlap"] = _q147_oracle()

@@ -4784,6 +4784,142 @@ def q145_selfdedup_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer END-TO-END: train 8 BPE merges on the doc_id%5 corpus
+    slice (`operators/bpe.bpe_merges` — one scan + 8 bounded argmax
+    jobs), collect the 8-rule artifact (configuration-sized, the
+    shipped-tokenizer contract), apply it back over the same token
+    stream with `bpe_segment` (pure chained literal replaces — no UDF,
+    no shuffle beyond the per-source rollup), and report per source:
+    tokens, chars, post-merge symbol count, and the compression ratio
+    (chars per 1000 symbols, integer div).  This is the fit→apply→
+    measure loop a tokenizer pipeline runs before committing to a
+    vocabulary; symbol counts come from counting '(' wrappers so both
+    engines count identically.  Construction-eager by design (training
+    collects 1 row × 8 rounds — q138's documented convention).  The
+    oracle replays training round-by-round (q138's CTE chain, token
+    column carried through) and joins the trained word table back to
+    the per-source stream."""
+    from sparkdiff.operators.bpe import bpe_merges, bpe_segment
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    toks = (
+        _tokenized_docs(d, extra=("source",))
+        .select("source", F.explode("_toks").alias("token"))
+        .filter(F.col("token").rlike("^[a-z0-9]+$"))
+    )
+    rules = bpe_merges(toks.select("token"), "token", rounds=8)
+    merges = [
+        (r["sym_l"], r["sym_r"]) for r in rules.orderBy("round").collect()
+    ]
+    seg = bpe_segment(toks, "token", merges, out_col="_syms")
+    # symbol count == '(' wrapper count == size of the split array —
+    # the same quantity the oracle counts on its seq string
+    return (
+        seg.select(
+            "source",
+            F.length("token").alias("_chars"),
+            F.size("_syms").alias("_ns"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_ns").cast("long").alias("n_symbols"),
+            F.expr(
+                "(1000 * CAST(sum(_chars) AS BIGINT)) div "
+                "CAST(sum(_ns) AS BIGINT)"
+            ).alias("chars_per_1000_symbols"),
+        )
+    )
+
+
+def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap matrix — the train/test-leakage and
+    source-redundancy planning probe a curation pipeline runs before
+    mixing sources: for every source pair, the EXACT shingle-set
+    Jaccard (distinct (source, 3-word-shingle) rows → per-shingle
+    source pairs → pair intersection counts; vocabulary-sized, never
+    doc×doc) side by side with the 64-permutation MinHash ESTIMATE
+    (per-source signatures = component-wise MIN over the source's
+    shingle rows — the union semantics for free, `operators/dedup.
+    minhash_signatures` grouped by source; md5 hash method so the
+    oracle replays bit-for-bit).  The estimate column demonstrates the
+    100 TB path (signatures are 64 ints per SOURCE — constant-size —
+    while the exact path scales with vocabulary); reporting both pins
+    the estimator's error on real data.  All-integer output."""
+    from sparkdiff.operators.dedup import _shingle_sets, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(d, "source", "text", 3).persist()
+    # exact: distinct (source, shingle) -> per-shingle pair fan-out
+    # distinct (source, shingle) feeds three consumers (sizes + both
+    # sides of the pair join) — persist so the explode+distinct shuffle
+    # runs once (lazy marking; q26's persisted-shingle-table convention)
+    ss = (
+        sh.select(F.col("_id").alias("source"), F.explode("_sh").alias("t"))
+        .distinct()
+        .persist()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        ss.alias("a")
+        .join(ss.alias("b"), "t")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    # estimate: per-source MinHash signatures (min over shingle rows)
+    sig = minhash_signatures(sh, "_id", F.col("_sh"), 64, "md5")
+    agree = sum(
+        (F.col(f"x.m{j}") == F.col(f"y.m{j}")).cast("long") for j in range(64)
+    )
+    est = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            F.col("x._id") < F.col("y._id"),
+        )
+        .select(
+            F.col("x._id").alias("source_a"),
+            F.col("y._id").alias("source_b"),
+            agree.alias("minhash_agree"),
+        )
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "source_b",
+        )
+        .join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_sh_a").cast("long").alias("n_sh_a"),
+            F.col("n_sh_b").cast("long").alias("n_sh_b"),
+            "n_common",
+            F.expr(
+                "(1000 * n_common) div (n_sh_a + n_sh_b - n_common)"
+            ).alias("jaccard_milli"),
+            "minhash_agree",
+            F.expr("(1000 * minhash_agree) div 64").alias("est_jaccard_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -4930,4 +5066,6 @@ QUERIES: dict[str, callable] = {
     "q143_zorder_skipping": q143_zorder_skipping,
     "q144_quantile_calibration": q144_quantile_calibration,
     "q145_selfdedup_fixpoint": q145_selfdedup_fixpoint,
+    "q146_bpe_compression": q146_bpe_compression,
+    "q147_source_overlap": q147_source_overlap,
 }

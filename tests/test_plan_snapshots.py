@@ -87,6 +87,12 @@ _INTENTIONAL_NLJ = {
     # q105 broadcasts two ONE-ROW tables (anchor date, quantile cuts)
     # over the per-user RFM table — the q76 stats-broadcast shape.
     "q105_rfm_segments",
+    # q147's estimate stage pairs the per-SOURCE signature table with a
+    # source_a < source_b inequality join — the table is one row per
+    # source (constant-size regardless of corpus bytes), so the NLJ is
+    # bounded by construction; the corpus-sized work (shingles, exact
+    # pair intersections) is all equi-joins and aggregates.
+    "q147_source_overlap",
     # q106 broadcasts the ONE-ROW total-token-count aggregate over the
     # bigram table (q76/q90 stats shape); word-key joins are unhinted.
     "q106_collocations",

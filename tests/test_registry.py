@@ -52,6 +52,10 @@ EAGER_BY_DESIGN = {
     # construction decides whether pass 2 is scheduled (and pins the
     # pass-1 persist the second detection pass reads)
     "q145_selfdedup_fixpoint",
+    # q146: tokenizer fit->apply — training collects 1 row x 8 rounds
+    # at construction (q138's documented convention); the collected
+    # rules become the literal replace chain the apply side runs
+    "q146_bpe_compression",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
