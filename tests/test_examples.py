@@ -72,3 +72,11 @@ def test_decontamination_pipeline_example():
     stdout = _run("decontamination_pipeline.py")
     assert "gram-flagged" in stdout and "exact-flagged" in stdout
     assert "-> PPS sample: 100 draws" in stdout
+
+
+def test_ingest_gate_pipeline_example():
+    stdout = _run("ingest_gate_pipeline.py")
+    assert "batch 0: near-duplicate pairs flagged = 0" in stdout  # short-circuit
+    assert "batch 2: near-duplicate pairs flagged = 5" in stdout  # grown index
+    assert "partitioned into 64 buckets" in stdout
+    assert "bloom filter persisted" in stdout
