@@ -104,6 +104,12 @@ def session_window_counts(
     )
 
 
+#: compact-probe size domain for the ingest-gate Bloom filter (words =
+#: m_bits/64): at or below this the filter lives as a driver dict and
+#: probes as one in-row array literal; above it everything stays
+#: Spark-side (join probe + union/bit_or merge) — see operators/bloom.py.
+_BLOOM_COMPACT_WORDS = 8192
+
 #: Spark's RocksDB state-store provider: spills streaming state to local
 #: disk instead of keeping it on-heap — the production choice once
 #: per-executor state (sessions, dedup sets) outgrows memory.
@@ -327,11 +333,20 @@ def streaming_ingest_dedup(
             key_buckets=key_buckets,
         )
 
-    # ---- optional Bloom pre-gate state (configuration-sized) --------
+    # ---- optional Bloom pre-gate state --------------------------------
+    # Two regimes, split at the compact-probe size domain (bloom.py):
+    # small filters (<= _BLOOM_COMPACT_WORDS words) live as a driver-side
+    # dict — zero-shuffle compact probe, python bit_or merge, rewritten
+    # per batch; larger filters NEVER touch the driver: probe is the
+    # broadcast word-table join and the update is a Spark-side
+    # union + bit_or written to a sibling dir and atomically swapped.
     _composite = F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
     bloom_state: dict[int, int] | None = None
     bloom_dir = os.path.join(index_dir, "bloom")
     bloom_meta = os.path.join(index_dir, "bloom_meta.json")
+    bloom_compact = (
+        bloom_gate is not None and bloom_gate[0] // 64 <= _BLOOM_COMPACT_WORDS
+    )
     if bloom_gate is not None:
         from sparkdiff.operators.bloom import bloom_build
 
@@ -347,28 +362,25 @@ def streaming_ingest_dedup(
         def _spark_for_bloom():
             return (corpus if corpus is not None else batches).sparkSession
 
-        if os.path.isdir(bloom_dir):
+        if not os.path.isdir(bloom_dir):
+            # bootstrap the filter from the index's own band table —
+            # one read, then the filter lives as a word table on disk
+            spark0 = _spark_for_bloom()
+            bk_all = spark0.read.parquet(os.path.join(index_dir, "bands"))
+            bloom_build(
+                bk_all.select(_composite.alias("_bk")),
+                "_bk",
+                m_bits,
+                n_hashes,
+                seed="ingest-gate",
+            ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
+            with open(bloom_meta, "w") as fh:
+                json.dump({"m_bits": m_bits, "n_hashes": n_hashes}, fh)
+        if bloom_compact:
             bloom_state = {
                 r["word_idx"]: r["bits"]
                 for r in _spark_for_bloom().read.parquet(bloom_dir).collect()
             }
-        else:
-            # bootstrap the filter from the index's own band table —
-            # one read, then the filter lives as a tiny word table
-            spark0 = _spark_for_bloom()
-            bk_all = spark0.read.parquet(os.path.join(index_dir, "bands"))
-            bloom_state = {
-                r["word_idx"]: r["bits"]
-                for r in bloom_build(
-                    bk_all.select(_composite.alias("_bk")),
-                    "_bk",
-                    m_bits,
-                    n_hashes,
-                    seed="ingest-gate",
-                ).collect()
-            }
-            _write_bloom(spark0, bloom_dir, bloom_meta, bloom_state,
-                         m_bits, n_hashes)
 
     def handle_amortized(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal bloom_state
@@ -383,7 +395,7 @@ def streaming_ingest_dedup(
         pairs = None
         try:
             novel = False
-            if bloom_state is not None:
+            if bloom_gate is not None:
                 from sparkdiff.operators.bloom import (
                     bloom_probe,
                     bloom_probe_compact,
@@ -394,9 +406,9 @@ def streaming_ingest_dedup(
                 # size-adaptive probe (bloom.py's documented domain):
                 # small filters ride every row as one array literal
                 # (zero shuffle); large ones broadcast-join the word
-                # TABLE read back from the persisted filter, so probe
-                # cost never scales with m
-                if m_bits // 64 <= 8192:
+                # TABLE read straight off the persisted filter, so
+                # probe cost never scales with m
+                if bloom_compact:
                     probed = bloom_probe_compact(
                         probe_keys, "_bk", bloom_state,
                         m_bits, n_hashes, seed="ingest-gate",
@@ -459,7 +471,7 @@ def streaming_ingest_dedup(
                 ),
                 index_dir,
             )
-            if bloom_state is not None:
+            if bloom_gate is not None:
                 from sparkdiff.operators.bloom import bloom_build
 
                 m_bits, n_hashes = bloom_gate
@@ -471,13 +483,38 @@ def streaming_ingest_dedup(
                     m_bits,
                     n_hashes,
                     seed="ingest-gate",
-                ).collect()
-                for r in fresh:
-                    bloom_state[r["word_idx"]] = (
-                        bloom_state.get(r["word_idx"], 0) | r["bits"]
+                )
+                if bloom_compact:
+                    # small filter: merge on the driver (word dict is
+                    # configuration-sized), rewrite in one shot
+                    for r in fresh.collect():
+                        bloom_state[r["word_idx"]] = (
+                            bloom_state.get(r["word_idx"], 0) | r["bits"]
+                        )
+                    spark.createDataFrame(
+                        list(bloom_state.items()) or [(0, 0)],
+                        "word_idx long, bits long",
+                    ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
+                else:
+                    # large filter: NEVER through the driver — Spark-side
+                    # union + bit_or into a sibling dir, then an atomic
+                    # directory swap (a reader of the old dir mid-swap
+                    # only sees the pre-batch filter: stale = more
+                    # false "maybe", never a false negative)
+                    import shutil
+
+                    nxt = bloom_dir + "_next"
+                    old = spark.read.parquet(bloom_dir)
+                    (
+                        old.unionByName(fresh)
+                        .groupBy("word_idx")
+                        .agg(F.bit_or("bits").alias("bits"))
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(nxt)
                     )
-                _write_bloom(spark, bloom_dir, bloom_meta, bloom_state,
-                             m_bits, n_hashes)
+                    shutil.rmtree(bloom_dir)
+                    os.rename(nxt, bloom_dir)
         finally:
             if pairs is not None:
                 pairs.unpersist()
@@ -487,25 +524,6 @@ def streaming_ingest_dedup(
     return (
         batches.writeStream.outputMode("append").foreachBatch(handle_amortized)
     )
-
-
-def _write_bloom(
-    spark,
-    bloom_dir: str,
-    meta_path: str,
-    words: dict[int, int],
-    m_bits: int,
-    n_hashes: int,
-) -> None:
-    """Persist the (configuration-sized) Bloom word table + geometry —
-    restart-safe alongside the parquet index it gates."""
-    import json
-
-    spark.createDataFrame(
-        list(words.items()) or [(0, 0)], "word_idx long, bits long"
-    ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
-    with open(meta_path, "w") as fh:
-        json.dump({"m_bits": m_bits, "n_hashes": n_hashes}, fh)
 
 
 def checksum_drift_monitor(

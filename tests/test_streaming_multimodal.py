@@ -934,3 +934,52 @@ def test_bloom_gate_short_circuits_novel_batch(spark, tmp_path):
     bids = sorted(seen)
     assert seen[bids[0]] == 0  # novel batch: short-circuited, no pairs
     assert seen[bids[1]] >= 1  # exact duplicate still caught
+
+
+def test_bloom_gate_large_filter_spark_side_path(spark, tmp_path):
+    """A filter above the compact-probe domain (> 8192 words) takes the
+    all-Spark path: join probe off the persisted word table, update via
+    union + bit_or + atomic swap — no driver dict — with identical gate
+    semantics (novel short-circuit, duplicate caught after the filter
+    grew)."""
+    from sparkdiff.streaming.validate import (
+        _BLOOM_COMPACT_WORDS,
+        streaming_ingest_dedup,
+    )
+
+    m_bits = 1 << 20  # 16384 words > compact domain
+    assert m_bits // 64 > _BLOOM_COMPACT_WORDS
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 17 == 0).limit(30)
+    novel = spark.createDataFrame(
+        [(910_001, "qz vx jq kw zv xj qk zy " * 8)],
+        "doc_id long, text string",
+    )
+    dup_of_novel = novel.withColumn("doc_id", F.col("doc_id") + 500)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    seen: dict[int, int] = {}
+
+    def collect(pairs, bid):
+        seen[bid] = pairs.count()
+
+    def run_all():
+        stream = spark.readStream.schema(novel.schema).parquet(src)
+        q = (
+            streaming_ingest_dedup(
+                stream, corpus, "doc_id", "text", collect,
+                threshold=0.6, index_dir=idx, bloom_gate=(m_bits, 4),
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    novel.coalesce(1).write.mode("append").parquet(src)
+    run_all()
+    dup_of_novel.coalesce(1).write.mode("append").parquet(src)
+    run_all()  # restart: large filter reloads from its parquet table
+    bids = sorted(seen)
+    assert seen[bids[0]] == 0   # novel: short-circuited
+    assert seen[bids[1]] >= 1   # its copy: caught via the grown filter+index
