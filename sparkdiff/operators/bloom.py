@@ -146,8 +146,13 @@ def bloom_probe(
     sentinel and the join back rides the sentinel string (an equi join
     on a NULL key would never match), so every row — NULL-keyed
     included — gets a definite true/false ``out_col``."""
+    if "__bloom_k" in df.columns:
+        raise ValueError(
+            "bloom_probe reserves the internal column name '__bloom_k'; "
+            "rename or drop it on the input frame first"
+        )
     probe = df.select(
-        _key_str(F.col(key_col)).alias("_k"),
+        _key_str(F.col(key_col)).alias("__bloom_k"),
         F.explode(
             _positions(F.col(key_col), m_bits, n_hashes, seed)
         ).alias("_pos"),
@@ -163,13 +168,13 @@ def bloom_probe(
                 "cast(pmod(_pos, 64) as int)) & 1 as int)"
             ),
         )
-        .groupBy("_k")
+        .groupBy("__bloom_k")
         .agg((F.min("_hit") == 1).alias(out_col))
     )
     return (
-        df.withColumn("_k", _key_str(F.col(key_col)))
-        .join(hit, "_k", "left")
-        .drop("_k")
+        df.withColumn("__bloom_k", _key_str(F.col(key_col)))
+        .join(hit, "__bloom_k", "left")
+        .drop("__bloom_k")
     )
 
 
@@ -198,16 +203,23 @@ def bloom_probe_compact(
     geometries use :func:`bloom_probe`: the filter stays a word TABLE
     and the probe is a broadcast equi-join on word index — per-row
     cost is h lookups, independent of m."""
+    clash = {"__bloom_flt", "__bloom_ps"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe_compact reserves internal column names {clash}; "
+            "rename or drop them on the input frame first"
+        )
     words = [int(bloom_words.get(i, 0)) for i in range(m_bits // 64)]
     arr = F.lit(words).cast("array<bigint>")
-    out = df.withColumn("_flt", arr).withColumn(
-        "_ps", _positions(F.col(key_col), m_bits, n_hashes, seed)
+    out = df.withColumn("__bloom_flt", arr).withColumn(
+        "__bloom_ps", _positions(F.col(key_col), m_bits, n_hashes, seed)
     )
     checks = [
-        f"(shiftright(element_at(_flt, cast(_ps[{i}] div 64 as int) + 1), "
-        f"cast(pmod(_ps[{i}], 64) as int)) & 1) = 1"
+        "(shiftright(element_at(__bloom_flt, "
+        f"cast(__bloom_ps[{i}] div 64 as int) + 1), "
+        f"cast(pmod(__bloom_ps[{i}], 64) as int)) & 1) = 1"
         for i in range(n_hashes)
     ]
     return out.withColumn(
         out_col, F.expr(" AND ".join(checks))
-    ).drop("_flt", "_ps")
+    ).drop("__bloom_flt", "__bloom_ps")

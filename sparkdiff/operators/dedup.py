@@ -445,9 +445,13 @@ def save_corpus_dedup_index(
     import os
 
     sh, bk = index
-    existing = index_key_buckets(path)
-    if mode == "append" and existing is not None:
-        key_buckets = existing  # appends must match the stored layout
+    if mode == "append":
+        # appends must match the stored layout UNCONDITIONALLY: forcing
+        # only the bucketed case would let an explicit key_buckets write
+        # partitionBy(_kb) files into a FLAT bands directory (stored
+        # layout None / missing layout.json) — a mixed layout that reads
+        # back inconsistently and defeats pruned_index_bands
+        key_buckets = index_key_buckets(path)
     sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
     bw = bk
     if key_buckets:

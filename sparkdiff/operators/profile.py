@@ -243,6 +243,16 @@ def profile_table(
             parts_ndv.append(
                 _melt_ndvs(str_cols, lambda c: _norm(c).cast("string"))
             )
+        if not parts_ndv:
+            # No profilable columns resolved (columns=[] or only complex
+            # types): return the empty profile frame, matching what the
+            # 'hash'/'string' paths produce from an empty melt.
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [],
+                "column string, n_rows long, n_nonnull long, ndv long, "
+                "min_str string, max_str string",
+            )
         ndvs = parts_ndv[0]
         for p in parts_ndv[1:]:
             ndvs = ndvs.unionByName(p)

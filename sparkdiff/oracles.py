@@ -3872,8 +3872,10 @@ ORACLES["q142_substring_selfdedup"] = (
            CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_docs_touched,
            CAST(SUM(n_cut) AS BIGINT) AS n_chars_removed,
-           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                    || chr(31) || clean_text), 1, 15) AS BIGINT)) AS VARCHAR)
+           CAST(SUM(CAST('0x' || substr(md5(
+                    COALESCE(CAST(doc_id AS VARCHAR), chr(0))
+                    || chr(31) || COALESCE(clean_text, chr(0))
+                ), 1, 15) AS BIGINT)) AS VARCHAR)
                AS corpus_digest
     FROM cleaned GROUP BY source
 """
@@ -4045,8 +4047,10 @@ ORACLES["q145_selfdedup_fixpoint"] = (
            CAST(SUM(CASE WHEN c1.n_spans + c2.n_spans > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
            CAST(SUM(c1.n_cut + c2.n_cut) AS BIGINT) AS n_chars_removed,
-           CAST(SUM(CAST('0x' || substr(md5(CAST(c2.doc_id AS VARCHAR)
-                    || chr(31) || c2.text), 1, 15) AS BIGINT)) AS VARCHAR)
+           CAST(SUM(CAST('0x' || substr(md5(
+                    COALESCE(CAST(c2.doc_id AS VARCHAR), chr(0))
+                    || chr(31) || COALESCE(c2.text, chr(0))
+                ), 1, 15) AS BIGINT)) AS VARCHAR)
                AS corpus_digest
     FROM cleaned2 c2
     JOIN cleaned1 c1 USING (doc_id)

@@ -362,6 +362,15 @@ def streaming_ingest_dedup(
         def _spark_for_bloom():
             return (corpus if corpus is not None else batches).sparkSession
 
+        # a stale *_next / *_old dir means a prior run crashed mid-swap;
+        # the live dir (or the band-table re-bootstrap below) is the
+        # source of truth, so clear the leftovers before they collide
+        # with this run's swap writes
+        import shutil as _shutil
+
+        for stale in (bloom_dir + "_next", bloom_dir + "_old"):
+            if os.path.isdir(stale):
+                _shutil.rmtree(stale)
         if not os.path.isdir(bloom_dir):
             # bootstrap the filter from the index's own band table —
             # one read, then the filter lives as a word table on disk
@@ -497,13 +506,17 @@ def streaming_ingest_dedup(
                     ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
                 else:
                     # large filter: NEVER through the driver — Spark-side
-                    # union + bit_or into a sibling dir, then an atomic
-                    # directory swap (a reader of the old dir mid-swap
-                    # only sees the pre-batch filter: stale = more
-                    # false "maybe", never a false negative)
+                    # union + bit_or into a sibling dir, then a
+                    # rename-based swap.  Each rename is atomic; a crash
+                    # at any point leaves EITHER the old or the new
+                    # filter live (plus at worst a stale _next/_old dir
+                    # that bootstrap clears), never no filter at all.
+                    # A stale filter only means more false "maybe",
+                    # never a false negative.
                     import shutil
 
                     nxt = bloom_dir + "_next"
+                    aside = bloom_dir + "_old"
                     old = spark.read.parquet(bloom_dir)
                     (
                         old.unionByName(fresh)
@@ -513,8 +526,9 @@ def streaming_ingest_dedup(
                         .write.mode("overwrite")
                         .parquet(nxt)
                     )
-                    shutil.rmtree(bloom_dir)
+                    os.rename(bloom_dir, aside)
                     os.rename(nxt, bloom_dir)
+                    shutil.rmtree(aside)
         finally:
             if pairs is not None:
                 pairs.unpersist()

@@ -134,3 +134,43 @@ def test_unit_hash_variate_matches_duckdb(spark, keys):
             [k],
         ).fetchone()
         assert got[k] == du, f"unit variate diverged for key {k}"
+
+
+def test_content_checksum_null_positions_injective_and_oracle_exact(spark):
+    """ADVICE r6 (medium): content_checksum must be injective across
+    NULL positions — ('a', NULL, 'b') vs ('a', 'b', NULL) — and must
+    agree bit-for-bit with oracle_content_checksum_sql on NULL-bearing
+    rows (the old concat_ws rendering silently skipped NULL columns on
+    Spark while the || oracle null-propagated and SUM dropped the row)."""
+    from pyspark.sql import functions as F
+
+    from sparkdiff.functions.canonical import (
+        content_checksum,
+        oracle_content_checksum_sql,
+    )
+
+    rows = [
+        ("a", None, "b"),
+        ("a", "b", None),
+        (None, None, None),
+        ("x", "y", "z"),
+    ]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, c3 string")
+
+    # injectivity across NULL positions: the two permuted-NULL rows must
+    # produce different single-row digests
+    per_row = [
+        df.filter(F.col("c3").isNull() if i else F.col("c2").isNull())
+        .agg(content_checksum("c1", "c2", "c3").alias("d"))
+        .collect()[0]["d"]
+        for i in (0, 1)
+    ]
+    assert per_row[0] != per_row[1], "NULL position must change the digest"
+
+    (spark_sum,) = df.agg(content_checksum("c1", "c2", "c3").alias("d")).collect()[0]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["c1", "c2", "c3"]))
+    (duck_sum,) = con.execute(
+        f"SELECT {oracle_content_checksum_sql('c1', 'c2', 'c3')} FROM t"
+    ).fetchone()
+    assert spark_sum == duck_sum, f"{spark_sum} != {duck_sum}"
