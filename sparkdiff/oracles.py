@@ -4126,6 +4126,128 @@ words{r} AS (
 ORACLES["q146_bpe_compression"] = _q146_oracle(8)
 
 
+def _q148_oracle(rounds: int = 16, batch: int = 8) -> str:
+    """q148: batched BPE training replayed exactly (``operators/
+    bpe.bpe_merges`` with ``batch_size=m``).  Per JOB: pair counts over
+    the current word table, a ranked top-``want×4`` list, then the
+    greedy symbol-disjoint selection as a recursive CTE — one bounded
+    step per ranked row, carrying the used-symbol list and the taken
+    count (greedy selection is inherently sequential; the recursion IS
+    the spec) — and a second recursion applying the selected merges in
+    selection order (they commute by construction, but SQL applies them
+    the same way Spark chains its replaces).  The job unroll is fully
+    general: ``rounds`` jobs, each with ``want = rounds − merges so
+    far`` (a job picks ≥1 while pairs remain, so ``rounds`` jobs always
+    suffice) — NOT a fixed jobs = rounds/m split, because batches
+    underfill on real data (job 1 on the q148 slice finds only 6
+    disjoint pairs in its top 32).  Every multi-referenced CTE is
+    MATERIALIZED: DuckDB inlines by default, and the words{j} chain
+    referenced twice per job would otherwise expand 2^jobs times
+    (measured: 'Too many open files' at 16 jobs)."""
+    parts = [
+        """WITH RECURSIVE toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS token
+    FROM documents WHERE doc_id % 7 = 0
+),
+words0 AS MATERIALIZED (
+    SELECT regexp_replace(token, '(.)', '(\\1)', 'g') || '($)' AS seq,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks WHERE regexp_matches(token, '^[a-z0-9]+$')
+    GROUP BY token
+)"""
+    ]
+    for j in range(1, rounds + 1):
+        prev_picks = (
+            " + ".join(
+                f"(SELECT COUNT(*) FROM sel{i} WHERE pick)" for i in range(1, j)
+            )
+            or "0"
+        )
+        parts.append(
+            f""",
+want{j} AS MATERIALIZED (
+    SELECT CAST({rounds} - ({prev_picks}) AS BIGINT) AS w
+),
+fetch{j} AS MATERIALIZED (
+    SELECT CAST(CASE WHEN w <= 1 THEN w
+                     WHEN w > {batch} THEN {batch * 4}
+                     ELSE w * 4 END AS BIGINT) AS f
+    FROM want{j}
+),
+pairs{j} AS (
+    SELECT p.l AS sym_l, p.r AS sym_r, freq FROM (
+        SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                      i -> {{'l': s[i], 'r': s[i+1]}})) AS p, freq
+        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS s,
+                     freq FROM words{j - 1})
+    )
+),
+ranked{j} AS MATERIALIZED (
+    SELECT sym_l, sym_r, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r)
+                AS BIGINT) AS rn
+    FROM (SELECT sym_l, sym_r, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM pairs{j} GROUP BY sym_l, sym_r)
+),
+sel{j} AS MATERIALIZED (
+    SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS sym_l,
+           CAST(NULL AS VARCHAR) AS sym_r, CAST(NULL AS BIGINT) AS cnt,
+           FALSE AS pick, CAST(0 AS BIGINT) AS taken,
+           CAST([] AS VARCHAR[]) AS used
+  UNION ALL
+    SELECT rn, sym_l, sym_r, cnt, pick,
+           taken + CASE WHEN pick THEN 1 ELSE 0 END,
+           CASE WHEN pick
+                THEN list_concat(used, [sym_l, sym_r, sym_l || sym_r])
+                ELSE used END
+    FROM (
+        SELECT r.rn, r.sym_l, r.sym_r, r.cnt, s.taken, s.used,
+               (s.taken < (SELECT CASE WHEN w > {batch} THEN {batch} ELSE w END
+                           FROM want{j})
+                AND NOT list_contains(s.used, r.sym_l)
+                AND NOT list_contains(s.used, r.sym_r)
+                AND NOT list_contains(s.used, r.sym_l || r.sym_r)) AS pick
+        FROM sel{j} s JOIN ranked{j} r
+          ON r.rn = s.rn + 1 AND r.rn <= (SELECT f FROM fetch{j})
+    )
+),
+picked{j} AS MATERIALIZED (
+    SELECT sym_l, sym_r, cnt,
+           CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS k
+    FROM sel{j} WHERE pick
+),
+app{j} AS (
+    SELECT seq, freq, CAST(0 AS BIGINT) AS step FROM words{j - 1}
+  UNION ALL
+    SELECT replace(a.seq, '(' || m.sym_l || ')(' || m.sym_r || ')',
+                   '(' || m.sym_l || m.sym_r || ')'),
+           a.freq, a.step + 1
+    FROM app{j} a JOIN picked{j} m ON m.k = a.step + 1
+),
+words{j} AS MATERIALIZED (
+    SELECT seq, freq FROM app{j}
+    WHERE step = (SELECT COUNT(*) FROM picked{j})
+)"""
+        )
+    finals = " UNION ALL ".join(
+        "SELECT CAST("
+        + (
+            " + ".join(
+                f"(SELECT COUNT(*) FROM sel{i} WHERE pick)" for i in range(1, j)
+            )
+            or "0"
+        )
+        + " + k AS BIGINT) AS round,\n"
+        f"       sym_l, sym_r, sym_l || sym_r AS merged, cnt FROM picked{j}"
+        for j in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({finals})"
+
+
+ORACLES["q148_bpe_batched"] = _q148_oracle(16, 8)
+
+
 def _q147_oracle() -> str:
     """q147: per-source shingle sets (the q25 word-shingle CTEs keyed
     by source), exact pair intersections over distinct (source,

@@ -4920,6 +4920,32 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training — the production-vocabulary path (10⁴–10⁵
+    merges train in rounds/m jobs, measured 0.047 s/merge vs 0.240
+    sequential at 256 rounds, ``tools/bpe_probe.py``) — inside the
+    driver-shaped correctness surface: 16 merges learned with
+    ``batch_size=8`` on the doc_id%7 corpus slice.  Each JOB collects
+    the top ``want×4`` pairs (bounded TakeOrderedAndProject) and
+    greedily keeps the count-ordered prefix of pairwise SYMBOL-DISJOINT
+    pairs — so the m literal replaces commute — recording each pair's
+    PRE-batch count (``operators/bpe.bpe_merges`` batch contract).  The
+    oracle replays the batch structure exactly: per job, a recursive
+    CTE walks the ranked pairs carrying the used-symbol set (greedy
+    selection is inherently sequential — 32 bounded steps), a second
+    recursion applies the selected merges, and the next job re-counts;
+    the job unroll is fully general (16 jobs — each job picks ≥1 while
+    pairs remain), because real data DOES underfill batches (on this
+    slice job 1 finds only 6 disjoint pairs in its top 32).
+    Construction-eager by design (one bounded ``want×4``-row collect
+    per job — q138's documented convention)."""
+    from sparkdiff.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = _tokenized_docs(d).select(F.explode("_toks").alias("token"))
+    return bpe_merges(toks, "token", rounds=16, batch_size=8)
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5068,4 +5094,5 @@ QUERIES: dict[str, callable] = {
     "q145_selfdedup_fixpoint": q145_selfdedup_fixpoint,
     "q146_bpe_compression": q146_bpe_compression,
     "q147_source_overlap": q147_source_overlap,
+    "q148_bpe_batched": q148_bpe_batched,
 }

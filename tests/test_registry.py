@@ -56,6 +56,9 @@ EAGER_BY_DESIGN = {
     # at construction (q138's documented convention); the collected
     # rules become the literal replace chain the apply side runs
     "q146_bpe_compression",
+    # q148: batched BPE — one bounded want*4-row collect per job at
+    # construction (the batch argmax; q138's documented convention)
+    "q148_bpe_batched",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
@@ -110,4 +113,63 @@ def test_registry_construction_is_lazy(spark):
         f"unexpectedly eager: {sorted(eager - EAGER_BY_DESIGN)}; "
         f"newly lazy (remove from EAGER_BY_DESIGN): "
         f"{sorted(EAGER_BY_DESIGN - eager)}"
+    )
+
+
+#: Queries that deliberately leave persisted intermediates behind after
+#: materialization, each with the reason the persist outlives the job
+#: (round-6 verdict #4: the convention must be auditable, not folklore).
+#: The shared justification: the persisted frame feeds MULTIPLE consumers
+#: inside the RETURNED lazy DAG (or an eager loop's survivors), so the
+#: query function cannot unpersist before handing the DAG back — the
+#: release path is the session owner's (`spark.catalog.clearCache()`,
+#: which bench.py runs between queries and this test runs per entry).
+#: Everything else must leave the session cache EMPTY — the bench GC
+#: masks leaks locally, but a long-lived session accumulating storage
+#: with no release path is a memory hazard at scale.
+PERSISTS_BY_DESIGN: dict[str, str] = {
+    "q25_minhash_neardup": "signature table feeds band keys AND verify join",
+    "q26_ngram_jaccard_dups": "shingle table feeds bucket join AND verify",
+    "q46_lineitem_diff": "canonical pair base feeds presence AND cell diff",
+    "q65_dedup_clusters": "CC loop survivors (eager fixpoint checkpoints)",
+    "q68_curated_corpus": "one tokenized projection feeds the whole funnel",
+    "q72_incremental_neardup": "batch signatures feed gate AND admit append",
+    "q74_winnow_fingerprints": "winnow window table feeds pairs AND counts",
+    "q88_semdedup": "cell assignments feed centroid AND refine passes",
+    "q90_pagerank": "rank iterate persists the live frontier per round",
+    "q102_triangle_count": "degree-ordered edge list is joined to itself 3x",
+    "q107_profile_drift": "profile base feeds both drift sides",
+    "q113_dup_families": "CC loop survivors (large-star/small-star rounds)",
+    "q124_dist_drift": "histogram base feeds both snapshot sides",
+    "q136_semdedup_auto": "auto-k cells feed centroid AND refine passes",
+    "q141_repeated_substrings": "suffix-window table feeds span AND rollup",
+    "q142_substring_selfdedup": "span table feeds excision AND digest",
+    "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
+    "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
+}
+
+
+def test_registry_persist_lifecycle(spark):
+    """Materialize every registry query and assert the session-level
+    cache ends EMPTY — except the enumerated PERSISTS_BY_DESIGN set
+    (multi-consumer intermediates whose reuse spans the returned DAG,
+    so unpersisting at construction would recompute them per consumer).
+    Uses the CacheManager directly: DataFrame.persist registers there
+    at call time, so this catches lazy-marked persists too."""
+    from sparkdiff.session import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR_SMALL, t)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    leaks = set()
+    for name, fn in QUERIES.items():
+        fn(spark, SF_DIR_SMALL).write.format("noop").mode("overwrite").save()
+        if not cm.isEmpty():
+            leaks.add(name)
+        spark.catalog.clearCache()
+    assert leaks == set(PERSISTS_BY_DESIGN), (
+        f"undocumented persist leaks: {sorted(leaks - set(PERSISTS_BY_DESIGN))}; "
+        f"newly clean (remove from PERSISTS_BY_DESIGN): "
+        f"{sorted(set(PERSISTS_BY_DESIGN) - leaks)}"
     )

@@ -38,7 +38,12 @@ SHIFT = 10**9
 #: replica count for the synthetic tier (4 default; REPLICAS=16 for the
 #: heavy tier) — uniform key shifts per replica keep FKs valid
 REPLICAS = int(os.environ.get("REPLICAS", "4"))
-DST = f"/tmp/sfprobe_{REPLICAS:02d}"
+#: SHIFT_SOURCES=1 also remaps documents.source per replica
+#: (``src_r<k>``), so the SOURCE count grows with the replica count —
+#: the axis q147's exact path is quadratic in (vocabulary × sources²).
+#: Default keeps sources fixed: corpus grows, source count doesn't.
+SHIFT_SOURCES = os.environ.get("SHIFT_SOURCES", "") == "1"
+DST = f"/tmp/sfprobe_{REPLICAS:02d}" + ("_srcs" if SHIFT_SOURCES else "")
 
 #: table -> columns to shift per replica (uniform shift keeps FKs valid)
 KEYED = {
@@ -85,7 +90,14 @@ def build_4x() -> str:
         parts = []
         for r in range(REPLICAS):
             sel = ", ".join(
-                f"({c} + {r * SHIFT}) AS {c}" if c in keys else c for c in cols
+                f"({c} + {r * SHIFT}) AS {c}"
+                if c in keys
+                else (
+                    f"(source || '_r{r}') AS source"
+                    if SHIFT_SOURCES and t == "documents" and c == "source"
+                    else c
+                )
+                for c in cols
             )
             parts.append(f"SELECT {sel} FROM src")
         con.execute(
