@@ -53,13 +53,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n_pii_docs = scrubbed.filter(F.col("n_pii") > 0).count()
 
-    # 2. quality + repetition gates over the scrubbed text
-    toks = scrubbed.withColumn(
-        "_toks",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-        ),
-    ).withColumn("_g3", word_ngrams(F.col("_toks"), 3))
+    # 2. quality + repetition gates over the scrubbed text.  The
+    # persist() is load-bearing: filtering directly on
+    # dup_fraction(_g3) would let predicate pushdown substitute the
+    # full word_ngrams HOF tree into the filter (twice) below the
+    # projection — the per-element re-evaluation trap (SCALE.md,
+    # measured ~15x) — and an InMemoryRelation is a pushdown barrier.
+    toks = (
+        scrubbed.withColumn(
+            "_toks",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            ),
+        )
+        .withColumn("_g3", word_ngrams(F.col("_toks"), 3))
+        .persist()
+    )
     gated = toks.filter(
         (quality_score("text") > 0.4) & (dup_fraction(F.col("_g3")) < 0.5)
     ).drop("_toks", "_g3")

@@ -110,7 +110,18 @@ def dup_fraction(grams: Column) -> Column:
     """``1 - distinct/total`` over a MATERIALIZED n-gram array column.
     Materializing the grams in a prior projection matters: building them
     inline duplicates the whole transform subtree into both the total
-    and the distinct count (measured ~2.3x slower at sf0.1)."""
+    and the distinct count (measured ~2.3x slower at sf0.1).
+
+    FILTER CONSUMERS NEED A REAL BARRIER: a projection alone does not
+    protect a ``.filter(dup_fraction(...) < t)`` — predicate pushdown
+    substitutes the projected gram expression (word_ngrams and whatever
+    fed it) into the filter condition below the project, re-creating
+    the inline-duplication trap plus per-element HOF re-evaluation
+    (measured ~15x on the curation probe, SCALE.md).  Either persist()
+    the gram projection before filtering (InMemoryRelation is a
+    pushdown barrier — the q68 convention) or project the score/flag as
+    a COLUMN and aggregate on it instead of filtering (the q67 funnel
+    shape)."""
     total = F.size(grams).cast("double")
     uniq = F.size(F.array_distinct(grams)).cast("double")
     return F.when(total > 0, F.lit(1.0) - uniq / total).otherwise(F.lit(0.0))

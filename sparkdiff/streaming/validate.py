@@ -110,6 +110,46 @@ def session_window_counts(
 #: Spark-side (join probe + union/bit_or merge) — see operators/bloom.py.
 _BLOOM_COMPACT_WORDS = 8192
 
+#: auto-mode constants for ``streaming_ingest_dedup(bloom_gate="auto",
+#: key_buckets="auto")`` — the thresholds the probes established, baked
+#: in so the 10⁹-doc path doesn't depend on the caller knowing them:
+#: filter sized for 1% fpp with 4x headroom for appended batches; the
+#: bucketed band-table layout engages only past 64M band rows (the
+#: local probes measured the FLAT full read at 0.14 s of a ~4 s gate,
+#: so bucketing below that is pure write-side overhead — SCALE.md), at
+#: ~4M rows per partition.
+_AUTO_BLOOM_FPP = 0.01
+_AUTO_BLOOM_HEADROOM = 4
+_AUTO_BUCKET_MIN_BAND_ROWS = 64_000_000
+_AUTO_BUCKET_TARGET_ROWS = 4_000_000
+
+
+def auto_bloom_geometry(n_band_keys: int) -> tuple[int, int]:
+    """Derive the ingest-gate Bloom geometry from the index's own band
+    count: closed-form ``bloom_size`` at :data:`_AUTO_BLOOM_FPP` with
+    :data:`_AUTO_BLOOM_HEADROOM` x headroom (the filter is append-only
+    between re-bootstraps, so it must absorb growth without re-sizing;
+    fpp degrades gracefully past the headroom, never correctness)."""
+    from sparkdiff.operators.bloom import bloom_size
+
+    return bloom_size(
+        max(1024, _AUTO_BLOOM_HEADROOM * n_band_keys), _AUTO_BLOOM_FPP
+    )
+
+
+def auto_key_buckets(n_band_rows: int) -> int | None:
+    """Derive the band-table layout from its own size: flat below
+    :data:`_AUTO_BUCKET_MIN_BAND_ROWS` (the measured regime where the
+    full read is noise), else the power-of-two bucket count that puts
+    ~:data:`_AUTO_BUCKET_TARGET_ROWS` rows in each partition."""
+    import math
+
+    if n_band_rows < _AUTO_BUCKET_MIN_BAND_ROWS:
+        return None
+    return 1 << max(
+        1, math.ceil(math.log2(n_band_rows / _AUTO_BUCKET_TARGET_ROWS))
+    )
+
 #: Spark's RocksDB state-store provider: spills streaming state to local
 #: disk instead of keeping it on-heap — the production choice once
 #: per-executor state (sessions, dedup sets) outgrows memory.
@@ -214,8 +254,8 @@ def streaming_ingest_dedup(
     hash_method: str = "xxhash64",
     index_dir: str | None = None,
     admit_clean: bool = True,
-    key_buckets: int | None = None,
-    bloom_gate: tuple[int, int] | None = None,
+    key_buckets: int | str | None = None,
+    bloom_gate: tuple[int, int] | str | None = None,
 ):
     """Continuous ingest-time dedup: per micro-batch of NEW documents,
     the docs that near-duplicate the EXISTING corpus are handed to
@@ -257,6 +297,16 @@ def streaming_ingest_dedup(
       keys can live in (`pruned_index_bands`) — the read prune that
       matters when the corpus band table is billions of rows.  Opening
       an existing index keeps whatever layout it was written with.
+    - ``key_buckets="auto"`` / ``bloom_gate="auto"``: derive both knobs
+      from the index's own stats so the caller needn't know the
+      thresholds the probes established.  Buckets: flat below
+      :data:`_AUTO_BUCKET_MIN_BAND_ROWS` band rows (corpus docs ×
+      bands — exact, each doc emits one key per band), else ~4M rows
+      per partition (:func:`auto_key_buckets`).  Bloom: the stored
+      geometry when a filter already exists (a grown index must adopt,
+      not re-derive and refuse), else closed-form sizing from the band
+      table's row count at 1% fpp with 4x append headroom
+      (:func:`auto_bloom_geometry`).
     - ``bloom_gate=(m_bits, n_hashes)``: maintains a Bloom filter over
       the corpus band keys (``<index_dir>/bloom`` parquet,
       ``operators/bloom.py`` geometry) as the CHEAP pre-gate: each
@@ -325,6 +375,11 @@ def streaming_ingest_dedup(
             raise ValueError(
                 "index_dir has no index yet — pass corpus to bootstrap"
             )
+        if key_buckets == "auto":
+            # band rows = corpus docs × bands EXACTLY (each doc emits
+            # one key per band), so one cheap corpus count sizes the
+            # layout without recomputing the shingle pass
+            key_buckets = auto_key_buckets(corpus.count() * bands)
         save_corpus_dedup_index(
             corpus_dedup_index(
                 corpus, id_col, text_col, k, num_perm, bands, hash_method
@@ -332,6 +387,8 @@ def streaming_ingest_dedup(
             index_dir,
             key_buckets=key_buckets,
         )
+    elif key_buckets == "auto":
+        key_buckets = None  # opening an existing index: stored layout wins
 
     # ---- optional Bloom pre-gate state --------------------------------
     # Two regimes, split at the compact-probe size domain (bloom.py):
@@ -344,6 +401,23 @@ def streaming_ingest_dedup(
     bloom_state: dict[int, int] | None = None
     bloom_dir = os.path.join(index_dir, "bloom")
     bloom_meta = os.path.join(index_dir, "bloom_meta.json")
+    if bloom_gate == "auto":
+        if os.path.exists(bloom_meta):
+            # a persisted filter exists: ADOPT its geometry — re-deriving
+            # from a since-grown index would compute a different (m, h)
+            # and refuse its own filter
+            with open(bloom_meta) as fh:
+                stored = json.load(fh)
+            bloom_gate = (stored["m_bits"], stored["n_hashes"])
+        else:
+            # size from the index's own band table (one bounded count at
+            # stream start; the filter is built from these same rows)
+            n_rows = (
+                (corpus if corpus is not None else batches)
+                .sparkSession.read.parquet(os.path.join(index_dir, "bands"))
+                .count()
+            )
+            bloom_gate = auto_bloom_geometry(n_rows)
     bloom_compact = (
         bloom_gate is not None and bloom_gate[0] // 64 <= _BLOOM_COMPACT_WORDS
     )

@@ -983,3 +983,102 @@ def test_bloom_gate_large_filter_spark_side_path(spark, tmp_path):
     bids = sorted(seen)
     assert seen[bids[0]] == 0   # novel: short-circuited
     assert seen[bids[1]] >= 1   # its copy: caught via the grown filter+index
+
+
+def test_auto_gate_configuration_two_tiers():
+    """The auto knobs resolve from the index's own stats at the
+    thresholds the probes established (round-6 verdict stretch): a
+    local-tier index stays FLAT with a compact-domain filter; a
+    10^9-doc-regime index gets the bucketed layout at ~4M rows per
+    partition and a Spark-side filter geometry."""
+    from sparkdiff.operators.bloom import bloom_size
+    from sparkdiff.streaming.validate import (
+        _AUTO_BLOOM_FPP,
+        _AUTO_BLOOM_HEADROOM,
+        _BLOOM_COMPACT_WORDS,
+        auto_bloom_geometry,
+        auto_key_buckets,
+    )
+
+    # local tier: sf0.1 documents x 16 bands ~ 1M band rows
+    assert auto_key_buckets(16 * 60_000) is None
+    m, h = auto_bloom_geometry(16 * 60_000)
+    assert m % 64 == 0 and h >= 1
+    assert (m, h) == bloom_size(_AUTO_BLOOM_HEADROOM * 16 * 60_000, _AUTO_BLOOM_FPP)
+
+    # heavy tier: 10^9 docs x 16 bands
+    n = 16 * 10**9
+    kb = auto_key_buckets(n)
+    assert kb is not None and kb & (kb - 1) == 0  # power of two
+    assert n / kb <= 8_000_000  # ceil'd log2: at most 2x the 4M target
+    m, h = auto_bloom_geometry(10**9)
+    assert m // 64 > _BLOOM_COMPACT_WORDS  # Spark-side regime
+    assert m % 64 == 0 and h >= 1
+
+    # tiny index: floor keeps bloom_size's domain valid
+    assert auto_bloom_geometry(0) == bloom_size(1024, _AUTO_BLOOM_FPP)
+
+
+def test_streaming_ingest_dedup_auto_gate(spark, tmp_path):
+    """bloom_gate='auto' + key_buckets='auto' end-to-end: bootstrap
+    derives the filter geometry from the band table and the flat layout
+    from the band-row count; a RESTART adopts the stored geometry (no
+    re-derive, no refuse); gate semantics are unchanged (novel batch
+    short-circuits, a later duplicate of an admitted doc is caught)."""
+    import json
+    import os
+
+    from sparkdiff.operators.dedup import index_key_buckets
+    from sparkdiff.streaming.validate import (
+        auto_bloom_geometry,
+        streaming_ingest_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 17 == 0).limit(40)
+    novel = spark.createDataFrame(
+        [(920_001, "vq zx jw kq xz wj qv zk " * 8)],
+        "doc_id long, text string",
+    )
+    dup_of_novel = novel.withColumn("doc_id", F.col("doc_id") + 500)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    seen: dict[int, int] = {}
+
+    def collect(pairs, bid):
+        seen[bid] = pairs.count()
+
+    def run_all(ckpt):
+        stream = spark.readStream.schema(novel.schema).parquet(src)
+        q = (
+            streaming_ingest_dedup(
+                stream, corpus, "doc_id", "text", collect,
+                threshold=0.6, index_dir=idx,
+                key_buckets="auto", bloom_gate="auto",
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    novel.coalesce(1).write.mode("append").parquet(src)
+    run_all("ckpt")
+    # local tier resolves to the flat layout...
+    assert index_key_buckets(idx) is None
+    # ...and the filter geometry equals the derivation from the band
+    # table's own row count at bootstrap time
+    n_band_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
+    with open(os.path.join(idx, "bloom_meta.json")) as fh:
+        meta = json.load(fh)
+    # bootstrap sized BEFORE the batch was admitted; the admitted batch
+    # then appended its own band keys — derive from the corpus side
+    n_corpus_rows = n_band_rows - novel.count() * 16
+    expect = auto_bloom_geometry(n_corpus_rows)
+    assert (meta["m_bits"], meta["n_hashes"]) == tuple(expect)
+
+    dup_of_novel.coalesce(1).write.mode("append").parquet(src)
+    run_all("ckpt")  # restart: 'auto' adopts the stored geometry
+    bids = sorted(seen)
+    assert seen[bids[0]] == 0  # novel batch short-circuited
+    assert seen[bids[1]] >= 1  # its duplicate caught after the filter grew
