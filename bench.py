@@ -174,7 +174,12 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
-    here = os.path.dirname(os.path.abspath(__file__))
+    # artifact directory override: lets tests (and local experiments)
+    # write BENCH_DETAIL*.json somewhere other than the repo root, whose
+    # archives are round evidence a stray run must not clobber
+    here = os.environ.get("SPARKDIFF_BENCH_DIR") or os.path.dirname(
+        os.path.abspath(__file__)
+    )
     # Per-round archive round number: BENCH_DETAIL.json is overwritten by
     # every bench run, which erased round-4's per-query medians — so each
     # run ALSO writes BENCH_DETAIL_r<N>.json, N from $SPARKDIFF_BENCH_ROUND
@@ -193,7 +198,8 @@ def main() -> None:
         rnd = str(max(recorded, default=0) + 1)
 
     # END-OF-RUN RE-TIME PASS: queries whose median moved >1.5x vs the
-    # previous round's archive get one more isolated measurement (caches
+    # previous round's FULL archive (partial SPARK_GRAFT_BENCH_ONLY runs
+    # never write archives) get one more isolated measurement (caches
     # cleared, forced GC, nothing else running in the session) so the
     # artifact itself says whether the move was in-run noise or real.
     prev_round, prev_medians = _prev_round_medians(here, int(rnd))
@@ -208,7 +214,7 @@ def main() -> None:
         ),
         key=lambda kv: -kv[1],
     )[:10]
-    if movers and not only:
+    if movers:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         for name, official_ratio in movers:
@@ -260,8 +266,14 @@ def main() -> None:
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
-    with open(os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    # the per-round archive is ROUND EVIDENCE — only a FULL run may
+    # write it (an ad-hoc SPARK_GRAFT_BENCH_ONLY run used to clobber the
+    # round's full archive with a partial one)
+    if not only:
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
     # stdout gets a compact line only (the driver's tail capture is small);
     # everything else lives in BENCH_DETAIL.json.
     compact = {

@@ -85,6 +85,67 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: Mapping[str, float],
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: a plain :func:`hash_split` keyed on doc id puts two
+    near-identical documents on opposite sides with probability
+    ~2·p·(1−p) each — silent eval contamination.  Here the split key is
+    the document's near-dup FAMILY (the minimum member id of its
+    connected component in the MinHash-LSH pair graph; singletons are
+    their own family), so every member of a duplicate family lands in
+    the same split by construction.
+
+    Returns the input plus ``family`` (long) and ``split_col``.
+
+    Scale shape: pairs come from the banded LSH join
+    (:func:`~sparkdiff.operators.dedup.near_dup_pairs` — batch×corpus
+    band buckets, never n²); families from alternating
+    large-star/small-star connected components
+    (:func:`~sparkdiff.operators.cluster.connected_components`,
+    O(log n) rounds, eager fixpoint — construction launches jobs); the
+    split itself is one pure column expression over ``family``.  The
+    family join is a long-keyed equi join AQE broadcasts when the paired
+    set is small (near-dup families are a sliver of a deduped corpus).
+
+    Extends the curation family of SURVEY.md §6 (no reference
+    counterpart — the reference has no corpus pipeline); the standard
+    remedy for eval leakage through duplicates (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better")."""
+    from sparkdiff.operators.cluster import connected_components
+    from sparkdiff.operators.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        df, id_col, text_col, threshold, k, num_perm, bands, hash_method
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        df.join(
+            comps.select(
+                F.col("id").alias(id_col), F.col("component").alias("_cc_fam")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "family", F.coalesce(F.col("_cc_fam"), F.col(id_col).cast("long"))
+        )
+        .drop("_cc_fam")
+    )
+    return hash_split(labeled, "family", weights, seed, split_col)
+
+
 def weighted_domain_sample(
     df: DataFrame,
     key: str,

@@ -4248,6 +4248,54 @@ words{j} AS MATERIALIZED (
 ORACLES["q148_bpe_batched"] = _q148_oracle(16, 8)
 
 
+# q149: leakage-safe split — q25's pair replay feeds q65's recursive
+# min-label CC; families coalesce to own id for singletons; the split is
+# the md5 unit-variate CASE with EXACTLY-representable bounds (0.75,
+# 0.875), so both engines compare identical doubles.
+ORACLES["q149_leakage_safe_split"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["q25_minhash_neardup"]}),
+    corpus AS (
+        SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id FROM documents WHERE doc_id % 25 = 0
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, c.comp
+        FROM cc c JOIN edges e ON e.src = c.id
+        WHERE c.comp < e.dst
+    ),
+    labels AS (SELECT id, MIN(comp) AS fam FROM cc GROUP BY id),
+    fam AS (
+        SELECT c.doc_id, COALESCE(l.fam, c.doc_id) AS family
+        FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+    ),
+    sized AS (
+        SELECT family, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM fam GROUP BY family
+    ),
+    u AS (
+        SELECT doc_id, family,
+               (CAST(('0x' || substr(md5(CAST(family AS VARCHAR)
+                      || 'split-v1'), 1, 15)) AS BIGINT) % 1000000)
+                   / 1000000.0 AS u
+        FROM fam
+    )
+    SELECT s.doc_id, CAST(s.family AS BIGINT) AS family, z.family_size,
+           CASE WHEN u < 0.75 THEN 'train'
+                WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u s JOIN sized z USING (family)
+"""
+
+
 def _q147_oracle() -> str:
     """q147: per-source shingle sets (the q25 word-shingle CTEs keyed
     by source), exact pair intersections over distinct (source,

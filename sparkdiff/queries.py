@@ -4946,6 +4946,46 @@ def q148_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(toks, "token", rounds=16, batch_size=8)
 
 
+def q149_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every near-dup FAMILY lands on
+    one side of the boundary (``operators/sampling.leakage_safe_split``
+    — pairs from the banded LSH join, families from large-star/
+    small-star CC, split keyed on the family id).  Runs on the q25
+    corpus (injected near-dups at doc_id+20000) so families are
+    non-trivial, with q25's md5 hash method so the oracle replays
+    pairs → CC (q65's recursive min-label propagation) → family
+    coalesce → the md5 unit-variate split chain value-for-value.
+    Split weights 75/12.5/12.5 make every cumulative bound (0.75,
+    0.875) EXACTLY representable in binary, so the Spark WHEN chain and
+    the SQL CASE compare bit-identical doubles.  ``family_size`` is
+    joined on so the oracle check exercises the transitive closure, not
+    just the labels.  Construction-eager by design (the CC fixpoint)."""
+    from sparkdiff.operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    out = leakage_safe_split(
+        corpus,
+        "doc_id",
+        "text",
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        threshold=0.6,
+        hash_method="md5",
+        seed="split-v1",
+    )
+    sizes = out.groupBy("family").agg(
+        F.count(F.lit(1)).cast("long").alias("family_size")
+    )
+    return out.join(sizes, "family").select(
+        "doc_id", F.col("family").cast("long").alias("family"), "family_size", "split"
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5095,4 +5135,5 @@ QUERIES: dict[str, callable] = {
     "q146_bpe_compression": q146_bpe_compression,
     "q147_source_overlap": q147_source_overlap,
     "q148_bpe_batched": q148_bpe_batched,
+    "q149_leakage_safe_split": q149_leakage_safe_split,
 }

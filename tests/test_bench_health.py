@@ -57,3 +57,52 @@ def test_prev_round_medians_picks_latest_before_current(tmp_path):
     assert prev_round == 5 and meds == {"q01": 1.0}
     # no earlier archive -> empty base, retime pass becomes a no-op
     assert _prev_round_medians(str(tmp_path), 5) == (None, {})
+
+
+def test_bench_retime_wiring_end_to_end(tmp_path):
+    """The full self-qualification loop in a sandboxed artifact dir:
+    a fabricated previous-round archive with tiny medians forces every
+    measured query to read as a >1.5x mover, so the end-of-run re-time
+    pass must fire and brand each with a verdict; host_health must be
+    present; the per-round archive must NOT be written by a partial
+    (SPARK_GRAFT_BENCH_ONLY) run."""
+    import subprocess
+
+    prev = {
+        "queries_detail": {
+            "q01_pricing_summary": {"median": 0.0001},
+            "q46_lineitem_diff": {"median": 0.0001},
+        }
+    }
+    with open(tmp_path / "BENCH_DETAIL_r06.json", "w") as fh:
+        json.dump(prev, fh)
+    env = dict(
+        os.environ,
+        SPARKDIFF_BENCH_DIR=str(tmp_path),
+        SPARKDIFF_BENCH_ROUND="7",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_N="1",
+        SPARK_GRAFT_BENCH_ONLY="q01_pricing_summary,q46_lineitem_diff",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    compact = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert compact["n_retimed"] == 2
+    assert compact["steal_pct"] is not None
+    with open(tmp_path / "BENCH_DETAIL.json") as fh:
+        detail = json.load(fh)
+    assert detail["host_health"]["available"] is True
+    assert set(detail["retimes"]) == {
+        "q01_pricing_summary", "q46_lineitem_diff",
+    }
+    for r in detail["retimes"].values():
+        assert r["prev_round"] == 6
+        assert r["verdict"] == "confirmed"  # vs a fabricated 0.1ms median
+        assert r["isolated_median"] > 0
+    # partial runs must not write the round archive
+    assert not (tmp_path / "BENCH_DETAIL_r07.json").exists()

@@ -59,6 +59,9 @@ EAGER_BY_DESIGN = {
     # q148: batched BPE — one bounded want*4-row collect per job at
     # construction (the batch argmax; q138's documented convention)
     "q148_bpe_batched",
+    # q149: family labels come from the connected-components fixpoint
+    # (same eager loop as q65/q113)
+    "q149_leakage_safe_split",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
@@ -146,6 +149,7 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q142_substring_selfdedup": "span table feeds excision AND digest",
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
     "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
+    "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
 }
 
 

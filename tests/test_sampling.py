@@ -399,3 +399,47 @@ def test_priority_sample_integral_doubles_match_longs(spark):
         for r in priority_sample(with_null, "doc_id", "w", k=3).collect()
     )
     assert got == [1, 3]
+
+
+def test_leakage_safe_split_no_family_straddles_boundary(spark):
+    """The operator's whole contract: for EVERY verified near-dup pair,
+    both ends land in the same split; transitively-linked chains (A~B~C
+    with A!~C) also stay together, because the key is the connected
+    component, not the pair.  A plain doc_id hash_split on the same
+    corpus demonstrably leaks (sanity check that the test data could
+    catch a violation at all)."""
+    from sparkdiff.operators.dedup import near_dup_pairs
+    from sparkdiff.operators.sampling import hash_split, leakage_safe_split
+
+    d = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    out = leakage_safe_split(
+        corpus, "doc_id", "text", w, threshold=0.6, seed="t"
+    ).persist()
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    fam_of = {r.doc_id: r.family for r in out.collect()}
+    out.unpersist()
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(corpus, "doc_id", "text", 0.6).collect()
+    ]
+    assert len(pairs) > 20  # the injected dups must actually pair up
+    for a, b in pairs:
+        assert fam_of[a] == fam_of[b], f"pair ({a},{b}) split across families"
+        assert split_of[a] == split_of[b], f"pair ({a},{b}) leaked across splits"
+    # sanity: the naive doc-keyed split WOULD leak on this corpus
+    naive = {
+        r.doc_id: r.split
+        for r in hash_split(corpus, "doc_id", w, seed="t").collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in pairs), (
+        "test corpus cannot demonstrate leakage — strengthen the fixture"
+    )
+    # all three splits are populated (weights are far from degenerate)
+    assert {s for s in split_of.values()} == {"train", "val", "test"}
