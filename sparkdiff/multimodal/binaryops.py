@@ -6,9 +6,11 @@ The container has no image/audio libraries, so rich-codec decode math
 (JPEG/PNG/video) is stubbed (deterministic fake, or an ImportError-
 documented PIL path) — but everything Spark-side is real and tested:
 schemas, batch iteration, partitioning behavior, and output shapes.
-The shipped ``"pure"`` codec is a REAL decoder with the standard
-library only (binary PPM + BMP container parsing), so the
-"swap one function" claim is exercised end-to-end in CI, not asserted.
+Two codecs are REAL with the standard library only, so the "swap one
+function" claim is exercised end-to-end in CI, not asserted: the
+``"pure"`` image codec (binary PPM + BMP container parsing) and
+:func:`decode_wav_audio` (RIFF/WAV via the ``wave`` module, with
+integer signal statistics computed from the actual PCM frames).
 
 Scale notes: binary payloads ride the Arrow channel in batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
@@ -224,6 +226,136 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, mime string, content binary, width int, height int, "
+    "resized boolean"
+)
+
+
+def resize_images(assets: DataFrame, max_dim: int) -> DataFrame:
+    """REAL image resizing with the standard library + numpy only:
+    binary-PPM (``P6``) payloads whose longest side exceeds ``max_dim``
+    are downscaled by nearest-neighbor sampling (parse header → reshape
+    the actual pixel bytes → integer index-sample both axes → re-emit a
+    valid P6 container); everything else passes through untouched with
+    ``resized = false`` — including images already within bounds,
+    non-PPM formats (the PIL hook's job), and malformed payloads (never
+    an executor crash).  Aspect ratio is preserved (ceil-scaled so the
+    longest side lands on ``max_dim`` exactly, the other ≥ 1).
+
+    This is the normalize-before-training resize of a multimodal
+    pipeline; like the other codecs it is a stateless Arrow-batched
+    ``mapInPandas`` — parallel over partitions, no shuffle, peak memory
+    bounded by the Arrow batch size."""
+    if max_dim < 1:
+        raise ValueError(f"max_dim must be >= 1, got {max_dim}")
+    import re
+
+    ppm_header = re.compile(rb"^(P6\s+(\d+)\s+(\d+)\s+(\d+)\s)")
+
+    def one(c: bytes) -> tuple[bytes, int | None, int | None, bool]:
+        m = ppm_header.match(c or b"")
+        if not m:
+            return c, None, None, False
+        w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+        body = c[len(m.group(1)):]
+        if w < 1 or h < 1 or maxval > 255 or len(body) < 3 * w * h:
+            return c, None, None, False
+        if max(w, h) <= max_dim:
+            return c, w, h, False
+        scale = max(w, h) / max_dim
+        nw = max(1, round(w / scale))
+        nh = max(1, round(h / scale))
+        px = np.frombuffer(body[: 3 * w * h], dtype=np.uint8).reshape(h, w, 3)
+        ys = (np.arange(nh) * h) // nh
+        xs = (np.arange(nw) * w) // nw
+        out = px[ys][:, xs]
+        header = f"P6\n{nw} {nh}\n{maxval}\n".encode()
+        return header + out.tobytes(), nw, nh, True
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf["content"].map(lambda c: one(bytes(c) if c else b""))
+            out = pd.DataFrame(
+                rows.tolist(), columns=["content", "width", "height", "resized"]
+            ).astype({"resized": bool})
+            out.insert(0, "mime", pdf["mime"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "asset_id long, mime string, n_bytes long, sample_rate int, "
+    "n_channels int, sample_width int, n_samples long, duration_ms long, "
+    "peak int, rms_milli long, clip_per_mille long"
+)
+
+
+def decode_wav_audio(assets: DataFrame) -> DataFrame:
+    """REAL audio decoding with the standard library only: parses RIFF/WAV
+    containers (``wave`` module) and computes signal statistics from the
+    actual PCM frames — the audio counterpart of the ``"pure"`` image
+    codec, so the decode→stats path runs end-to-end in any container
+    (PIL/libav remain the hooks for rich formats).
+
+    Per asset: container fields (sample_rate, channels, width, samples,
+    duration) plus 16-bit-PCM stats in INTEGER form so results are
+    partitioning- and engine-independent — ``peak`` = max |sample|,
+    ``rms_milli`` = floor(1000·sqrt(Σs²/n)) (exact integer sum of
+    squares, one correctly-rounded sqrt), ``clip_per_mille`` = clipped
+    samples (|s| ≥ 32767) per 1000.  Malformed/non-WAV payloads and
+    non-16-bit widths decode to NULL stats, never an executor crash.
+
+    Scale shape: stateless Arrow-batched ``mapInPandas`` — parallel over
+    partitions, no shuffle; per-batch peak memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import io
+    import math
+    import wave
+
+    def stats(c: bytes) -> tuple:
+        try:
+            with wave.open(io.BytesIO(c)) as w:
+                rate, ch, width, n = (
+                    w.getframerate(),
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    w.getnframes(),
+                )
+                frames = w.readframes(n)
+        except (wave.Error, EOFError, OSError):
+            return (None,) * 8
+        dur = (n * 1000) // rate if rate else None
+        if width != 2 or not frames:
+            return (rate, ch, width, n * ch, dur, None, None, None)
+        s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        sumsq = int((s * s).sum())
+        peak = int(np.abs(s).max())
+        rms_milli = math.floor(1000.0 * math.sqrt(sumsq / len(s)))
+        clip = int((np.abs(s) >= 32767).sum()) * 1000 // len(s)
+        return (rate, ch, width, len(s), dur, peak, rms_milli, clip)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"].map(lambda c: bytes(c) if c else b"")
+            rows = content.map(stats)
+            out = pd.DataFrame(
+                rows.tolist(),
+                columns=[
+                    "sample_rate", "n_channels", "sample_width", "n_samples",
+                    "duration_ms", "peak", "rms_milli", "clip_per_mille",
+                ],
+            ).astype("object")
+            out.insert(0, "n_bytes", content.map(len))
+            out.insert(0, "mime", pdf["mime"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(op, schema=AUDIO_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n: int = 5) -> DataFrame:

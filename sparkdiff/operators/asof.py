@@ -107,6 +107,10 @@ def range_join_bucketed(
         F.floor((lms + F.lit(lower_ms)) / F.lit(bucket_ms)),
         F.floor((lms + F.lit(upper_ms)) / F.lit(bucket_ms)),
     )
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(left, ("_lms", "_bucket"), "range_join")
+    reserve_columns(right, ("_rms", "_bucket"), "range_join")
     l = left.withColumn("_lms", lms).withColumn(
         "_bucket", F.explode(l_buckets)
     )

@@ -41,6 +41,9 @@ def pack_concat_chunks(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_tok", "_shard", "_cum"), "pack_concat_chunks")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     shard = (
         F.lit(0)

@@ -126,6 +126,12 @@ def leakage_safe_split(
     from sparkdiff.operators.cluster import connected_components
     from sparkdiff.operators.dedup import near_dup_pairs
 
+    clash = {"family", "_cc_fam", split_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"leakage_safe_split writes columns {sorted(clash)} that already "
+            "exist on the input frame; rename or drop them first"
+        )
     pairs = near_dup_pairs(
         df, id_col, text_col, threshold, k, num_perm, bands, hash_method
     )
@@ -224,6 +230,9 @@ def shuffle_shards(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     from pyspark.sql import Window
 
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_h",), "shuffle_shards")
     c = F.col(key)
     h = F.md5(F.concat(c.cast("string"), F.lit(seed)))
     hi = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
@@ -267,6 +276,9 @@ def stratified_sample(
         16,
         10,
     ).cast("long")
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_h",), "stratified_sample")
     w = Window.partitionBy(*strata).orderBy(F.col("_h"), F.col(key))
     return (
         df.withColumn("_h", h)
@@ -318,6 +330,13 @@ def systematic_weighted_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(
+        df,
+        ("_u", "_pid", "_lc", "_s", "_minw", "_off", "_cum", "_c0"),
+        "systematic_weighted_sample",
+    )
     wv = F.col(weight_col).cast("long")
     base = df.withColumn("_u", unit_hash(key, seed))
     part = base.repartitionByRange(F.col("_u"), F.col(key)).withColumn(
@@ -441,6 +460,9 @@ def priority_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_rn", "_tau"), "priority_sample")
     from pyspark.sql import Window
 
     wd = F.col(weight_col).cast("double")

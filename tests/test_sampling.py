@@ -443,3 +443,49 @@ def test_leakage_safe_split_no_family_straddles_boundary(spark):
     )
     # all three splits are populated (weights are far from degenerate)
     assert {s for s in split_of.values()} == {"train", "val", "test"}
+
+
+def test_internal_temp_columns_raise_on_collision(spark):
+    """The bloom_probe '_k' bug class (ADVICE r6), pinned across every
+    operator that decorates a CALLER frame with underscore temporaries
+    and drops them: a caller column of the same name must raise loudly,
+    never be silently overwritten and deleted."""
+    from sparkdiff.operators.asof import range_join_bucketed
+    from sparkdiff.operators.packing import pack_concat_chunks
+    from sparkdiff.operators.sampling import (
+        leakage_safe_split,
+        priority_sample,
+        shuffle_shards,
+        stratified_sample,
+        systematic_weighted_sample,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "s", 5, "x")], "doc_id long, source string, w long, _h string"
+    )
+    with pytest.raises(ValueError, match="_h"):
+        shuffle_shards(base, "doc_id", 4)
+    with pytest.raises(ValueError, match="_h"):
+        stratified_sample(base, ["source"], "doc_id", 1)
+    with pytest.raises(ValueError, match="_u"):
+        systematic_weighted_sample(
+            base.withColumnRenamed("_h", "_u"), "doc_id", "w", 2
+        )
+    with pytest.raises(ValueError, match="_rn"):
+        priority_sample(base.withColumnRenamed("_h", "_rn"), "doc_id", "w", 2)
+    with pytest.raises(ValueError, match="family"):
+        leakage_safe_split(
+            base.withColumnRenamed("_h", "family"),
+            "doc_id", "source", {"a": 0.5, "b": 0.5},
+        )
+    with pytest.raises(ValueError, match="_tok"):
+        pack_concat_chunks(
+            base.withColumnRenamed("_h", "_tok"), "doc_id", "w", 16
+        )
+    ts = spark.createDataFrame(
+        [(1, 0, "a")], "k long, ts long, _bucket string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="_bucket"):
+        range_join_bucketed(
+            ts, ts.drop("_bucket"), "k", "ts", "ts", -1000, 1000
+        )

@@ -1082,3 +1082,118 @@ def test_streaming_ingest_dedup_auto_gate(spark, tmp_path):
     bids = sorted(seen)
     assert seen[bids[0]] == 0  # novel batch short-circuited
     assert seen[bids[1]] >= 1  # its duplicate caught after the filter grew
+
+
+def test_decode_wav_audio_real_pcm_stats(spark):
+    """The stdlib WAV codec parses REAL RIFF containers and computes
+    signal stats from the actual PCM frames: a synthesized 16-bit ramp
+    whose exact integer stats the test derives independently, a stereo
+    clip, a non-16-bit width (header fields real, stats NULL), and a
+    malformed payload (all NULL) — never an executor crash."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from sparkdiff.multimodal.binaryops import decode_wav_audio
+
+    def wav_bytes(samples, rate=8000, ch=1, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+            else:
+                w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    # 1024-sample ramp plus a 64-sample clipped plateau (|s| >= 32767)
+    ramp = list(range(-32768, 32768, 64)) + [32767] * 64
+    stereo = [100, -200] * 500
+    rows = [
+        (1, "audio/wav", wav_bytes(ramp), None),
+        (2, "audio/wav", wav_bytes(stereo, rate=16000, ch=2), None),
+        (3, "audio/wav", wav_bytes(b"\x01\x02\x03\x04", width=1), None),
+        (4, "audio/wav", b"not a wav at all", None),
+        (5, "audio/wav", None, None),
+    ]
+    from sparkdiff.multimodal.binaryops import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r for r in decode_wav_audio(assets).collect()}
+    assert len(got) == 5
+
+    s = np.asarray(ramp, dtype=np.int64)
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_channels, r1.sample_width) == (8000, 1, 2)
+    assert r1.n_samples == len(ramp)
+    assert r1.duration_ms == len(ramp) * 1000 // 8000
+    assert r1.peak == 32768
+    assert r1.rms_milli == math.floor(
+        1000.0 * math.sqrt(int((s * s).sum()) / len(s))
+    )
+    assert r1.clip_per_mille == int((np.abs(s) >= 32767).sum()) * 1000 // len(s)
+    assert r1.clip_per_mille > 0
+
+    r2 = got[2]
+    assert (r2.sample_rate, r2.n_channels) == (16000, 2)
+    assert r2.n_samples == 1000  # interleaved samples across channels
+    assert r2.peak == 200 and r2.clip_per_mille == 0
+
+    r3 = got[3]  # 8-bit width: container fields real, PCM stats NULL
+    assert r3.sample_width == 1 and r3.sample_rate == 8000
+    assert r3.peak is None and r3.rms_milli is None
+
+    for aid in (4, 5):  # malformed / NULL payloads: all-NULL decode
+        r = got[aid]
+        assert r.sample_rate is None and r.peak is None
+        assert r.n_bytes == (0 if aid == 5 else len(b"not a wav at all"))
+
+
+def test_resize_images_real_ppm_pixels(spark):
+    """The stdlib resize does REAL pixel math: an 8x4 P6 gradient
+    downscales to 4x2 by nearest-neighbor with exactly the pixels
+    integer index-sampling predicts (verified against an independent
+    numpy reference); in-bounds and malformed payloads pass through
+    untouched; the resized payload is itself a valid P6 the pure codec
+    re-decodes to the new dims."""
+    import numpy as np
+
+    from sparkdiff.multimodal.binaryops import (
+        ASSET_SCHEMA,
+        decode_assets,
+        resize_images,
+    )
+
+    w, h = 8, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    rows = [
+        (1, "image/x-portable-pixmap", ppm, None),
+        (2, "image/x-portable-pixmap", f"P6\n2 2\n255\n".encode() + bytes(12), None),
+        (3, "image/png", b"\x89PNG not really parsed", None),
+        (4, "image/x-portable-pixmap", None, None),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r for r in resize_images(assets, 4).collect()}
+
+    r1 = got[1]
+    assert r1.resized and (r1.width, r1.height) == (4, 2)
+    ys, xs = (np.arange(2) * h) // 2, (np.arange(4) * w) // 4
+    expect = px[ys][:, xs]
+    assert bytes(r1.content) == b"P6\n4 2\n255\n" + expect.tobytes()
+    # the resized payload is a valid P6 the pure codec re-decodes
+    redec = decode_assets(
+        spark.createDataFrame([(1, r1.mime, bytes(r1.content), None)], ASSET_SCHEMA),
+        codec="pure",
+    ).collect()[0]
+    assert (redec.width, redec.height) == (4, 2)
+
+    assert not got[2].resized and (got[2].width, got[2].height) == (2, 2)
+    assert bytes(got[2].content) == bytes(rows[1][2])  # untouched
+    assert not got[3].resized and got[3].width is None
+    assert bytes(got[3].content) == rows[2][2]
+    assert not got[4].resized and (got[4].content is None or bytes(got[4].content) == b"")
