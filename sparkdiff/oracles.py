@@ -4248,6 +4248,108 @@ words{j} AS MATERIALIZED (
 ORACLES["q148_bpe_batched"] = _q148_oracle(16, 8)
 
 
+# q150: quantized-ANN recall — the exact ranking is q24's float fold
+# verbatim; the quantized ranking is pure integer arithmetic (long dot +
+# sums of squares) with one sqrt·sqrt·divide at the end, so the only
+# float-sensitive sequence is copied, not re-derived.
+ORACLES["q150_quantized_ann"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    exact AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC
+            ) AS rank
+            FROM (
+                SELECT query_id, corpus_id,
+                       CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                            ELSE d / (nq * nc) END AS cosine
+                FROM (
+                    SELECT query_id, corpus_id,
+                           list_reduce(
+                               list_prepend(0.0, list_transform(
+                                   generate_series(1, len(qv)),
+                                   i -> qv[i] * cv[i])),
+                               (acc, x) -> acc + x) AS d,
+                           sqrt(list_reduce(
+                               list_prepend(0.0, list_transform(qv, x -> x * x)),
+                               (acc, x) -> acc + x)) AS nq,
+                           sqrt(list_reduce(
+                               list_prepend(0.0, list_transform(cv, x -> x * x)),
+                               (acc, x) -> acc + x)) AS nc
+                    FROM c, q
+                )
+            )
+        ) WHERE rank <= 3
+    ),
+    qq AS (
+        SELECT query_id,
+               CASE WHEN mx > 0 THEN list_transform(qv,
+                        x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER))
+                    ELSE list_transform(qv, x -> 0) END AS qa
+        FROM (SELECT query_id, qv,
+                     list_max(list_transform(qv, x -> abs(x))) AS mx FROM q)
+    ),
+    qc AS (
+        SELECT corpus_id,
+               CASE WHEN mx > 0 THEN list_transform(cv,
+                        x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER))
+                    ELSE list_transform(cv, x -> 0) END AS qb
+        FROM (SELECT corpus_id, cv,
+                     list_max(list_transform(cv, x -> abs(x))) AS mx FROM c)
+    ),
+    qscored AS (
+        SELECT query_id, corpus_id,
+               CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+                    ELSE CAST(d AS DOUBLE)
+                         / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE)))
+               END AS qcos
+        FROM (
+            SELECT query_id, corpus_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           generate_series(1, len(qa)),
+                           i -> CAST(qa[i] AS BIGINT) * qb[i])),
+                       (acc, x) -> acc + x) AS d,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           qa, x -> CAST(x AS BIGINT) * x)),
+                       (acc, x) -> acc + x) AS sa,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           qb, x -> CAST(x AS BIGINT) * x)),
+                       (acc, x) -> acc + x) AS sb
+            FROM qc, qq
+        )
+    ),
+    qtop AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY qcos DESC, corpus_id ASC
+            ) AS qrank
+            FROM qscored
+        ) WHERE qrank <= 3
+    ),
+    ov AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM exact e JOIN qtop t USING (query_id, corpus_id)
+        GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           CAST((1000 * COALESCE(ov.n_overlap, 0)) // 3 AS BIGINT)
+               AS recall_milli
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN ov USING (query_id)
+"""
+
+
 # q149: leakage-safe split — q25's pair replay feeds q65's recursive
 # min-label CC; families coalesce to own id for singletons; the split is
 # the md5 unit-variate CASE with EXACTLY-representable bounds (0.75,

@@ -4986,6 +4986,74 @@ def q149_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN recall: per query, how much of the EXACT float
+    cosine top-k survives int8 quantization
+    (``operators/similarity.quantize_embeddings`` — symmetric
+    per-vector scale, 4× less memory/shuffle at corpus scale, and the
+    quantized similarity is EXACT integer arithmetic: long dot product
+    and sums of squares, one sqrt·sqrt·divide at the end).  Same
+    query/corpus slices as q24 (vec_id<10 broadcast against vec_id%5),
+    k=3; output = per-query overlap count and recall per mille — the
+    accept/reject evidence a pipeline needs before committing to the
+    quantized index.  The oracle replays both rankings value-for-value
+    (the q24 float fold verbatim; the integer path has no float-order
+    concerns at all)."""
+    from pyspark.sql import Window
+
+    from sparkdiff.operators.similarity import (
+        cosine_topk,
+        int_dot,
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") % 5 == 0)
+    exact = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", k=3)
+
+    qq = quantize_embeddings(q, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("qss").alias("sa"),
+    )
+    qc = quantize_embeddings(c, "vec_id", "embedding").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("qvec").alias("qb"),
+        F.col("qss").alias("sb"),
+    )
+    d = int_dot(F.col("qa"), F.col("qb"))
+    cos_q = F.when(
+        (F.col("sa") == 0) | (F.col("sb") == 0), F.lit(0.0)
+    ).otherwise(
+        d.cast("double")
+        / (F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double")))
+    )
+    scored = qc.join(F.broadcast(qq)).select(
+        "query_id", "corpus_id", cos_q.alias("qcos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("corpus_id"))
+    quant_topk = scored.withColumn("qrank", F.row_number().over(w)).filter(
+        F.col("qrank") <= 3
+    )
+    overlap = (
+        exact.select("query_id", "corpus_id")
+        .join(quant_topk.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.expr("(1000 * coalesce(n_overlap, 0)) div 3").alias("recall_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5136,4 +5204,5 @@ QUERIES: dict[str, callable] = {
     "q147_source_overlap": q147_source_overlap,
     "q148_bpe_batched": q148_bpe_batched,
     "q149_leakage_safe_split": q149_leakage_safe_split,
+    "q150_quantized_ann": q150_quantized_ann,
 }

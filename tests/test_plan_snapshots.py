@@ -58,6 +58,10 @@ def test_plan_signatures_match_snapshots(spark):
 # not an accidental quadratic join.
 _INTENTIONAL_NLJ = {
     "q24_cosine_topk",
+    # q150 replays q24's exact ranking (one 10-row query-set broadcast
+    # NLJ) plus the SAME shape on the int8 side; scale path is the
+    # LSH/IVF candidate generators feeding the quantized scorer.
+    "q150_quantized_ann",
     "q75_kmeans_embed",
     "q76_bm25_rank",
     # q81 broadcasts the 10-row query set with a label-inequality join

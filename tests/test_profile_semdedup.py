@@ -12,6 +12,8 @@ from sparkdiff.operators.similarity import (
     cosine_flat,
     dot,
     dot_flat,
+    int_dot,
+    quantize_embeddings,
     quantize_int8,
     semdedup,
 )
@@ -181,3 +183,34 @@ def test_ndv_encodings_agree_and_default_is_injective(spark):
         for r in profile_table(li, cols, ndv_encoding="hash").collect()
     }
     assert t == s == h
+
+
+def test_quantize_embeddings_codes_and_int_dot(spark):
+    """quantize_embeddings emits the codes (round half-up, per-vector
+    symmetric scale) plus the exact integer sum of squares; int_dot is
+    exact long arithmetic.  Hand-checkable vectors pin the rounding
+    convention; the zero vector maps to zero codes and qss=0."""
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25]),   # scale 127/1.0: [127, -63, 32]
+            (2, [0.0, 0.0]),          # zero vector -> zero codes
+            (3, [0.004, -0.002]),     # tiny but nonzero: [127, -63]
+        ],
+        "vec_id: long, v: array<double>",
+    )
+    q = {r.vec_id: r for r in quantize_embeddings(e, "vec_id", "v").collect()}
+    # round-half-up: -0.5*127 = -63.5 -> floor(-63.5+0.5) = -63
+    assert q[1].qvec == [127, -63, 32]
+    assert q[1].qss == 127 * 127 + 63 * 63 + 32 * 32
+    assert q[2].qvec == [0, 0] and q[2].qss == 0
+    # per-vector scale: max|v|=0.004 maps to 127 regardless of magnitude
+    assert q[3].qvec == [127, -63]
+    # int_dot: exact long arithmetic on the emitted codes
+    pairs = spark.createDataFrame(
+        [([127, -63, 32], [1, 2, 3]), ([0, 0, 0], [5, 6, 7])],
+        "a: array<int>, b: array<int>",
+    )
+    got = [
+        r.d for r in pairs.select(int_dot(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert got == [127 * 1 - 63 * 2 + 32 * 3, 0]
