@@ -854,3 +854,114 @@ def setsim_join(
         # comparison can
         .filter(inter * q >= union * p)
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    segment_words: int = 10,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-global keep-first SEGMENT dedup with in-place reassembly —
+    the paragraph-dedup stage of CCNet-style curation (Wenzek et al.
+    2020): every repeated paragraph survives only at its first corpus
+    occurrence; all later copies are cut and the documents are rebuilt
+    around the holes.
+
+    Segmenter: the document is split on ``sep`` and regrouped into
+    non-overlapping ``segment_words``-word chunks (position = chunk
+    index).  For prose with real paragraph breaks pre-split on the
+    break and pass ``segment_words=1, sep="\\n"`` — the fixed-width
+    word chunking is the segmenter for boundary-less text (the
+    synthetic corpus has no newlines).  Segments shorter than
+    ``min_chars`` characters are never dedup candidates (they pass
+    through, duplicated or not).
+
+    Keep-first is EXACT and total: the surviving occurrence is the
+    minimum ``(id, position)`` pair over the whole corpus (so
+    within-document repeats drop too).  Returns one row per input
+    document: ``(id_col, clean_text, n_segments, n_dropped,
+    n_chars_removed)`` — untouched documents pass through with zeros.
+
+    Scale shape: one shuffle to group occurrences by segment text
+    (map-side-combined ``min(struct(id, pos))`` — bounded state per
+    key), one co-partitioned equi-join of occurrences back to winners,
+    one ``groupBy(id)`` reassembly whose ``collect_list`` is bounded by
+    the DOCUMENT's own segment count (the excise_repeated_spans
+    argument, substring.py:179), never by the corpus.  No windows over
+    unpartitioned data, no driver collects.
+    """
+    from sparkdiff.operators._util import reserve_columns
+
+    if segment_words < 1:
+        raise ValueError(f"segment_words must be >= 1, got {segment_words}")
+    reserve_columns(docs, ("_pd_id", "_pd_words", "_pd_pos", "_pd_seg"), "paragraph_dedup")
+    w = segment_words
+    base = docs.select(
+        F.col(id_col).alias("_pd_id"),
+        F.split(F.col(text_col), sep, -1).alias("_pd_words"),
+    )
+    # _pd_words is referenced by BOTH the chunk-count sequence and the
+    # slice lambda: the multi-reference keeps CollapseProject from
+    # inlining split() into the per-element lambda (SCALE.md #1).
+    segs = base.select(
+        "_pd_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("_pd_words") - 1) / w).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice("_pd_words", i * w + 1, w), sep
+                ),
+            )
+        ).alias("_pd_pos", "_pd_seg"),
+    )
+    winners = (
+        segs.filter(F.length("_pd_seg") >= min_chars)
+        .groupBy("_pd_seg")
+        .agg(F.min(F.struct("_pd_id", "_pd_pos")).alias("_pd_first"))
+    )
+    # ONE left join covers both cases: short segments (filtered out of
+    # `winners`) get a NULL `_pd_first` and keep via the length clause;
+    # candidates keep iff they ARE the corpus-first occurrence.  Keeps
+    # the source scanned twice (segs + winners), not three times.
+    all_segs = segs.join(winners, "_pd_seg", "left").withColumn(
+        "_pd_keep",
+        (F.length("_pd_seg") < min_chars)
+        | (F.struct("_pd_id", "_pd_pos") == F.col("_pd_first")),
+    )
+    rebuilt = all_segs.groupBy("_pd_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_pd_keep"),
+                            F.struct("_pd_pos", "_pd_seg"),
+                        )
+                    )
+                ),
+                lambda s: s["_pd_seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum((~F.col("_pd_keep")).cast("long")).alias("n_dropped"),
+        F.sum(
+            F.when(~F.col("_pd_keep"), F.length("_pd_seg")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_chars_removed"),
+    )
+    return rebuilt.select(
+        F.col("_pd_id").alias(id_col),
+        "clean_text",
+        "n_segments",
+        "n_dropped",
+        "n_chars_removed",
+    )

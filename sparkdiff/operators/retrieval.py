@@ -67,10 +67,17 @@ def kmeans_assign(
     vec_col: str = "v",
     k: int = 4,
     iters: int = 2,
+    with_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic distributed Lloyd: seeds are the k smallest ids,
     runs ``iters`` assignment/update rounds, returns the final
     ``(id_col, cluster, dist)`` assignment.
+
+    ``with_centroids=True`` returns ``(assignment, centroids)`` where
+    ``centroids`` is the ``(cluster, _c array<double>)`` frame the LAST
+    assignment ranked against — the codebook a product-quantization
+    consumer needs alongside the codes (an ADC distance computed
+    against any OTHER round's centroids would not match the codes).
 
     The per-round shape survives 100 TB: centroids (k×d rows) broadcast
     against the vector table — the corpus never shuffles for assignment
@@ -95,10 +102,12 @@ def kmeans_assign(
         "cluster", (F.row_number().over(rank) - 1).cast("long")
     )
     assigned = None
+    cents_used = cents
     for _ in range(iters):
         rn = F.row_number().over(
             Window.partitionBy("_id").orderBy("dist", "cluster")
         )
+        cents_used = cents
         assigned = (
             e.crossJoin(F.broadcast(cents))
             .withColumn("dist", squared_l2("_v", "_c"))
@@ -123,9 +132,10 @@ def kmeans_assign(
                 / (t["n"] * F.lit(DYADIC_SCALE)).cast("double"),
             ).alias("_c")
         )
-    return assigned.select(
-        F.col("_id").alias(id_col), "cluster", "dist"
-    )
+    out = assigned.select(F.col("_id").alias(id_col), "cluster", "dist")
+    if with_centroids:
+        return out, cents_used
+    return out
 
 
 def ivf_topk_deterministic(
@@ -231,6 +241,120 @@ def ivf_topk_deterministic(
             F.col("rnk").cast("long").alias("rnk"),
             "corpus_id",
             "dist",
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al. 2011, TPAMI): split each
+    vector into ``m`` contiguous ``sub_dim``-dim subvectors and cluster
+    each subspace independently with the deterministic
+    :func:`kmeans_assign` Lloyd (dyadic-exact centroid updates, so the
+    whole codebook is SQL-replayable).  Returns ``(codes, codebook)``:
+    ``codes`` = one row per (vector, subspace) with the assigned
+    centroid id — the m·log2(k)-bit representation an ANN index stores
+    instead of ``m·sub_dim`` floats — and ``codebook`` =
+    ``(sub, cluster, _c array<double>)``, the centroids the FINAL
+    assignment ranked against (the table ADC lookups must use).
+
+    Scale shape: each subspace trains on a PROJECTION of the corpus
+    (slice is a per-row expression — no shuffle to form subvectors);
+    within a subspace the cost is :func:`kmeans_assign`'s (k×sub_dim
+    broadcast, map-side-combined updates).  ``m`` and ``k`` are small
+    constants; nothing grows superlinearly with the corpus.
+    """
+    if m < 1 or sub_dim < 1:
+        raise ValueError(f"m and sub_dim must be >= 1, got {m}, {sub_dim}")
+    codes = None
+    cents = None
+    base = vectors.select(
+        F.col(id_col).alias("_pqid"),
+        F.col(vec_col).cast("array<double>").alias("_pqv"),
+    )
+    for s in range(m):
+        sub = base.select(
+            F.col("_pqid").alias(id_col),
+            F.slice("_pqv", s * sub_dim + 1, sub_dim).alias("_sv"),
+        )
+        a, c = kmeans_assign(
+            sub, id_col, "_sv", k=k, iters=iters, with_centroids=True
+        )
+        cs = a.select(
+            id_col, F.lit(s).alias("sub"), F.col("cluster").alias("code")
+        )
+        cc = c.select(F.lit(s).alias("sub"), "cluster", "_c")
+        codes = cs if codes is None else codes.unionByName(cs)
+        cents = cc if cents is None else cents.unionByName(cc)
+    return codes, cents
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "v",
+    m: int = 4,
+    sub_dim: int = 16,
+    top_k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    a tiny per-subspace distance LOOKUP table against the codebook
+    (m·k rows per query — broadcast), corpus codes join the lookup by
+    ``(sub, code)``, and the per-vector ADC distance folds the m
+    subspace distances IN SUBSPACE ORDER (array_sort of the collected
+    (sub, d) structs → ordered aggregate), so the double sum is
+    bit-identical on any engine and any partitioning.  The corpus's
+    floats are never touched — only its integer codes move, the PQ
+    memory story at 100 TB scale.
+
+    Returns ``(query_id, rnk, id_col, adc)`` for the ``top_k`` nearest
+    codes per query (ties on distance break by corpus id).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    lookup = q.crossJoin(F.broadcast(codebook)).select(
+        "_qid",
+        "sub",
+        "cluster",
+        squared_l2(
+            F.slice("_qv", F.col("sub") * sub_dim + 1, sub_dim), F.col("_c")
+        ).alias("_d"),
+    )
+    joined = codes.join(
+        F.broadcast(lookup),
+        (codes["sub"] == lookup["sub"]) & (codes["code"] == lookup["cluster"]),
+    ).select(codes[id_col], codes["sub"], "_qid", "_d")
+    adc = joined.groupBy("_qid", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sub", "_d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_d"],
+        ).alias("adc")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_qid").orderBy("adc", id_col)
+    )
+    return (
+        adc.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("rnk").cast("long").alias("rnk"),
+            id_col,
+            "adc",
         )
     )
 

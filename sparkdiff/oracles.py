@@ -4248,6 +4248,43 @@ words{j} AS MATERIALIZED (
 ORACLES["q148_bpe_batched"] = _q148_oracle(16, 8)
 
 
+# q151: paragraph dedup — keep-first is replayed with a row_number
+# window (partition = the segment text itself, so each partition is
+# length-homogeneous and the `length < 20` always-keep clause composes
+# with the rank by plain OR); the Spark side's group-min(struct) is the
+# same total order (doc_id, pos).
+ORACLES["q151_paragraph_dedup"] = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+            SELECT doc_id, unnest(
+                list_transform(
+                    generate_series(0, CAST(floor((len(ws) - 1) / 10) AS INT)),
+                    i -> {'pos': i,
+                          'seg': array_to_string(ws[(i*10+1):(i*10+10)], ' ')}
+                )) AS u
+            FROM w)
+    ),
+    judged AS (
+        SELECT doc_id, pos, seg,
+               (length(seg) < 20 OR row_number() OVER (
+                    PARTITION BY seg ORDER BY doc_id, pos) = 1) AS keep
+        FROM flat
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list(seg ORDER BY pos) FILTER (WHERE keep), ' '), '')
+               AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN NOT keep THEN length(seg) END), 0)
+               AS BIGINT) AS n_chars_removed
+    FROM judged GROUP BY doc_id
+"""
+
+
 # q150: quantized-ANN recall — the exact ranking is q24's float fold
 # verbatim; the quantized ranking is pure integer arithmetic (long dot +
 # sums of squares) with one sqrt·sqrt·divide at the end, so the only
@@ -4348,6 +4385,159 @@ ORACLES["q150_quantized_ann"] = """
     FROM (SELECT DISTINCT query_id FROM exact) q
     LEFT JOIN ov USING (query_id)
 """
+
+
+def _pq_oracle(
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    n_queries: int = 8,
+    top: int = 5,
+) -> str:
+    """q152: per-subspace replay of ``retrieval.pq_encode``'s Lloyd
+    chains (the ``_kmeans_oracle`` recipe suffixed per subspace, 2
+    iterations fixed — codes come from the second assignment, the
+    codebook is the FIRST update's centroids, exactly what the Spark
+    side ranks against), then the ADC lookup join and the
+    subspace-ordered distance fold beside the exact full-dim L2 rank."""
+    scale = 8589934592  # 2^33, the dyadic centroid scale
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(v)), i -> (v[i] - c[i]) * (v[i] - c[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    full = m * sub_dim
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"lq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {n_queries})",
+    ]
+    code_sel, look_sel = [], []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(
+            f"e{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        ctes.append(
+            f"c0_{s} AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c "
+            f"FROM e{s} WHERE vec_id < {k})"
+        )
+        ctes.append(
+            f"""a1_{s} AS (
+            SELECT vec_id, cluster, v FROM (
+                SELECT e{s}.vec_id, c0_{s}.cluster, e{s}.v,
+                       row_number() OVER (
+                           PARTITION BY e{s}.vec_id
+                           ORDER BY {dist} ASC, c0_{s}.cluster ASC) AS rn
+                FROM e{s} CROSS JOIN c0_{s}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""s1_{s} AS (
+            SELECT cluster, i AS dim,
+                   SUM(CAST(floor(val * {scale}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM (
+                SELECT cluster, unnest(v) AS val,
+                       unnest(generate_series(1, len(v))) AS i
+                FROM a1_{s}
+            ) GROUP BY cluster, i
+        )"""
+        )
+        ctes.append(
+            f"""c1_{s} AS (
+            SELECT cluster,
+                   list(CAST(s AS DOUBLE) / CAST(n * {scale} AS DOUBLE)
+                        ORDER BY dim) AS c
+            FROM s1_{s} GROUP BY cluster
+        )"""
+        )
+        ctes.append(
+            f"""a2_{s} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e{s}.vec_id, c1_{s}.cluster,
+                       row_number() OVER (
+                           PARTITION BY e{s}.vec_id
+                           ORDER BY {dist} ASC, c1_{s}.cluster ASC) AS rn
+                FROM e{s} CROSS JOIN c1_{s}
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""lk_{s} AS (
+            SELECT lq.query_id, {s} AS sub, cb.cluster,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, {sub_dim}),
+                       i -> (lq.v[{lo - 1} + i] - cb.c[i])
+                            * (lq.v[{lo - 1} + i] - cb.c[i]))),
+                       (acc, x) -> acc + x) AS d
+            FROM lq CROSS JOIN c1_{s} cb
+        )"""
+        )
+        code_sel.append(
+            f"SELECT vec_id, {s} AS sub, cluster AS code FROM a2_{s}"
+        )
+        look_sel.append(f"SELECT * FROM lk_{s}")
+    ctes.append("codes AS (" + " UNION ALL ".join(code_sel) + ")")
+    ctes.append("lkp AS (" + " UNION ALL ".join(look_sel) + ")")
+    ctes.append(
+        """j AS (
+        SELECT lkp.query_id, codes.vec_id, lkp.sub, lkp.d
+        FROM codes JOIN lkp
+          ON codes.sub = lkp.sub AND codes.code = lkp.cluster
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+        SELECT query_id, vec_id,
+               list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                           (acc, x) -> acc + x) AS adc
+        FROM j GROUP BY query_id, vec_id
+    )"""
+    )
+    ctes.append(
+        f"""pqtop AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+            FROM adc
+        ) WHERE rn <= {top}
+    )"""
+    )
+    ctes.append(
+        f"""ex AS (
+        SELECT query_id, vec_id FROM (
+            SELECT lq.query_id, e.vec_id, row_number() OVER (
+                PARTITION BY lq.query_id ORDER BY
+                    list_reduce(list_prepend(0.0, list_transform(
+                        generate_series(1, {full}),
+                        i -> (e.v[i] - lq.v[i]) * (e.v[i] - lq.v[i]))),
+                        (acc, x) -> acc + x) ASC,
+                    e.vec_id ASC) AS rn
+            FROM e CROSS JOIN lq
+        ) WHERE rn <= {top}
+    )"""
+    )
+    ctes.append(
+        """ov AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ex JOIN pqtop USING (query_id, vec_id)
+        GROUP BY ex.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lq.query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           CAST((1000 * COALESCE(ov.n_overlap, 0)) // {top} AS BIGINT)
+               AS recall_milli
+    FROM lq LEFT JOIN ov ON lq.query_id = ov.query_id"""
+    )
+
+
+ORACLES["q152_pq_adc_recall"] = _pq_oracle()
 
 
 # q149: leakage-safe split — q25's pair replay feeds q65's recursive

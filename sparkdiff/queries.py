@@ -5054,6 +5054,88 @@ def q150_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-global paragraph dedup with reassembly
+    (`operators/dedup.paragraph_dedup`): documents are segmented into
+    non-overlapping 10-word chunks (the synthetic corpus has no
+    newline paragraph breaks), every chunk of >= 20 chars survives only
+    at its first (doc_id, position) occurrence corpus-wide, and each
+    document is rebuilt around the holes.  Output: per-doc clean text
+    plus segment/drop/chars-removed accounting.  Scale shape: one
+    map-side-combined group-min by segment text, one co-partitioned
+    join back, one per-doc reassembly whose state is bounded by the
+    document's own length — never corpus-sized buffers, no windows over
+    unpartitioned data."""
+    from sparkdiff.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(d, segment_words=10, min_chars=20)
+
+
+def q152_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall
+    (`operators/retrieval.pq_encode` + `pq_adc_topk`): the corpus's
+    64-dim embeddings compress to 4 subspace codes (4 centroids each,
+    deterministic dyadic-exact Lloyd — 8 bits/vector instead of 256
+    float bytes), queries rank the corpus by asymmetric distance
+    through a broadcast m×k lookup table, and the query reports how
+    much of the EXACT L2 top-5 the PQ ranking recovers (per mille).
+    Completes the ANN family (exact / LSH / IVF / int8 scalar / PQ).
+    The full pipeline — per-subspace codebooks, codes, lookup
+    distances, ADC fold, both rankings — is value-hash replayed by the
+    oracle."""
+    from pyspark.sql import Window
+
+    from sparkdiff.operators.retrieval import (
+        pq_adc_topk,
+        pq_encode,
+        squared_l2,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    codes, codebook = pq_encode(e, "vec_id", "v", m=4, sub_dim=16, k=4, iters=2)
+    pq_top = pq_adc_topk(
+        codes,
+        codebook,
+        q,
+        id_col="vec_id",
+        query_id_col="query_id",
+        vec_col="qv",
+        m=4,
+        sub_dim=16,
+        top_k=5,
+    )
+    exact_rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("dist", squared_l2("v", "qv"))
+        .withColumn("rnk", exact_rn)
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    overlap = (
+        exact.join(pq_top.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.expr("(1000 * coalesce(n_overlap, 0)) div 5").alias("recall_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5205,4 +5287,6 @@ QUERIES: dict[str, callable] = {
     "q148_bpe_batched": q148_bpe_batched,
     "q149_leakage_safe_split": q149_leakage_safe_split,
     "q150_quantized_ann": q150_quantized_ann,
+    "q151_paragraph_dedup": q151_paragraph_dedup,
+    "q152_pq_adc_recall": q152_pq_adc_recall,
 }

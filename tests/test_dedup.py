@@ -554,3 +554,53 @@ def test_bucketed_index_layout_roundtrip_and_prune(spark, tmp_path):
     sh, bk = load_corpus_dedup_index(spark, buck_dir)
     assert bk.filter(F.col("_id") >= 10_000).count() > 0
     assert index_key_buckets(buck_dir) == 256
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """Corpus-global keep-first at segment granularity: the first
+    (doc_id, pos) occurrence survives, later copies (cross-doc AND
+    within-doc) are cut, sub-min_chars segments always pass through,
+    and documents are rebuilt in position order around the holes."""
+    from sparkdiff.operators.dedup import paragraph_dedup
+
+    # segment_words=2: doc 1 = [ "alpha beta", "gamma delta", "alpha beta" ]
+    #                  doc 2 = [ "gamma delta", "epsilon zeta" ]
+    #                  doc 3 = [ "xy" ]  (below min_chars -> always kept)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),
+            (2, "gamma delta epsilon zeta"),
+            (3, "xy"),
+            (4, "xy"),  # duplicate SHORT segment: kept in both docs
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            docs, segment_words=2, min_chars=5
+        ).collect()
+    }
+    # doc 1: within-doc repeat of "alpha beta" drops (pos 2 > pos 0)
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert (out[1].n_segments, out[1].n_dropped) == (3, 1)
+    assert out[1].n_chars_removed == len("alpha beta")
+    # doc 2: "gamma delta" first occurred in doc 1 -> drops here
+    assert out[2].clean_text == "epsilon zeta"
+    assert (out[2].n_segments, out[2].n_dropped) == (2, 1)
+    # short segments are never candidates, even when duplicated
+    assert out[3].clean_text == "xy" and out[3].n_dropped == 0
+    assert out[4].clean_text == "xy" and out[4].n_dropped == 0
+    # partition-invariance of the winner choice
+    out13 = {
+        r.doc_id: r.clean_text
+        for r in paragraph_dedup(
+            docs.repartition(13), segment_words=2, min_chars=5
+        ).collect()
+    }
+    assert out13 == {k: v.clean_text for k, v in out.items()}
+    # reserved temp-column guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="paragraph_dedup reserves"):
+        paragraph_dedup(docs.withColumn("_pd_seg", F.lit(1)))

@@ -73,6 +73,11 @@ _INTENTIONAL_NLJ = {
     # q136 is the same pipeline with the auto-k heuristic.
     "q88_semdedup",
     "q136_semdedup_auto",
+    # q152's per-subspace Lloyd broadcasts k×sub_dim centroid tables
+    # (the q75 shape, ×m subspaces); the ADC lookup is a query-set ×
+    # (m·k)-row codebook broadcast and the exact baseline is q24's
+    # query-set broadcast. All bounded small sides.
+    "q152_pq_adc_recall",
     # q90 broadcasts a ONE-ROW node-count aggregate over the rank table
     # (the q76 stats shape) so N stays in-plan without a driver collect.
     "q90_pagerank",

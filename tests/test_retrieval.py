@@ -110,3 +110,63 @@ def test_embed_dim_constant_matches_fixture(spark):
         .first()
     )
     assert row["d"] == EMBED_DIM
+
+
+def test_pq_encode_codes_and_self_recall(spark):
+    """With k = n tiny corpus the Lloyd seeds ARE the vectors, so every
+    vector is its own centroid: codes are unique per subspace, the
+    codebook has m*k rows, and ADC top-1 of each vector-as-query is the
+    vector itself (distance exactly 0).  Partition count must not
+    change any of it."""
+    from sparkdiff.operators.retrieval import pq_adc_topk, pq_encode
+
+    vecs = [
+        (0, [0.0, 0.0, 9.0, 9.0]),
+        (1, [5.0, 5.0, 1.0, 1.0]),
+        (2, [9.0, 0.0, 5.0, 5.0]),
+        (3, [1.0, 8.0, 0.0, 9.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id: long, v: array<double>")
+    codes, cb = pq_encode(e, "vec_id", "v", m=2, sub_dim=2, k=4, iters=1)
+    crows = codes.collect()
+    assert len(crows) == 8  # 4 vectors x 2 subspaces
+    assert cb.count() == 8  # 2 subspaces x 4 centroids
+    for sub in (0, 1):
+        per = sorted(r.code for r in crows if r.sub == sub)
+        assert per == [0, 1, 2, 3]  # unique codes: every vec its own cell
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    top1 = pq_adc_topk(
+        codes, cb, q, vec_col="qv", m=2, sub_dim=2, top_k=1
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in top1} == {(i, i) for i in range(4)}
+    assert all(r.adc == 0.0 for r in top1)
+    # partition-invariant
+    codes7, cb7 = pq_encode(
+        e.repartition(7), "vec_id", "v", m=2, sub_dim=2, k=4, iters=1
+    )
+    assert sorted(map(tuple, codes7.collect())) == sorted(map(tuple, crows))
+
+
+def test_pq_groups_identical_subvectors(spark):
+    """Vectors sharing a subvector must share that subspace's code even
+    when their OTHER subspace differs — the independence that gives PQ
+    k^m effective cells from m*k centroids."""
+    from sparkdiff.operators.retrieval import pq_encode
+
+    # seeds are ids 0 and 1 — they must DIFFER within each subspace or
+    # the duplicate seed collapses a cluster (ties break to the lower
+    # cluster id and the empty cell drops out of the codebook)
+    e = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 9.0, 9.0]),
+            (1, [9.0, 9.0, 1.0, 1.0]),
+            (2, [0.0, 0.0, 1.0, 1.0]),  # sub0 of 0, sub1 of 1
+        ],
+        "vec_id: long, v: array<double>",
+    )
+    codes, _ = pq_encode(e, "vec_id", "v", m=2, sub_dim=2, k=2, iters=2)
+    c = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+    assert c[(0, 0)] == c[(2, 0)]
+    assert c[(1, 1)] == c[(2, 1)]
+    assert c[(0, 1)] != c[(2, 1)]
+    assert c[(1, 0)] != c[(2, 0)]
