@@ -124,6 +124,44 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         for r in export.groupBy("out_shard").agg(F.count("*").alias("n")).collect()
     }
 
+    # 7. export manifest: per-shard counts + the commutative content
+    # checksum (q153's shape) — re-running the export on ANY cluster
+    # layout reproduces this table byte-for-byte, so a consumer
+    # verifies shards without re-reading them
+    from sparkdiff.functions.canonical import content_checksum
+
+    manifest = (
+        export.groupBy("out_shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            content_checksum(F.col("doc_id"), F.col("n_tokens")).alias(
+                "checksum"
+            ),
+        )
+        .orderBy("out_shard")
+    )
+    manifest_rows = {
+        r.out_shard: (r.n_docs, r.n_tokens, r.checksum)
+        for r in manifest.collect()
+    }
+    # verification pass: recompute from a differently-partitioned read
+    # of the same export — the manifest must match exactly
+    recheck = {
+        r.out_shard: (r.n_docs, r.n_tokens, r.checksum)
+        for r in export.repartition(13)
+        .groupBy("out_shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            content_checksum(F.col("doc_id"), F.col("n_tokens")).alias(
+                "checksum"
+            ),
+        )
+        .collect()
+    }
+    assert recheck == manifest_rows, "manifest verification failed"
+
     print(f"corpus: {n0} docs, {n_pii_docs} carried PII (redacted)")
     print(f"after quality/repetition gates: {n1}")
     print(f"after domain mixing: {n2}")
@@ -136,6 +174,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"train packed into {n_windows} windows of 512 tokens")
     print(f"export shards: {per_shard}")
+    print(f"manifest (verified on a re-read): {manifest_rows}")
     spark.stop()
 
 

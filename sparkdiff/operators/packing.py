@@ -44,6 +44,16 @@ def pack_concat_chunks(
     from sparkdiff.operators._util import reserve_columns
 
     reserve_columns(df, ("_tok", "_shard", "_cum"), "pack_concat_chunks")
+    # the OUTPUT shard column has the fixed name "shard"; an input
+    # column of that name (even the shard_col itself) would come out
+    # duplicated and poison every downstream reference (the `_k`
+    # temp-column bug class, on the output side)
+    if "shard" in df.columns:
+        raise ValueError(
+            "pack_concat_chunks emits its shard as the fixed output "
+            "column 'shard'; rename the input's 'shard' column first "
+            "(e.g. 'shard_key') and pass it via shard_col"
+        )
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     shard = (
         F.lit(0)

