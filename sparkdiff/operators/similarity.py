@@ -147,6 +147,97 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def jl_signs(in_dim: int, out_dim: int, salt: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix:
+    cell (i, j) is the parity of the md5 of ``salt:i:j`` — computed
+    DRIVER-SIDE, so the Spark plan and any SQL oracle embed the exact
+    same literal signs (the Achlioptas 2003 database-friendly JL
+    variant: ±1 entries preserve pairwise distances within (1±ε) at
+    out_dim = O(log n / ε²), no Gaussian sampling needed)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(vec: Column, signs: list[list[float]]) -> Column:
+    """Project a vector to ``len(signs)`` dims as a pure column
+    expression (sign matrix inlined as a nested array literal; each
+    output dim a zip_with/aggregate fold).  Fine for SMALL matrices —
+    for production sizes use :func:`with_jl_projection`, because a
+    64×16 literal costs ~2.4 s of driver ANALYSIS time per plan that
+    references it (measured; the multiplier is every lineage
+    re-derivation, which took q155 to 14.9 s end-to-end)."""
+    v = _as_double(vec)
+    signs_lit = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
+    return F.transform(
+        signs_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda s, x: s * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def with_jl_projection(
+    df: DataFrame,
+    vec_col: str,
+    signs: list[list[float]],
+    out_col: str = "p",
+) -> DataFrame:
+    """Add the JL projection of ``vec_col`` as ``out_col`` — the
+    dimensionality lever of the ANN compression ladder (4× fewer dims
+    before int8 q150 / PQ q152 even start).
+
+    The sign matrix rides as a ONE-ROW broadcast relation
+    (LocalRelation → BroadcastNestedLoopJoin of one row — the repo's
+    documented one-row-aggregate pattern), NOT as an expression
+    literal: a 64×16 nested array literal costs ~2.4 s of driver
+    analysis PER PLAN that re-derives the lineage (measured on q155:
+    14.9 s end-to-end as a literal, ~2 s as data).  Values are
+    identical — same fold order, and the matrix entries are the same
+    doubles whether they arrive as literal or broadcast data.
+
+    Math: ``out[j] = Σ_i signs[j][i] · v[i]`` — left fold in i order,
+    engine-exact (``s*x`` IEEE-commutes)."""
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_jl_s",), "with_jl_projection")
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [([list(map(float, row)) for row in signs],)],
+        "_jl_s: array<array<double>>",
+    )
+    v = _as_double(F.col(vec_col))
+    proj = F.transform(
+        F.col("_jl_s"),
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda s, x: s * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(sdf))
+        .withColumn(out_col, proj)
+        .drop("_jl_s")
+    )
+
+
 def dot_const(vec: Column, coefs: list[float]) -> Column:
     """Dot product against a CONSTANT vector as a flat left-associated
     expression tree (``v[0]*c0 + v[1]*c1 + …``).

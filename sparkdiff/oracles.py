@@ -4387,6 +4387,102 @@ ORACLES["q150_quantized_ann"] = """
 """
 
 
+def _jl_oracle(
+    in_dim: int = 64, out_dim: int = 16, salt: str = "jl-r7", top: int = 5
+) -> str:
+    """q155: the projection embeds the SAME ±1 literals as
+    ``similarity.jl_signs`` (imported, not re-derived) as
+    ``v[i] * ±1.0`` left-associated chains — exactly dot_const's
+    term/order — and both rankings replay the q24 float fold."""
+    from sparkdiff.operators.similarity import jl_signs
+
+    signs = jl_signs(in_dim, out_dim, salt=salt)
+
+    def proj_expr(row: list[float]) -> str:
+        return " + ".join(
+            f"(v[{i + 1}] * {'1.0' if s > 0 else '-1.0'})"
+            for i, s in enumerate(row)
+        )
+
+    proj_cols = ", ".join(proj_expr(row) for row in signs)
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, {n}), i -> {a}[i] * {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    sq = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+        "(acc, x) -> acc + x))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id % 3 = 0),
+    exact AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC
+            ) AS rank
+            FROM (
+                SELECT query_id, corpus_id,
+                       CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                            ELSE d / (nq * nc) END AS cosine
+                FROM (
+                    SELECT query_id, corpus_id,
+                           {fold.format(n='len(qv)', a='qv', b='cv')} AS d,
+                           {sq.format(a='qv')} AS nq,
+                           {sq.format(a='cv')} AS nc
+                    FROM c, q
+                )
+            )
+        ) WHERE rank <= {top}
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, list_value({proj_cols}) AS pv
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 10)
+    ),
+    cp AS (
+        SELECT vec_id AS corpus_id, list_value({proj_cols}) AS pv
+        FROM (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0)
+    ),
+    jtop AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC
+            ) AS rank
+            FROM (
+                SELECT query_id, corpus_id,
+                       CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                            ELSE d / (nq * nc) END AS cosine
+                FROM (
+                    SELECT qp.query_id, cp.corpus_id,
+                           {fold.format(n=str(out_dim), a='qp.pv', b='cp.pv')} AS d,
+                           {sq.format(a='qp.pv')} AS nq,
+                           {sq.format(a='cp.pv')} AS nc
+                    FROM cp, qp
+                )
+            )
+        ) WHERE rank <= {top}
+    ),
+    ov AS (
+        SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM exact e2 JOIN jtop USING (query_id, corpus_id)
+        GROUP BY e2.query_id
+    )
+    SELECT q2.query_id,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           CAST((1000 * COALESCE(ov.n_overlap, 0)) // {top} AS BIGINT)
+               AS recall_milli
+    FROM (SELECT DISTINCT query_id FROM exact) q2
+    LEFT JOIN ov USING (query_id)
+"""
+
+
+ORACLES["q155_jl_projection_recall"] = _jl_oracle()
+
+
 def _cms_oracle(d: int = 4, w: int = 1024, salt: str = "cms-r7-", top: int = 10) -> str:
     """q154: count-min replay — per-row buckets are the md5-60-bit
     construction (generated per row as literals, matching

@@ -5201,6 +5201,57 @@ def q154_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q155_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection recall
+    (`operators/similarity.jl_signs` + `jl_project`): embeddings drop
+    64 → 16 dims through a deterministic ±1 projection (md5-parity
+    matrix, driver-side literals — the Achlioptas JL variant), and the
+    query reports how much of the exact float cosine top-5 survives
+    ranking in the projected space.  The FIRST rung of the ANN
+    compression ladder (fewer dims → then int8 q150 → then PQ q152):
+    4× less vector bandwidth before quantization even starts.  Both
+    rankings value-hash replayed (the projection is flat fixed-order
+    arithmetic; the oracle embeds the same sign literals)."""
+    from pyspark.sql import Window
+
+    from sparkdiff.operators.similarity import (
+        cosine_topk,
+        jl_signs,
+        with_jl_projection,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") % 3 == 0)
+    exact = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", k=5)
+
+    signs = jl_signs(64, 16, salt="jl-r7")
+    qp = with_jl_projection(q.select("vec_id", "embedding"), "embedding", signs).select(
+        "vec_id", "p"
+    )
+    cp = with_jl_projection(c.select("vec_id", "embedding"), "embedding", signs).select(
+        "vec_id", "p"
+    )
+    jl_top = cosine_topk(qp, cp, "vec_id", "vec_id", "p", "p", k=5)
+
+    overlap = (
+        exact.select("query_id", "corpus_id")
+        .join(jl_top.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.expr("(1000 * coalesce(n_overlap, 0)) div 5").alias("recall_milli"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5356,4 +5407,5 @@ QUERIES: dict[str, callable] = {
     "q152_pq_adc_recall": q152_pq_adc_recall,
     "q153_shard_manifest": q153_shard_manifest,
     "q154_countmin_heavyhitters": q154_countmin_heavyhitters,
+    "q155_jl_projection_recall": q155_jl_projection_recall,
 }

@@ -62,6 +62,9 @@ _INTENTIONAL_NLJ = {
     # NLJ) plus the SAME shape on the int8 side; scale path is the
     # LSH/IVF candidate generators feeding the quantized scorer.
     "q150_quantized_ann",
+    # q155 is two q24 rankings (full-dim + JL-projected), each a 10-row
+    # query-set broadcast.
+    "q155_jl_projection_recall",
     "q75_kmeans_embed",
     "q76_bm25_rank",
     # q81 broadcasts the 10-row query set with a label-inequality join

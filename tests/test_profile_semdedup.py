@@ -214,3 +214,45 @@ def test_quantize_embeddings_codes_and_int_dot(spark):
         r.d for r in pairs.select(int_dot(F.col("a"), F.col("b")).alias("d")).collect()
     ]
     assert got == [127 * 1 - 63 * 2 + 32 * 3, 0]
+
+
+def test_jl_projection_signs_and_exactness(spark):
+    """The ±1 matrix is a pure function of (salt, i, j); projecting the
+    i-th basis vector returns exactly the matrix's i-th column (the
+    flat chain adds one nonzero term, so no float accumulation at all);
+    scaling by 2 commutes exactly (2x is an exact double op)."""
+    from sparkdiff.operators.similarity import jl_project, jl_signs
+
+    signs = jl_signs(4, 3, salt="t")
+    assert all(s in (1.0, -1.0) for row in signs for s in row)
+    assert signs == jl_signs(4, 3, salt="t")  # deterministic
+    assert signs != jl_signs(4, 3, salt="u")  # salt-sensitive
+    basis = spark.createDataFrame(
+        [(i, [1.0 if k == i else 0.0 for k in range(4)]) for i in range(4)],
+        "vec_id: long, v: array<double>",
+    )
+    got = {
+        r.vec_id: r.p
+        for r in basis.select(
+            "vec_id", jl_project(F.col("v"), signs).alias("p")
+        ).collect()
+    }
+    for i in range(4):
+        assert got[i] == [signs[j][i] for j in range(3)]
+    doubled = spark.createDataFrame(
+        [(0, [2.0, 0.0, 0.0, 0.0])], "vec_id: long, v: array<double>"
+    )
+    gd = doubled.select(jl_project(F.col("v"), signs).alias("p")).first().p
+    assert gd == [2.0 * signs[j][0] for j in range(3)]
+    # the broadcast-relation variant is value-identical to the literal
+    from sparkdiff.operators.similarity import with_jl_projection
+
+    wb = {
+        r.vec_id: r.p
+        for r in with_jl_projection(basis, "v", signs).collect()
+    }
+    assert wb == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="with_jl_projection"):
+        with_jl_projection(basis.withColumn("_jl_s", F.lit(1)), "v", signs)
