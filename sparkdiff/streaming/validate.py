@@ -756,6 +756,30 @@ def incremental_validation_to_parquet(
     )
 
 
+def streaming_count_min(
+    occurrences: DataFrame,
+    token_col: str = "token",
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch as a NATIVE stateful streaming aggregation:
+    ``operators/sketch.count_min_sketch``'s explode→groupBy plan run
+    over an unbounded token stream.  The aggregation state is the d×w
+    cell grid — bounded BY CONSTRUCTION (never by the stream), which is
+    what makes this the always-on token-frequency / heavy-hitter
+    monitor of an ingest pipeline: update mode emits only the cells a
+    micro-batch touched, and the cumulative cell values equal the batch
+    sketch over everything ingested so far (CMS's cell-wise
+    mergeability IS stream/batch equivalence — pinned by the batch-twin
+    test).  Probe with ``operators/sketch.cms_estimate`` against any
+    candidate list; alert on cells crossing a count threshold by
+    filtering the update stream."""
+    from sparkdiff.operators.sketch import count_min_sketch
+
+    return count_min_sketch(occurrences, token_col, d=d, w=w, salt=salt)
+
+
 def streaming_contamination_gate(
     batches: DataFrame,
     patterns: DataFrame,

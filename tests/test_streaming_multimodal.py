@@ -1197,3 +1197,49 @@ def test_resize_images_real_ppm_pixels(spark):
     assert not got[3].resized and got[3].width is None
     assert bytes(got[3].content) == rows[2][2]
     assert not got[4].resized and (got[4].content is None or bytes(got[4].content) == b"")
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, tmp_path):
+    """Streamed CMS state after an availableNow drain over multi-file
+    micro-batches equals the one-shot batch sketch — cell-wise
+    mergeability as stream/batch equivalence."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.sketch import count_min_sketch
+    from sparkdiff.streaming.validate import streaming_count_min
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cms_src")
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    occ = stream.select(F.explode(tokens("text")).alias("token"))
+    state = streaming_count_min(occ, d=3, w=64, salt="scms-")
+
+    got = {}
+
+    def record(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[(r.r, r.b)] = r.cnt  # update mode: latest value wins
+
+    q = (
+        state.writeStream.outputMode("update")
+        .foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = count_min_sketch(
+        docs.select(F.explode(tokens("text")).alias("token")),
+        d=3,
+        w=64,
+        salt="scms-",
+    )
+    expected = {(r.r, r.b): r.cnt for r in batch.collect()}
+    assert got == expected and len(got) > 10
