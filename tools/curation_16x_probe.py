@@ -42,7 +42,11 @@ def main() -> None:
         ws_token_count,
     )
     from sparkdiff.operators.contamination import excise_contamination
-    from sparkdiff.operators.dedup import exact_dedup, near_dup_pairs
+    from sparkdiff.operators.dedup import (
+        exact_dedup,
+        near_dup_pairs,
+        paragraph_dedup,
+    )
     from sparkdiff.operators.packing import pack_concat_chunks
     from sparkdiff.operators.sampling import weighted_domain_sample
     from sparkdiff.session import get_spark
@@ -94,6 +98,22 @@ def main() -> None:
     d3 = stage(
         "near_dup_dedup", d2.join(losers, "doc_id", "left_anti"), f"{OUT}/s3_neardup"
     )
+
+    # 3b. paragraph-level dedup (CCNet stage, round-7 q151): cut every
+    # repeated 10-word segment except its corpus-first occurrence and
+    # rebuild the documents — catches the sub-document repetition that
+    # doc-level exact/near-dup can't
+    para = paragraph_dedup(
+        d3.select("doc_id", "text"), segment_words=10, min_chars=20
+    )
+    d3b = stage(
+        "paragraph_dedup",
+        para.select("doc_id", F.col("clean_text").alias("text")).join(
+            d3.select("doc_id", "source"), "doc_id"
+        ),
+        f"{OUT}/s3b_paragraph",
+    )
+    d3 = d3b
 
     # 4. quality + repetition gates (pure column expressions).
     # Two plan traps live here, both found by this probe (SCALE.md):
