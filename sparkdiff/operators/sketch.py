@@ -48,21 +48,35 @@ def count_min_sketch(
     d: int = 4,
     w: int = 1024,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Build the sketch from a table of token OCCURRENCES (one row per
-    occurrence, not per distinct token): returns ``(r, b, cnt)`` with
-    at most d·w rows.  One corpus scan, one map-side-combined
-    aggregation over a d·w-bounded key space — mergeable with any other
-    sketch of the same (d, w, salt) by summing ``cnt`` per (r, b)."""
+    """Build the sketch: returns ``(r, b, cnt)`` with at most d·w rows.
+    One corpus scan, one map-side-combined aggregation over a
+    d·w-bounded key space — mergeable with any other sketch of the same
+    (d, w, salt) by summing ``cnt`` per (r, b).
+
+    Two input shapes, identical cells: one row per OCCURRENCE
+    (``weight_col=None`` — the streaming shape), or one row per
+    DISTINCT token with ``weight_col`` its occurrence count — the batch
+    shape when a frequency table already exists, hashing vocab-sized
+    rows instead of exploding every occurrence d× (q154: the d·|corpus
+    tokens| explode was the query's whole cost; the weighted build
+    hashes |vocab| rows)."""
     if d < 1 or w < 1:
         raise ValueError(f"d and w must be >= 1, got {d}, {w}")
+    wcol = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     return (
         occurrences.select(
-            F.explode(_row_buckets(token_col, d, w, salt)).alias("rb")
+            wcol.alias("_cms_w"),
+            F.explode(_row_buckets(token_col, d, w, salt)).alias("rb"),
         )
-        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .select("_cms_w", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("_cms_w").cast("long").alias("cnt"))
     )
 
 

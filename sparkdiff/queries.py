@@ -5187,9 +5187,14 @@ def q154_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("token")
     )
-    sketch = count_min_sketch(occ, "token", d=4, w=1024, salt="cms-r7-")
     exact = occ.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    # the sketch hashes the VOCAB-sized frequency table (weighted
+    # build), not d× every occurrence — identical cells, ~d·|occ| fewer
+    # exploded rows; the exact aggregation was needed anyway for probes
+    sketch = count_min_sketch(
+        exact, "token", d=4, w=1024, salt="cms-r7-", weight_col="exact_cnt"
     )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
     est = cms_estimate(sketch, top.select("token"), "token", d=4, w=1024, salt="cms-r7-")

@@ -89,3 +89,15 @@ def test_cms_merge_equals_sketch_of_union(spark):
 def test_cms_rejects_bad_geometry(spark):
     with pytest.raises(ValueError, match="d and w"):
         count_min_sketch(_occ(spark, ["a"]), d=0, w=8)
+
+
+def test_cms_weighted_build_equals_occurrence_build(spark):
+    """Sketching a (token, count) frequency table with weight_col gives
+    the exact same cells as sketching the raw occurrences — the batch
+    shape that hashes vocab-sized rows instead of d× every occurrence."""
+    words = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    occ = _occ(spark, words)
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    a = count_min_sketch(occ, d=3, w=8, salt="wb-")
+    b = count_min_sketch(freq, d=3, w=8, salt="wb-", weight_col="n")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
