@@ -393,3 +393,119 @@ def frame_sample(assets: DataFrame, every_n: int = 5) -> DataFrame:
     return assets.filter(F.col("mime").startswith("video/")).mapInPandas(
         op, schema=FRAMES_SCHEMA
     )
+
+
+AHASH_SCHEMA = "asset_id long, mime string, width int, height int, ahash long"
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """REAL perceptual fingerprint (average hash) of binary-PPM images,
+    standard library + numpy only: parse the ``P6`` header, integer
+    grayscale (r+g+b per pixel — no float math anywhere), nearest-
+    neighbor index-sample to an 8×8 grid (the resize_images sampling),
+    and set bit k iff ``cell_k · 64 > Σ cells`` (strict, all-integer —
+    the mean threshold without a division).  Bits pack row-major,
+    bit (0,0) highest, into one signed long.  Non-PPM / malformed
+    payloads hash to NULL (the PIL hook's job at full fidelity; never
+    an executor crash).
+
+    The multimodal member of the dedup family: two images within a few
+    ahash bits are visual near-duplicates — pair them with
+    :func:`image_near_dup_pairs`.  Stateless Arrow-batched
+    ``mapInPandas``: parallel over partitions, no shuffle."""
+    import re
+
+    ppm_header = re.compile(rb"^(P6\s+(\d+)\s+(\d+)\s+(\d+)\s)")
+
+    def one(c: bytes) -> tuple[int | None, int | None, int | None]:
+        m = ppm_header.match(c or b"")
+        if not m:
+            return None, None, None
+        w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+        body = c[len(m.group(1)):]
+        if w < 1 or h < 1 or maxval > 255 or len(body) < 3 * w * h:
+            return None, None, None
+        px = np.frombuffer(body[: 3 * w * h], dtype=np.uint8).reshape(h, w, 3)
+        gray = px.sum(axis=2, dtype=np.int64)  # integer r+g+b
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        cells = gray[ys][:, xs].reshape(-1)
+        total = int(cells.sum())
+        bits = 0
+        for k in range(64):
+            if int(cells[k]) * 64 > total:
+                bits |= 1 << (63 - k)
+        if bits >= 1 << 63:
+            bits -= 1 << 64
+        return w, h, bits
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf["content"].map(lambda c: one(bytes(c) if c else b""))
+            out = pd.DataFrame(
+                rows.tolist(), columns=["width", "height", "ahash"]
+            )
+            out.insert(0, "mime", pdf["mime"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(op, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Visual near-duplicate pairs from :func:`image_ahash` output:
+    ``(id_a < id_b, hamming)`` for all pairs within ``max_hamming``
+    bits.  Blocking is the SimHash-LSH pigeonhole — the 64-bit hash
+    splits into 8 bands of 8 bits; two hashes within 7 bits MUST share
+    at least one exact band, so the band equi-join is recall-complete
+    for ``max_hamming <= 7`` (enforced) and never compares all pairs.
+    NULL hashes (undecodable images) are excluded."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] (8x8-bit band pigeonhole), "
+            f"got {max_hamming}"
+        )
+    from sparkdiff.operators.dedup import hamming64
+
+    h = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "band", "key"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("_ha"), F.col("_hb")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

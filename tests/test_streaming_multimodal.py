@@ -1243,3 +1243,59 @@ def test_streaming_count_min_matches_batch_sketch(spark, tmp_path):
     )
     expected = {(r.r, r.b): r.cnt for r in batch.collect()}
     assert got == expected and len(got) > 10
+
+
+def test_image_ahash_and_near_dup_pairs(spark):
+    """aHash is a real pixel computation: a planted near-duplicate
+    (same image, a few pixels nudged) lands within a few bits of its
+    original and pairs with it; a structurally different image does
+    not; malformed payloads hash NULL and are excluded from pairing."""
+    import numpy as np
+
+    from sparkdiff.multimodal.binaryops import image_ahash, image_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = [255, 255, 255]  # nudge a couple of pixels
+    near[5, 3] = [0, 0, 0]
+    other = 255 - base  # inverted: structurally different
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/x-portable-pixmap", bytearray(ppm(base))),
+            (2, "image/x-portable-pixmap", bytearray(ppm(near))),
+            (3, "image/x-portable-pixmap", bytearray(ppm(other))),
+            (4, "application/octet-stream", bytearray(b"not an image")),
+        ],
+        "asset_id: long, mime: string, content: binary",
+    )
+    hashed = image_ahash(assets)
+    rows = {r.asset_id: r for r in hashed.collect()}
+    assert rows[1].ahash is not None and rows[1].width == 16
+    assert rows[4].ahash is None
+    # identical input -> identical hash; the inverted image flips ~all
+    # threshold decisions, so it must NOT be near the base
+    assert bin((rows[1].ahash ^ rows[2].ahash) & ((1 << 64) - 1)).count("1") <= 4
+    assert bin((rows[1].ahash ^ rows[3].ahash) & ((1 << 64) - 1)).count("1") > 7
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    # determinism under repartitioning
+    pairs13 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(
+            image_ahash(assets.repartition(13)), max_hamming=4
+        ).collect()
+    }
+    assert pairs13 == pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        image_near_dup_pairs(hashed, max_hamming=9)
