@@ -458,54 +458,65 @@ def image_near_dup_pairs(
     id_col: str = "asset_id",
     hash_col: str = "ahash",
 ) -> DataFrame:
-    """Visual near-duplicate pairs from :func:`image_ahash` output:
-    ``(id_a < id_b, hamming)`` for all pairs within ``max_hamming``
-    bits.  Blocking is the SimHash-LSH pigeonhole — the 64-bit hash
-    splits into 8 bands of 8 bits; two hashes within 7 bits MUST share
-    at least one exact band, so the band equi-join is recall-complete
-    for ``max_hamming <= 7`` (enforced) and never compares all pairs.
-    NULL hashes (undecodable images) are excluded."""
-    if not 0 <= max_hamming <= 7:
-        raise ValueError(
-            f"max_hamming must be in [0, 7] (8x8-bit band pigeonhole), "
-            f"got {max_hamming}"
-        )
-    from sparkdiff.operators.dedup import hamming64
+    """Visual near-duplicate pairs from :func:`image_ahash` output —
+    a thin wrapper over the modality-agnostic
+    ``operators/dedup.hamming_near_dup_pairs`` (SimHash-LSH band
+    pigeonhole: recall-complete within 7 bits, never all-pairs; NULL
+    hashes excluded)."""
+    from sparkdiff.operators.dedup import hamming_near_dup_pairs
 
-    h = hashed.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    return hamming_near_dup_pairs(
+        hashed, max_hamming, id_col=id_col, hash_col=hash_col
     )
-    bands = h.select(
-        "_id",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("_h"), i * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for i in range(8)
-                ]
+
+
+def audio_energy_hash(assets: DataFrame) -> DataFrame:
+    """REAL audio fingerprint, standard library + numpy only: decode
+    16-bit-PCM WAV frames (the :func:`decode_wav_audio` parser), split
+    the absolute-amplitude stream into 64 equal windows, and set bit k
+    iff ``energy_k · 64 > Σ energies`` (the same all-integer mean
+    threshold as :func:`image_ahash`) — a 64-bit energy-envelope hash
+    that survives amplitude-preserving re-encodes and small noise.
+    Non-WAV / non-16-bit / sub-64-sample payloads hash NULL.
+
+    The audio member of the dedup family: pair with
+    ``operators/dedup.hamming_near_dup_pairs``.  Stateless
+    Arrow-batched ``mapInPandas``."""
+    import io
+    import wave
+
+    def one(c: bytes) -> int | None:
+        try:
+            with wave.open(io.BytesIO(c)) as wv:
+                if wv.getsampwidth() != 2:
+                    return None
+                frames = wv.readframes(wv.getnframes())
+        except (wave.Error, EOFError, OSError):
+            return None
+        s = np.abs(np.frombuffer(frames, dtype="<i2").astype(np.int64))
+        n = len(s)
+        if n < 64:
+            return None
+        edges = (np.arange(65) * n) // 64
+        csum = np.concatenate(([0], np.cumsum(s)))
+        energies = csum[edges[1:]] - csum[edges[:-1]]
+        total = int(energies.sum())
+        bits = 0
+        for k in range(64):
+            if int(energies[k]) * 64 > total:
+                bits |= 1 << (63 - k)
+        if bits >= 1 << 63:
+            bits -= 1 << 64
+        return bits
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = pdf["content"].map(lambda c: one(bytes(c) if c else b""))
+            out = pd.DataFrame({"ahash": hashes}).rename(
+                columns={"ahash": "audio_hash"}
             )
-        ).alias("bk"),
-    ).select("_id", "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(
-        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "band", "key"
-    )
-    b = bands.select(
-        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "band", "key"
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .distinct()
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        hamming64(F.col("_ha"), F.col("_hb")).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+            out.insert(0, "mime", pdf["mime"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(op, schema="asset_id long, mime string, audio_hash long")

@@ -965,3 +965,66 @@ def paragraph_dedup(
         "n_dropped",
         "n_chars_removed",
     )
+
+
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+) -> DataFrame:
+    """Modality-agnostic near-dup pairing for 64-bit locality hashes
+    (simhash, image aHash, audio energy hash): ``(id_a < id_b,
+    hamming)`` for all pairs within ``max_hamming`` bits.
+
+    Blocking is the SimHash-LSH pigeonhole: the hash splits into 8
+    bands of 8 bits, and two hashes within 7 bits MUST share an exact
+    band — so the band equi-join is recall-COMPLETE for
+    ``max_hamming <= 7`` (enforced; raise the band count for looser
+    thresholds) and never forms the all-pairs product.  NULL hashes
+    (undecodable inputs) are excluded.  One shuffle on (band, key);
+    bucket sizes are collision-bounded, not corpus-bounded."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] (8x8-bit band pigeonhole), "
+            f"got {max_hamming}"
+        )
+    h = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "_id", "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "band", "key"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("_ha"), F.col("_hb")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

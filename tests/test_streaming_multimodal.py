@@ -1299,3 +1299,57 @@ def test_image_ahash_and_near_dup_pairs(spark):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         image_near_dup_pairs(hashed, max_hamming=9)
+
+
+def test_audio_energy_hash_and_pairing(spark):
+    """The energy-envelope hash is computed from real PCM frames: a
+    re-encode-with-noise copy pairs with its original within a few
+    bits; a different envelope (reversed ramp) does not; non-WAV and
+    sub-64-sample payloads hash NULL."""
+    import wave as wave_mod
+    import io
+    import numpy as np
+
+    from sparkdiff.multimodal.binaryops import audio_energy_hash
+    from sparkdiff.operators.dedup import hamming_near_dup_pairs
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(3)
+    n = 8000
+    ramp = (np.linspace(0, 20000, n)).astype(np.int64)
+    base = (ramp * np.sign(np.sin(np.arange(n)))).astype("<i2")
+    noisy = (base.astype(np.int64) + rng.randint(-50, 50, n)).clip(
+        -32768, 32767
+    ).astype("<i2")
+    reverse = base[::-1].copy()
+
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(wav_of(base))),
+            (2, "audio/wav", bytearray(wav_of(noisy))),
+            (3, "audio/wav", bytearray(wav_of(reverse))),
+            (4, "application/octet-stream", bytearray(b"nope")),
+            (5, "audio/wav", bytearray(wav_of(base[:10]))),  # < 64 samples
+        ],
+        "asset_id: long, mime: string, content: binary",
+    )
+    hashed = audio_energy_hash(assets)
+    rows = {r.asset_id: r.audio_hash for r in hashed.collect()}
+    assert rows[1] is not None and rows[4] is None and rows[5] is None
+    assert bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1") <= 4
+    assert bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1") > 7
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_dup_pairs(
+            hashed, max_hamming=4, id_col="asset_id", hash_col="audio_hash"
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
