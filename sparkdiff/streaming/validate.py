@@ -756,6 +756,31 @@ def incremental_validation_to_parquet(
     )
 
 
+def streaming_event_dedup(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event admission over an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` keyed on ``key_cols`` — the
+    first arrival of each key within the watermark horizon passes,
+    redeliveries (same key, any event-time within the horizon) drop,
+    and the key's state entry EXPIRES once the watermark passes it.
+
+    This is the state-bounded form: plain ``dropDuplicates`` on a
+    stream keeps every key forever (state grows with the stream);
+    here state is arrival-rate × horizon — the shape that runs
+    indefinitely at ingest scale.  The contract is exactly-once
+    within the horizon; a duplicate arriving later than the watermark
+    horizon re-admits (the standard at-least-once → effectively-once
+    trade every streaming dedup makes — pick the horizon from the
+    source's redelivery bound)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def streaming_count_min(
     occurrences: DataFrame,
     token_col: str = "token",

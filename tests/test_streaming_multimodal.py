@@ -1353,3 +1353,48 @@ def test_audio_energy_hash_and_pairing(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_streaming_event_dedup_drops_cross_batch_redeliveries(spark, tmp_path):
+    """Planted redeliveries (same event_id, one per micro-batch) admit
+    exactly once across micro-batches while distinct events all pass —
+    and the drained output equals batch dropDuplicates on the union."""
+    from sparkdiff.streaming.validate import streaming_event_dedup
+
+    e = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    first = e.filter(F.col("event_id") % 3 == 0)
+    # second batch: new events PLUS redeliveries of half the first batch
+    redelivered = first.filter(F.col("event_id") % 6 == 0)
+    second = e.filter(F.col("event_id") % 3 == 1).unionByName(redelivered)
+    src = str(tmp_path / "dedup_src")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_event_dedup(stream, ("event_id",), "ts", "2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert len(got) == len(set(got)), "a redelivered event was admitted twice"
+    expected = {
+        r.event_id
+        for r in first.select("event_id")
+        .unionByName(second.select("event_id"))
+        .distinct()
+        .collect()
+    }
+    assert set(got) == expected
+    assert redelivered.count() > 0  # the fixture really planted dupes
