@@ -156,3 +156,76 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def dedup_families(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Label every document with its near-dup FAMILY: the minimum member
+    id of its connected component in the MinHash-LSH verified-pair
+    graph; singletons are their own family.  Returns the input plus
+    ``family`` (long).
+
+    This is the family labeler behind ``sampling.leakage_safe_split``
+    (extracted so keep-best selection, q156, and any other
+    family-keyed policy share it).  Scale shape: pairs from the banded
+    LSH join (batch×corpus buckets, never n²), components from
+    alternating large-star/small-star (O(log n) rounds, eager
+    fixpoint — construction launches jobs), then one long-keyed equi
+    join AQE broadcasts when the paired set is small."""
+    from sparkdiff.operators.dedup import near_dup_pairs
+
+    clash = {"family", "_cc_fam"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_families writes columns {sorted(clash)} that already "
+            "exist on the input frame; rename or drop them first"
+        )
+    pairs = near_dup_pairs(
+        df, id_col, text_col, threshold, k, num_perm, bands, hash_method
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.join(
+            comps.select(
+                F.col("id").alias(id_col), F.col("component").alias("_cc_fam")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "family", F.coalesce(F.col("_cc_fam"), F.col(id_col).cast("long"))
+        )
+        .drop("_cc_fam")
+    )
+
+
+def keep_best_per_family(
+    labeled: DataFrame,
+    id_col: str,
+    score_col: str,
+    family_col: str = "family",
+) -> DataFrame:
+    """Canonical-representative selection: within each duplicate family
+    keep the HIGHEST-scoring member (ties break to the lowest id) —
+    the production dedup policy ("keep best", not "keep first"):
+    when near-duplicates differ in quality, dropping by arrival order
+    throws away the good copy half the time.  Adds ``kept`` (int 0/1);
+    exactly one member of every family is kept.  The window partitions
+    by family, so the sort is per-family parallel — family sizes are
+    bounded in a deduped corpus, never corpus-scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(family_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return labeled.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )

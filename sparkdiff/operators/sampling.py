@@ -123,31 +123,15 @@ def leakage_safe_split(
     counterpart — the reference has no corpus pipeline); the standard
     remedy for eval leakage through duplicates (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better")."""
-    from sparkdiff.operators.cluster import connected_components
-    from sparkdiff.operators.dedup import near_dup_pairs
+    from sparkdiff.operators.cluster import dedup_families
 
-    clash = {"family", "_cc_fam", split_col} & set(df.columns)
-    if clash:
+    if split_col in df.columns:
         raise ValueError(
-            f"leakage_safe_split writes columns {sorted(clash)} that already "
-            "exist on the input frame; rename or drop them first"
+            f"leakage_safe_split writes column {split_col!r} which already "
+            "exists on the input frame; rename or drop it first"
         )
-    pairs = near_dup_pairs(
+    labeled = dedup_families(
         df, id_col, text_col, threshold, k, num_perm, bands, hash_method
-    )
-    comps = connected_components(pairs, "id_a", "id_b")
-    labeled = (
-        df.join(
-            comps.select(
-                F.col("id").alias(id_col), F.col("component").alias("_cc_fam")
-            ),
-            id_col,
-            "left",
-        )
-        .withColumn(
-            "family", F.coalesce(F.col("_cc_fam"), F.col(id_col).cast("long"))
-        )
-        .drop("_cc_fam")
     )
     return hash_split(labeled, "family", weights, seed, split_col)
 

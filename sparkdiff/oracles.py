@@ -4737,6 +4737,50 @@ def _pq_oracle(
 ORACLES["q152_pq_adc_recall"] = _pq_oracle()
 
 
+# q156: keep-best dedup — q149's pairs → CC → family chain, then the
+# verbatim quality expression and a per-family (q DESC, doc_id ASC)
+# argmax; quality leaves the query as exact floor(q*1000).
+ORACLES["q156_keep_best_dedup"] = f"""
+    WITH RECURSIVE pairs AS ({{Q25}}),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text || ' extra suffix words' AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, c.comp
+        FROM cc c JOIN edges e ON e.src = c.id
+        WHERE c.comp < e.dst
+    ),
+    labels AS (SELECT id, MIN(comp) AS fam FROM cc GROUP BY id),
+    fam AS (
+        SELECT c.doc_id, c.text, COALESCE(l.fam, c.doc_id) AS family
+        FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, family, {sql_quality_score('text')} AS q FROM fam
+    ),
+    ranked AS (
+        SELECT doc_id, family, q, row_number() OVER (
+            PARTITION BY family ORDER BY q DESC, doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, CAST(family AS BIGINT) AS family,
+           CAST(floor(q * 1000) AS BIGINT) AS q_milli,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM ranked
+""".replace("{Q25}", ORACLES["q25_minhash_neardup"])
+
+
 # q149: leakage-safe split — q25's pair replay feeds q65's recursive
 # min-label CC; families coalesce to own id for singletons; the split is
 # the md5 unit-variate CASE with EXACTLY-representable bounds (0.75,

@@ -5257,6 +5257,40 @@ def q155_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup (`operators/cluster.dedup_families` +
+    `keep_best_per_family`): near-dup families from the LSH pair graph,
+    then within each family keep the highest-`quality_score` member
+    (ties to the lowest id) — the production policy where keep-first
+    would discard the good copy whenever the duplicate is cleaner.
+    Runs on q149's injected corpus (copies at doc_id+20000 with a
+    suffix, so copies genuinely differ in quality) with the md5 hash
+    method; the oracle replays pairs → recursive CC → family coalesce →
+    the verbatim quality expression → per-family argmax.  Output
+    quality as exact ``floor(q·1000)`` so the hash never touches a raw
+    double."""
+    from sparkdiff.functions.textstats import quality_score
+    from sparkdiff.operators.cluster import dedup_families, keep_best_per_family
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    labeled = dedup_families(
+        corpus, "doc_id", "text", threshold=0.6, hash_method="md5"
+    ).withColumn("q", quality_score("text"))
+    out = keep_best_per_family(labeled, "doc_id", "q")
+    return out.select(
+        "doc_id",
+        F.col("family").cast("long").alias("family"),
+        F.floor(F.col("q") * 1000).cast("long").alias("q_milli"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5413,4 +5447,5 @@ QUERIES: dict[str, callable] = {
     "q153_shard_manifest": q153_shard_manifest,
     "q154_countmin_heavyhitters": q154_countmin_heavyhitters,
     "q155_jl_projection_recall": q155_jl_projection_recall,
+    "q156_keep_best_dedup": q156_keep_best_dedup,
 }

@@ -64,3 +64,55 @@ def test_dedup_clusters_canonical_contract(spark):
     assert sorted(canon) == [1, 10, 20]
     assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 3
     assert rows[11]["cluster_size"] == 2
+
+
+def test_keep_best_per_family_prefers_quality_over_order(spark):
+    """Within a family the HIGHEST-scoring member is kept even when it
+    has the larger id (the policy difference vs keep-first); singletons
+    always keep; exactly one kept per family."""
+    from sparkdiff.operators.cluster import keep_best_per_family
+
+    labeled = spark.createDataFrame(
+        [
+            (1, 10, 0.2),   # family 10: id 1 is WORSE
+            (2, 10, 0.9),   # ...id 2 is better -> kept despite larger id
+            (3, 10, 0.9),   # tie with 2 -> lower id (2) wins
+            (4, 40, 0.1),   # singleton
+        ],
+        "doc_id: long, family: long, q: double",
+    )
+    out = {r.doc_id: r.kept for r in
+           keep_best_per_family(labeled, "doc_id", "q").collect()}
+    assert out == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_dedup_families_matches_leakage_split_labels(spark):
+    """The extracted family labeler gives the same labels the split
+    operator uses (refactor equivalence), and rejects input frames that
+    already carry a family column."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkdiff.operators.cluster import dedup_families
+    from sparkdiff.operators.sampling import leakage_safe_split
+    from sparkdiff.session import load_table
+
+    from .conftest import SF_DIR_SMALL
+
+    d = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    fams = {
+        r.doc_id: r.family
+        for r in dedup_families(
+            d, "doc_id", "text", threshold=0.6, hash_method="md5"
+        ).collect()
+    }
+    split = {
+        r.doc_id: r.family
+        for r in leakage_safe_split(
+            d, "doc_id", "text", {"train": 0.5, "val": 0.5},
+            threshold=0.6, hash_method="md5",
+        ).collect()
+    }
+    assert fams == split and len(fams) == d.count()
+    with _pytest.raises(ValueError, match="dedup_families"):
+        dedup_families(d.withColumn("family", F.lit(1)), "doc_id", "text")

@@ -62,6 +62,9 @@ EAGER_BY_DESIGN = {
     # q149: family labels come from the connected-components fixpoint
     # (same eager loop as q65/q113)
     "q149_leakage_safe_split",
+    # q156: keep-best dedup shares q149's family labeler (same eager
+    # CC fixpoint)
+    "q156_keep_best_dedup",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
@@ -150,6 +153,7 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
     "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
     "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
+    "q156_keep_best_dedup": "near-dup shingle table feeds bands AND verify",
 }
 
 
