@@ -397,6 +397,42 @@ def frame_sample(assets: DataFrame, every_n: int = 5) -> DataFrame:
 
 AHASH_SCHEMA = "asset_id long, mime string, width int, height int, ahash long"
 
+_PPM_HEADER = None  # compiled lazily on first executor use
+
+
+def _ppm_frame(c: bytes, offset: int):
+    """Parse ONE P6 frame at ``offset`` and compute its aHash.  Returns
+    ``(width, height, ahash, next_offset)`` or None if no valid frame
+    starts there.  All-integer math: grayscale = r+g+b, 8×8
+    nearest-neighbor sample, bit k iff ``cell_k·64 > Σ cells``."""
+    global _PPM_HEADER
+    if _PPM_HEADER is None:
+        import re
+
+        _PPM_HEADER = re.compile(rb"(P6\s+(\d+)\s+(\d+)\s+(\d+)\s)")
+    m = _PPM_HEADER.match(c or b"", offset)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    body_start = m.end(1)
+    if w < 1 or h < 1 or maxval > 255 or len(c) - body_start < 3 * w * h:
+        return None
+    px = np.frombuffer(
+        c[body_start : body_start + 3 * w * h], dtype=np.uint8
+    ).reshape(h, w, 3)
+    gray = px.sum(axis=2, dtype=np.int64)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = gray[ys][:, xs].reshape(-1)
+    total = int(cells.sum())
+    bits = 0
+    for k in range(64):
+        if int(cells[k]) * 64 > total:
+            bits |= 1 << (63 - k)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return w, h, bits, body_start + 3 * w * h
+
 
 def image_ahash(assets: DataFrame) -> DataFrame:
     """REAL perceptual fingerprint (average hash) of binary-PPM images,
@@ -413,30 +449,12 @@ def image_ahash(assets: DataFrame) -> DataFrame:
     ahash bits are visual near-duplicates — pair them with
     :func:`image_near_dup_pairs`.  Stateless Arrow-batched
     ``mapInPandas``: parallel over partitions, no shuffle."""
-    import re
-
-    ppm_header = re.compile(rb"^(P6\s+(\d+)\s+(\d+)\s+(\d+)\s)")
 
     def one(c: bytes) -> tuple[int | None, int | None, int | None]:
-        m = ppm_header.match(c or b"")
-        if not m:
+        parsed = _ppm_frame(c, 0)
+        if parsed is None:
             return None, None, None
-        w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
-        body = c[len(m.group(1)):]
-        if w < 1 or h < 1 or maxval > 255 or len(body) < 3 * w * h:
-            return None, None, None
-        px = np.frombuffer(body[: 3 * w * h], dtype=np.uint8).reshape(h, w, 3)
-        gray = px.sum(axis=2, dtype=np.int64)  # integer r+g+b
-        ys = (np.arange(8) * h) // 8
-        xs = (np.arange(8) * w) // 8
-        cells = gray[ys][:, xs].reshape(-1)
-        total = int(cells.sum())
-        bits = 0
-        for k in range(64):
-            if int(cells[k]) * 64 > total:
-                bits |= 1 << (63 - k)
-        if bits >= 1 << 63:
-            bits -= 1 << 64
+        w, h, bits, _ = parsed
         return w, h, bits
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -520,3 +538,90 @@ def audio_energy_hash(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(op, schema="asset_id long, mime string, audio_hash long")
+
+
+def video_frame_hashes(assets: DataFrame) -> DataFrame:
+    """REAL per-frame perceptual hashing of concatenated-PPM "video"
+    payloads (back-to-back ``P6`` frames — the container the pure codec
+    can actually parse; libav/ffmpeg remain the hooks for rich
+    formats): walk the byte stream frame by frame and emit ``(asset_id,
+    frame_idx, width, height, ahash)`` with the SAME all-integer aHash
+    as :func:`image_ahash` (one shared ``_ppm_frame`` parser).
+    Payloads with no valid leading frame emit nothing; a malformed
+    tail stops the walk at the last good frame.
+
+    Stateless Arrow-batched ``mapInPandas`` with in-batch fan-out —
+    no explode shuffle; downstream pairing is hash-keyed."""
+
+    def frames(asset_id, c: bytes):
+        off, idx = 0, 0
+        while True:
+            parsed = _ppm_frame(c, off)
+            if parsed is None:
+                return
+            w, h, bits, off = parsed
+            yield (asset_id, idx, w, h, bits)
+            idx += 1
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for aid, c in zip(pdf["asset_id"], pdf["content"])
+                for r in frames(aid, bytes(c) if c else b"")
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_idx", "width", "height", "ahash"],
+            )
+
+    return assets.mapInPandas(
+        op,
+        schema="asset_id long, frame_idx int, width int, height int, ahash long",
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Video near-duplicate pairs from per-frame hashes: two videos
+    pair when they share >= ``min_shared`` DISTINCT frame hashes —
+    robust to frame reordering, trimming, and padding (the shared-
+    scene criterion), with ``overlap_milli`` = shared /
+    min(n_frames_a, n_frames_b) per mille for thresholding.
+
+    Scale shape: one distinct (video, hash) projection, one hash-keyed
+    self-equi-join (bucket sizes bounded by how many videos share a
+    frame — never all-pairs), one pair-count aggregate."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    vh = (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        .distinct()
+    )
+    sizes = vh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = vh.select(F.col("_id").alias("id_a"), "_h")
+    b = vh.select(F.col("_id").alias("id_b"), "_h")
+    shared = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr("(1000 * n_shared) div least(_na, _nb)").alias(
+                "overlap_milli"
+            ),
+        )
+    )

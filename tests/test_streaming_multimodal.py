@@ -1398,3 +1398,55 @@ def test_streaming_event_dedup_drops_cross_batch_redeliveries(spark, tmp_path):
     }
     assert set(got) == expected
     assert redelivered.count() > 0  # the fixture really planted dupes
+
+
+def test_video_frame_hashes_and_near_dup_pairs(spark):
+    """Concatenated-P6 'videos' parse frame by frame with the shared
+    aHash core: a video sharing 2 of 3 frames with another pairs
+    (overlap = 2/3), disjoint videos do not, the walk stops at a
+    malformed tail, and image_ahash still agrees with frame 0."""
+    import numpy as np
+
+    from sparkdiff.multimodal.binaryops import (
+        image_ahash,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def frame(seed):
+        r = np.random.RandomState(seed)
+        px = r.randint(0, 256, size=(12, 12, 3), dtype=np.uint8)
+        return b"P6\n12 12\n255\n" + px.tobytes()
+
+    f1, f2, f3, f4, f5 = (frame(s) for s in (1, 2, 3, 4, 5))
+    assets = spark.createDataFrame(
+        [
+            (1, "video/x-ppm-seq", bytearray(f1 + f2 + f3)),
+            (2, "video/x-ppm-seq", bytearray(f2 + f3 + f4)),   # shares 2
+            (3, "video/x-ppm-seq", bytearray(f5)),             # disjoint
+            (4, "video/x-ppm-seq", bytearray(f1 + b"garbage")),  # bad tail
+            (5, "video/x-ppm-seq", bytearray(b"nope")),        # no frames
+        ],
+        "asset_id: long, mime: string, content: binary",
+    )
+    fh = video_frame_hashes(assets)
+    per = {r.asset_id: r.frame_idx for r in fh.groupBy("asset_id")
+           .agg(F.max("frame_idx").alias("frame_idx")).collect()}
+    assert per == {1: 2, 2: 2, 3: 0, 4: 0}  # asset 5 emits nothing
+    # frame 0's hash equals image_ahash of the same bytes
+    img = image_ahash(
+        spark.createDataFrame(
+            [(1, "image/x-ppm", bytearray(f1))],
+            "asset_id: long, mime: string, content: binary",
+        )
+    ).first()
+    v0 = fh.filter((F.col("asset_id") == 1) & (F.col("frame_idx") == 0)).first()
+    assert v0.ahash == img.ahash
+    pairs = {
+        (r.id_a, r.id_b): (r.n_shared, r.overlap_milli)
+        for r in video_near_dup_pairs(fh, min_shared=2).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == (2, 666)  # 2 shared / min(3,3) frames
