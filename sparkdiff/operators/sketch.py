@@ -111,3 +111,141 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007, AofA): the
+# MERGEABLE cardinality sketch.  Spark's built-in
+# ``approx_count_distinct`` is HLL++ but its registers are opaque (and
+# its estimate is not replayable in another engine); this explicit
+# register-table form gives the repo the same three properties the
+# count-min and Bloom operators already have: (a) a fixed-size state
+# table (m = 2^p rows max, regardless of corpus size), (b) loss-free
+# MAX-merge across partitions/days/sources, and (c) full ANSI-SQL
+# replayability so the estimate itself is value-hash oracled (q157).
+#
+# Determinism across engines is engineered, not assumed:
+#   * hash = the repo's md5-60-bit construction; bucket = h % m,
+#     suffix = the next HLL_SUFFIX_BITS bits (bit ops only).
+#   * rho (leading-zero rank) = 41 - length(bin(suffix)) — binary-string
+#     length instead of log2(), so no libm anywhere.
+#   * the harmonic sum is computed SCALED BY 2^41 in int64
+#     (sum of 1 << (41 - reg), absent registers contribute 1 << 41);
+#     with 40 suffix bits and m <= 4096 the scaled sum stays < 2^53,
+#     so the int64 -> double cast is exact and the single double
+#     division + floor is bit-identical on any IEEE-754 engine.
+#   * the small-range linear-counting correction needs ln(); libm last-
+#     ulp divergence would poison a value-hash, so the RAW estimate is
+#     the oracled surface and the correction is a separate library
+#     column (`hll_corrected`) tested against Python's math.log.
+# --------------------------------------------------------------------------
+
+#: Suffix width in bits.  40 (not the full 52 the 60-bit hash could
+#: spare) keeps the scaled harmonic sum exactly representable:
+#: max rho = 41, so each register term <= 2^41 and the m-register sum
+#: stays < 2^53 for every p <= 12.
+HLL_SUFFIX_BITS = 40
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m of Flajolet et al. (2007) for
+    m >= 128 (the closed form; smaller m would need the table)."""
+    if m < 128:
+        raise ValueError(f"hll_alpha closed form needs m >= 128, got {m}")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_alpha_m2_scaled(p: int) -> float:
+    """``alpha_m * m^2 * 2^(HLL_SUFFIX_BITS+1)`` as one double — the
+    numerator of the raw estimate against the SCALED integer harmonic
+    sum.  Both engines receive this exact double (Spark via lit(),
+    DuckDB via repr() round-trip), so the division is bit-identical."""
+    m = 1 << p
+    return hll_alpha(m) * m * m * float(1 << (HLL_SUFFIX_BITS + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    token_col: str = "token",
+    keys: list[str] | tuple = (),
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """One corpus scan -> the register table ``(*keys, bucket, reg)``
+    with at most m = 2^p rows per key group.  Feed raw OCCURRENCES —
+    duplicates cost nothing (MAX absorbs them map-side), which is the
+    whole point: no distinct(), no shuffle of the value domain, state
+    bounded by m however large the corpus."""
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    keys = list(keys)
+    t = F.col(token_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(m)).cast("long")
+    suffix = F.shiftright(h, p).bitwiseAND(F.lit((1 << HLL_SUFFIX_BITS) - 1))
+    rho = (
+        F.when(suffix == 0, F.lit(HLL_SUFFIX_BITS + 1))
+        .otherwise(F.lit(HLL_SUFFIX_BITS + 1) - F.length(F.bin(suffix)))
+        .cast("long")
+    )
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, keys: list[str] | tuple = ()) -> DataFrame:
+    """MAX-merge two register tables built with identical (p, salt):
+    ``hll(A) merge hll(B) == hll(A UNION ALL B)`` exactly — sketch each
+    partition/day/source independently, merge m-bounded states."""
+    return (
+        a.unionByName(b)
+        .groupBy(*list(keys), "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, keys: list[str] | tuple = (), p: int = 8
+) -> DataFrame:
+    """Raw HLL estimate per key group: ``(*keys, buckets_hit, hll_ndv)``.
+
+    ``hll_ndv = floor(alpha_m * m^2 / Z)`` with the harmonic sum Z kept
+    as an exact scaled int64 until one final double division (module
+    header explains why that is bit-stable across engines).  This is
+    the RAW estimator — apply :func:`hll_corrected` for the small-range
+    linear-counting correction when the estimate feeds decisions rather
+    than a value-hash oracle."""
+    m = 1 << p
+    rmax = HLL_SUFFIX_BITS + 1
+    agg = registers.groupBy(*list(keys)).agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rmax} - reg AS INT))")
+        ).alias("_z_present"),
+    )
+    z_scaled = (
+        F.col("_z_present")
+        + (F.lit(m) - F.col("buckets_hit")) * F.lit(1 << rmax).cast("long")
+    )
+    est = F.floor(
+        F.lit(hll_alpha_m2_scaled(p)) / z_scaled.cast("double")
+    ).cast("long")
+    return agg.select(*list(keys), "buckets_hit", est.alias("hll_ndv"))
+
+
+def hll_corrected(estimate: Column, buckets_hit: Column, p: int = 8) -> Column:
+    """Linear-counting correction (Flajolet et al. 2007 fig. 3): when
+    the raw estimate <= 2.5m and some buckets are empty, the balls-in-
+    bins estimate ``m * ln(m / n_empty)`` dominates.  Uses ln()
+    (libm), so this column is deliberately OUTSIDE the oracle surface —
+    pinned against Python math.log in tests instead."""
+    m = 1 << p
+    n_empty = F.lit(float(m)) - buckets_hit.cast("double")
+    lc = F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty)).cast("long")
+    small = (estimate <= F.lit(int(2.5 * m))) & (buckets_hit < F.lit(m))
+    return F.when(small, lc).otherwise(estimate)

@@ -4904,3 +4904,117 @@ def _q147_oracle() -> str:
 
 
 ORACLES["q147_source_overlap"] = _q147_oracle()
+
+
+# q157: HyperLogLog NDV — full register-level replay (md5-60-bit hash,
+# bit-op bucket/suffix split, bin()-length bit ranks, integer-scaled
+# harmonic sum, ONE double division) so the sketch ESTIMATE itself is
+# value-hash checked, not just the exact column.  Constants come from
+# operators/sketch.py so both engines share the same p / suffix width /
+# alpha double (repr() round-trips the exact IEEE value).
+def _q157_oracle(p: int = 8, salt: str = "hll-q157") -> str:
+    from sparkdiff.operators.sketch import HLL_SUFFIX_BITS, hll_alpha_m2_scaled
+
+    m = 1 << p
+    rmax = HLL_SUFFIX_BITS + 1
+    return f"""
+    WITH occ AS (
+        SELECT source, unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(token || '{salt}'), 1, 15)) AS BIGINT) AS hv
+        FROM occ
+    ),
+    r AS (
+        SELECT source,
+               hv % {m} AS bucket,
+               (hv >> {p}) & ((1::BIGINT << {HLL_SUFFIX_BITS}) - 1) AS suffix
+        FROM h
+    ),
+    regs AS (
+        SELECT source, bucket,
+               MAX(CASE WHEN suffix = 0 THEN {rmax}
+                        ELSE {rmax} - length(bin(suffix)) END) AS reg
+        FROM r GROUP BY source, bucket
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+               SUM(1::BIGINT << ({rmax} - reg)) AS z_present
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source, buckets_hit,
+               CAST(floor({hll_alpha_m2_scaled(p)!r}
+                    / CAST(z_present + ({m} - buckets_hit) * (1::BIGINT << {rmax})
+                           AS DOUBLE)) AS BIGINT) AS hll_ndv
+        FROM agg
+    ),
+    exact AS (
+        SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_ndv
+        FROM occ GROUP BY source
+    )
+    SELECT e.source, e.buckets_hit, e.hll_ndv, x.exact_ndv,
+           CAST(abs(e.hll_ndv - x.exact_ndv) * 1000 // x.exact_ndv AS BIGINT)
+           AS err_pm
+    FROM est e JOIN exact x ON x.source = e.source
+    """
+
+
+ORACLES["q157_hll_ndv"] = _q157_oracle()
+
+
+# q158: the direct quadratic definition of the ed<=1 self-join — the
+# Spark side blocks via FastSS deletion neighborhoods, so a value-hash
+# match against this spec certifies the blocking lost no pair.
+ORACLES["q158_edit_distance_join"] = """
+    SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+           CAST(b.c_custkey AS BIGINT) AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# q159: sorted-neighborhood replay — same injected corpus as q149,
+# rank over (32-char normalized prefix, doc_id) total order, window-4
+# successor pairs, integer-exact Jaccard verify.  DuckDB's row_number
+# is the spec; the Spark side's range-partitioned rail must reproduce
+# it exactly (same total order, no boundary sensitivity).
+ORACLES["q159_sorted_neighborhood"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, text || ' extra suffix words'
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    keyed AS (
+        SELECT doc_id, text,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                      1, 32) AS bkey
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT doc_id, text,
+               CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_distinct({sql_tokens('a.text')}) AS ta,
+               list_distinct({sql_tokens('b.text')}) AS tb
+        FROM ranked a JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               len(list_intersect(ta, tb)) AS i,
+               len(list_distinct(list_concat(ta, tb))) AS u
+        FROM pairs
+    )
+    SELECT id_a, id_b, CAST((1000 * i) // u AS BIGINT) AS jac_milli
+    FROM verified
+    WHERE u > 0 AND (1000 * i) // u >= 500
+"""

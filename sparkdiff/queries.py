@@ -5291,6 +5291,111 @@ def q156_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token NDV via the explicit HyperLogLog
+    register sketch (`operators/sketch.hll_registers` /
+    `hll_estimate`), with the exact NDV beside it pinning the
+    estimator's error to the per-mille.  The 100 TB shape is the left
+    half alone: one corpus scan, per-(source, bucket) MAX with map-side
+    combine, and a 2^p-row bounded state per source that MAX-merges
+    across days/partitions — no distinct(), no shuffle of the token
+    domain.  The exact column (count(distinct)) exists here only to
+    measure the sketch; at scale it is precisely the aggregation the
+    sketch replaces.  Entirely libm-free (binary-string bit ranks,
+    integer-scaled harmonic sum, one double division), so the ESTIMATE
+    ITSELF is value-hash oracled — see the module header of
+    operators/sketch.py."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.sketch import hll_estimate, hll_registers
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    regs = hll_registers(occ, "token", keys=["source"], p=8, salt="hll-q157")
+    est = hll_estimate(regs, keys=["source"], p=8)
+    exact = occ.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("exact_ndv")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "buckets_hit",
+            "hll_ndv",
+            "exact_ndv",
+            F.expr(
+                "CAST(abs(hll_ndv - exact_ndv) * 1000 DIV exact_ndv AS BIGINT)"
+            ).alias("err_pm"),
+        )
+    )
+
+
+def q158_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (ed <= 1) over customer names
+    via FastSS deletion-neighborhood blocking
+    (`operators/editdist.edit_distance_join`): one scan generates each
+    name's <=1-deletion variants, an EQUI-join on the variant string
+    produces candidates (never the corpus x corpus cross product), and
+    the built-in `levenshtein` verifies exactly.  The oracle is the
+    direct quadratic definition — the value-hash therefore certifies
+    the blocking is LOSSLESS (no false negatives), which is the
+    algorithm's entire claim.  On c_name the <=1 pairs are ids
+    differing in a single digit — the fat-finger/typo regime
+    (data-cleaning record linkage) this operator exists for."""
+    from sparkdiff.operators.editdist import edit_distance_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+    )
+    return edit_distance_join(c, "c_custkey", "c_name", d=1)
+
+
+def q159_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo merge/purge,
+    `operators/blocking.sorted_neighborhood_pairs`): candidates are
+    each record's 4 successors in normalized-prefix sort order —
+    n x window pairs, ranked by the range-partitioned rail (never an
+    Exchange SinglePartition) and paired by integer equi-join (never a
+    range join).  Verify = distinct-token Jaccard >= 0.5 kept in PURE
+    INTEGER arithmetic ((1000*|∩|) DIV |∪|).  Runs on the q149 corpus
+    (near-dups injected at doc_id+20000 with a SUFFIX edit, so dup
+    pairs share the 32-char prefix key and are adjacent — the regime
+    the method is designed for); the oracle replays rank, window and
+    Jaccard verbatim."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.blocking import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+    bkey = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 32
+    )
+    pairs = sorted_neighborhood_pairs(corpus, "doc_id", bkey, "text", window=4)
+    ta = F.array_distinct(tokens(F.col("text_a")))
+    tb = F.array_distinct(tokens(F.col("text_b")))
+    inter = F.size(F.array_intersect(ta, tb)).cast("long")
+    uni = F.size(F.array_union(ta, tb)).cast("long")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            inter.alias("_i"),
+            uni.alias("_u"),
+        )
+        .filter(F.col("_u") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(1000 * _i DIV _u AS BIGINT)").alias("jac_milli"),
+        )
+        .filter(F.col("jac_milli") >= 500)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5448,4 +5553,7 @@ QUERIES: dict[str, callable] = {
     "q154_countmin_heavyhitters": q154_countmin_heavyhitters,
     "q155_jl_projection_recall": q155_jl_projection_recall,
     "q156_keep_best_dedup": q156_keep_best_dedup,
+    "q157_hll_ndv": q157_hll_ndv,
+    "q158_edit_distance_join": q158_edit_distance_join,
+    "q159_sorted_neighborhood": q159_sorted_neighborhood,
 }

@@ -151,6 +151,12 @@ _INTENTIONAL_NLJ = {
     # broadcasts the ONE-ROW min/max range aggregate for the integer
     # scaling (q76/q90 stats shape).
     "q143_zorder_skipping",
+    # q159 ranks on the scalable_row_number rail twice (probe and
+    # successor sides of the self-join): each instance carries the
+    # rail's bounded #partitions-row bucket-offset non-equi broadcast
+    # (q135/q144 shape).  The candidate pairing itself is the integer
+    # rank EQUI-join — the corpus never cross-joins anything.
+    "q159_sorted_neighborhood",
     # q144: the same rail for the global order statistics plus the
     # ONE-ROW corpus-count broadcast (q76/q90 stats shape); the
     # midpoint-index lookup itself is a data-sized equi-join.

@@ -101,3 +101,98 @@ def test_cms_weighted_build_equals_occurrence_build(spark):
     a = count_min_sketch(occ, d=3, w=8, salt="wb-")
     b = count_min_sketch(freq, d=3, w=8, salt="wb-", weight_col="n")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+from sparkdiff.operators.sketch import (  # noqa: E402
+    HLL_SUFFIX_BITS,
+    hll_alpha,
+    hll_corrected,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("v"), F.col("id")).alias("token")
+    )
+
+
+def test_hll_merge_equals_registers_of_union(spark):
+    """MAX-merge of two halves' registers == registers of the whole —
+    the property that lets every partition sketch independently."""
+    whole = _ints(spark, 0, 2000)
+    a, b = _ints(spark, 0, 1200), _ints(spark, 1100, 2000)  # overlapping
+    union = a.unionByName(b)
+    ra = hll_registers(a, p=8, salt="m-")
+    rb = hll_registers(b, p=8, salt="m-")
+    merged = {
+        (r.bucket, r.reg) for r in hll_merge(ra, rb).collect()
+    }
+    direct = {
+        (r.bucket, r.reg) for r in hll_registers(union, p=8, salt="m-").collect()
+    }
+    assert merged == direct
+    # and duplicates are free: union-with-overlap == the distinct whole
+    assert direct == {
+        (r.bucket, r.reg) for r in hll_registers(whole, p=8, salt="m-").collect()
+    }
+
+
+def test_hll_estimate_within_theory_error(spark):
+    """Raw estimate error within 5 standard errors (1.04/sqrt(m)) of
+    truth at a cardinality where raw HLL is in-regime (n >> 2.5m)."""
+    n, p = 20000, 8
+    est = hll_estimate(
+        hll_registers(_ints(spark, 0, n), p=p, salt="e-"), p=p
+    ).collect()[0]
+    se = 1.04 / (1 << p) ** 0.5
+    assert abs(est.hll_ndv - n) / n < 5 * se
+    assert est.buckets_hit <= 1 << p
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    """Occurrence multiplicity is invisible to MAX registers."""
+    once = _ints(spark, 0, 500)
+    thrice = once.unionByName(once).unionByName(once)
+    e1 = hll_estimate(hll_registers(once, p=8, salt="d-"), p=8).collect()[0]
+    e3 = hll_estimate(hll_registers(thrice, p=8, salt="d-"), p=8).collect()[0]
+    assert (e1.buckets_hit, e1.hll_ndv) == (e3.buckets_hit, e3.hll_ndv)
+
+
+def test_hll_corrected_matches_python_linear_counting(spark):
+    """The libm-bearing correction column == math.log replay, and it
+    only fires in the small-range regime."""
+    import math
+
+    n, p, m = 100, 8, 256
+    regs = hll_registers(_ints(spark, 0, n), p=p, salt="c-")
+    est = hll_estimate(regs, p=p)
+    row = est.select(
+        "buckets_hit",
+        "hll_ndv",
+        hll_corrected(F.col("hll_ndv"), F.col("buckets_hit"), p=p).alias("corr"),
+    ).collect()[0]
+    assert row.hll_ndv <= int(2.5 * m)  # small-range regime at n=100
+    expect = math.floor(m * math.log(m / (m - row.buckets_hit)))
+    assert row.corr == expect
+    # linear counting should beat the raw estimate at tiny n
+    assert abs(row.corr - n) <= abs(row.hll_ndv - n)
+
+
+def test_hll_register_values_are_bit_ranks(spark):
+    """Registers are in [1, HLL_SUFFIX_BITS+1] — the bin()-length rank
+    construction can produce nothing else."""
+    regs = hll_registers(_ints(spark, 0, 5000), p=8, salt="r-").collect()
+    assert regs
+    assert all(1 <= r.reg <= HLL_SUFFIX_BITS + 1 for r in regs)
+
+
+def test_hll_rejects_bad_p(spark):
+    with pytest.raises(ValueError):
+        hll_registers(_ints(spark, 0, 10), p=3)
+    with pytest.raises(ValueError):
+        hll_alpha(64)

@@ -43,7 +43,21 @@ REPLICAS = int(os.environ.get("REPLICAS", "4"))
 #: the axis q147's exact path is quadratic in (vocabulary × sources²).
 #: Default keeps sources fixed: corpus grows, source count doesn't.
 SHIFT_SOURCES = os.environ.get("SHIFT_SOURCES", "") == "1"
-DST = f"/tmp/sfprobe_{REPLICAS:02d}" + ("_srcs" if SHIFT_SOURCES else "")
+#: SHIFT_NAMES=1 also rewrites customer.c_name with a per-replica
+#: DOUBLED tag ('Customer#<rr>#' || original 9-digit key): names stay
+#: unique across replicas AND any cross-replica pair differs in two
+#: characters, so it cannot enter an ed<=1 join.  The default tier
+#: clones every c_name REPLICAS times, which grows q158's ed<=1 pair
+#: OUTPUT ~replicas^2 (every clone pairs at distance 0 across
+#: replicas) — a fixture artifact, not an operator hazard; this knob
+#: probes the regime the operator is designed for (corpus grows,
+#: per-name multiplicity doesn't).
+SHIFT_NAMES = os.environ.get("SHIFT_NAMES", "") == "1"
+DST = (
+    f"/tmp/sfprobe_{REPLICAS:02d}"
+    + ("_srcs" if SHIFT_SOURCES else "")
+    + ("_names" if SHIFT_NAMES else "")
+)
 
 #: table -> columns to shift per replica (uniform shift keeps FKs valid)
 KEYED = {
@@ -95,7 +109,12 @@ def build_4x() -> str:
                 else (
                     f"(source || '_r{r}') AS source"
                     if SHIFT_SOURCES and t == "documents" and c == "source"
-                    else c
+                    else (
+                        f"('Customer#{r}{r}#' || lpad(CAST(c_custkey "
+                        f"AS VARCHAR), 9, '0')) AS c_name"
+                        if SHIFT_NAMES and t == "customer" and c == "c_name"
+                        else c
+                    )
                 )
                 for c in cols
             )
