@@ -856,6 +856,101 @@ def setsim_join(
     )
 
 
+def containment_join(
+    sets: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    set_col: str = "s",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """EXACT threshold set-CONTAINMENT self-join: all ORDERED pairs
+    ``(id_a != id_b)`` with ``|A ∩ B| / |A| >= t`` — the asymmetric
+    twin of :func:`setsim_join`, for the relationships Jaccard
+    structurally misses: a quote, excerpt, or chunk CONTAINED in a
+    much longer document has Jaccard ≈ |A|/|B| (tiny) but containment
+    ≈ 1.  The standard LLM-corpus use is quote/excerpt detection
+    before near-dup dedup declares two differently-sized documents
+    unrelated.
+
+    Same exactness discipline as setsim_join: the threshold is a
+    RATIONAL (``den·|A∩B| >= num·|A|`` in int64), and the prefix
+    filter is provably lossless for ANY fixed global element order —
+    at most ``(1-t)·|A|`` of A's elements lie outside B, so among A's
+    first ``⌊(1-t)·|A|⌋ + 1`` elements at least one is in B.  Ordering
+    by ascending global frequency (rarest first, element value as the
+    tiebreak) is the EFFICIENCY choice: the probe side only publishes
+    its rarest elements, so the equi-join's key distribution is the
+    rare tail — posting lists stay short and the candidate join stays
+    linear-ish even though the indexed side publishes every element.
+    Verification computes the exact intersection only for distinct
+    candidate pairs.  Returns ``(id_a, id_b, inter, size_a)`` with
+    containment = inter/size_a left to the caller (kept integer here
+    so downstream thresholds stay engine-exact).  Empty/null probe
+    sets are excluded (containment undefined).
+
+    The distinct-set table feeds FOUR consumers (frequency table,
+    ranked prefix, index side, both verify sides), so it is persisted
+    for the returned DAG's lifetime — the q25/q26 multi-consumer
+    convention (release path: session ``clearCache``).
+    ``parallelism``: repartition before the set materialization when
+    the input is a few splits (the substring.py convention) — the
+    per-row set work otherwise serializes into one task per input
+    file."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}"
+        )
+    num, den = threshold_num, threshold_den
+    pre = sets
+    if parallelism:
+        pre = pre.repartition(parallelism)
+    base = (
+        pre.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col)).alias("_s"),
+        )
+        .filter(F.size("_s") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    elems = base.select("_id", F.size("_s").alias("_n"), F.explode("_s").alias("_e"))
+    freq = elems.groupBy("_e").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = elems.join(freq, "_e").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_f"), F.col("_e"))
+        ),
+    )
+    # prefix length = |A| - ceil(t·|A|) + 1, all-integer
+    need = F.expr(f"CAST(({num} * _n + {den} - 1) DIV {den} AS INT)")
+    prefix = ranked.filter(F.col("_rn") <= F.col("_n") - need + 1).select(
+        F.col("_id").alias("id_a"), "_e"
+    )
+    cand = (
+        prefix.join(
+            elems.select(F.col("_id").alias("id_b"), "_e"),
+            ["_e"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"),
+                     F.size("_s").alias("size_a"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("size_a"))
+        .select("id_a", "id_b", "inter", F.col("size_a").cast("long").alias("size_a"))
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,

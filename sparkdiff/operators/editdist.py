@@ -13,11 +13,18 @@ intersect.  That turns the similarity join into
      (≤ 1 + len + len^2/2 + ... variants ~ O(len^d) rows per string,
      fine for the short-key domains this targets: names, titles, URLs,
      codes),
-  2. an EQUI-join on the variant string (hash-shuffle on the variant —
-     co-locatable, broadcast-able, skew-handled like any other key
-     join; never quadratic),
-  3. an exact ``levenshtein`` verify that discards the false candidates
-     (neighborhood intersection is necessary, not sufficient).
+  2. an EQUI-join on ``xxhash64(variant)`` — an 8-byte key instead of
+     the variant string, so the shuffle moves ids + hashes, not
+     payloads; hash collisions only ADD candidates and the verify
+     removes them,
+  3. an exact ``levenshtein`` verify that discards false candidates
+     (neighborhood intersection is necessary, not sufficient) —
+     applied ON THE JOIN OUTPUT, before the pair-dedup exchange, so
+     that exchange carries only true, narrow (id, id, dist) rows.
+     (A same-deletion-position refinement for d=1 was measured and
+     REJECTED: evaluating the extra when/length condition per joined
+     row cost more than the false candidates it pruned — the verify is
+     already that cheap.)
 
 Spark-first notes: the neighborhood is a pure column expression
 (``transform(sequence(...))`` — whole-stage codegen, no UDF), the join
@@ -70,33 +77,43 @@ def edit_distance_join(
     id_col: str,
     str_col: str,
     d: int = 1,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
     ``levenshtein <= d``, via deletion-neighborhood candidates + exact
     verify.  Exact (no false negatives): neighborhood intersection is
-    implied by ed <= d; the verify removes false positives."""
-    v = df.select(
-        F.col(id_col).alias("_edj_id"),
-        F.col(str_col).alias("_edj_s"),
-        F.explode(deletion_neighborhood(F.col(str_col), d)).alias("_edj_var"),
+    implied by ed <= d; hash collisions and residual false candidates
+    die at the levenshtein verify.
+
+    ``parallelism``: the explode amplifies each row into ~len^d variant
+    rows — when the input is a FEW splits (one small parquet file),
+    that work serializes into one task unless the projection is
+    repartitioned first (the substring.py convention).  Leave None when
+    the input already has scan parallelism."""
+    base = df.select(
+        F.col(id_col).alias("_edj_id"), F.col(str_col).alias("_edj_s")
     )
+    if parallelism:
+        base = base.repartition(parallelism)
+    v = base.select(
+        "_edj_id",
+        "_edj_s",
+        F.explode(deletion_neighborhood(F.col("_edj_s"), d)).alias("_edj_var"),
+    ).select("_edj_id", "_edj_s", F.xxhash64("_edj_var").alias("_edj_vh"))
     a, b = v.alias("a"), v.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._edj_var") == F.col("b._edj_var"))
-            & (F.col("a._edj_id") < F.col("b._edj_id")),
-        )
-        .select(
-            F.col("a._edj_id").alias("id_a"),
-            F.col("b._edj_id").alias("id_b"),
-            F.col("a._edj_s").alias("s_a"),
-            F.col("b._edj_s").alias("s_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a._edj_vh") == F.col("b._edj_vh"))
+        & (F.col("a._edj_id") < F.col("b._edj_id")),
     )
     return (
-        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        cand.select(
+            F.col("a._edj_id").alias("id_a"),
+            F.col("b._edj_id").alias("id_b"),
+            F.levenshtein(F.col("a._edj_s"), F.col("b._edj_s"))
+            .cast("long")
+            .alias("dist"),
+        )
         .filter(F.col("dist") <= d)
-        .select("id_a", "id_b", "dist")
+        .distinct()
     )

@@ -148,10 +148,17 @@ HLL_SUFFIX_BITS = 40
 
 
 def hll_alpha(m: int) -> float:
-    """Bias-correction constant alpha_m of Flajolet et al. (2007) for
-    m >= 128 (the closed form; smaller m would need the table)."""
+    """Bias-correction constant alpha_m of Flajolet et al. (2007):
+    the paper's tabulated values for m = 16/32/64, the closed form for
+    m >= 128."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
     if m < 128:
-        raise ValueError(f"hll_alpha closed form needs m >= 128, got {m}")
+        raise ValueError(f"hll_alpha needs m in {{16,32,64}} or >= 128, got {m}")
     return 0.7213 / (1.0 + 1.079 / m)
 
 

@@ -5018,3 +5018,237 @@ ORACLES["q159_sorted_neighborhood"] = f"""
     FROM verified
     WHERE u > 0 AND (1000 * i) // u >= 500
 """
+
+
+# q160: Fellegi-Sunter replay — quadratic ed<=1 blocking definition
+# (q158's oracle), per-field u-probabilities as exact freq^2 integer
+# sums over the SAME attribute projections, and the likelihood product
+# written in the identical left-associated field order so the raw
+# double score hash-matches (every division/multiplication is a single
+# deterministic IEEE op on identical inputs).  Two engine traps are
+# engineered around: DuckDB parses plain decimal literals as DECIMAL
+# (so "1.0 - 0.95" is EXACT 0.05, not the IEEE subtraction Spark
+# computes) — the disagree weights are therefore rendered as
+# Python-computed repr values with an e0 suffix, which forces DOUBLE
+# parsing AND avoids DuckDB's double-rounding DECIMAL(19,18)->DOUBLE
+# cast; and DuckDB's % is signed while Spark's pmod is not (cents2).
+ORACLES["q160_record_linkage"] = """
+    WITH attrs AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name, c_nationkey,
+               c_mktsegment,
+               CAST(((CAST(round(c_acctbal * 100, 0) AS BIGINT) % 100)
+                     + 100) % 100 AS BIGINT) AS cents2,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                AS DOUBLE) / 10000.0) AS BIGINT) AS balband
+        FROM customer
+    ),
+    nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM attrs),
+    u_nation AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS u_nation_num
+        FROM (SELECT COUNT(*) AS f FROM attrs GROUP BY c_nationkey)
+    ),
+    u_segment AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS u_segment_num
+        FROM (SELECT COUNT(*) AS f FROM attrs GROUP BY c_mktsegment)
+    ),
+    u_cents2 AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS u_cents2_num
+        FROM (SELECT COUNT(*) AS f FROM attrs GROUP BY cents2)
+    ),
+    u_balband AS (
+        SELECT CAST(SUM(f * f) AS BIGINT) AS u_balband_num
+        FROM (SELECT COUNT(*) AS f FROM attrs GROUP BY balband)
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+               CAST(a.c_nationkey = b.c_nationkey AS INTEGER) AS agree_nation,
+               CAST(a.c_mktsegment = b.c_mktsegment AS INTEGER) AS agree_segment,
+               CAST(a.cents2 = b.cents2 AS INTEGER) AS agree_cents2,
+               CAST(a.balband = b.balband AS INTEGER) AS agree_balband
+        FROM attrs a JOIN attrs b
+          ON a.id < b.id AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    scored AS (
+        SELECT c.*,
+               1.0
+               * (CASE WHEN agree_nation = 1
+                       THEN 0.95 / (CAST(u_nation_num AS DOUBLE)
+                                    / CAST(n * n AS DOUBLE))
+                       ELSE 0.050000000000000044e0
+                            / (1.0 - (CAST(u_nation_num AS DOUBLE)
+                                      / CAST(n * n AS DOUBLE))) END)
+               * (CASE WHEN agree_segment = 1
+                       THEN 0.9 / (CAST(u_segment_num AS DOUBLE)
+                                   / CAST(n * n AS DOUBLE))
+                       ELSE 0.09999999999999998e0
+                            / (1.0 - (CAST(u_segment_num AS DOUBLE)
+                                      / CAST(n * n AS DOUBLE))) END)
+               * (CASE WHEN agree_cents2 = 1
+                       THEN 0.9 / (CAST(u_cents2_num AS DOUBLE)
+                                   / CAST(n * n AS DOUBLE))
+                       ELSE 0.09999999999999998e0
+                            / (1.0 - (CAST(u_cents2_num AS DOUBLE)
+                                      / CAST(n * n AS DOUBLE))) END)
+               * (CASE WHEN agree_balband = 1
+                       THEN 0.85 / (CAST(u_balband_num AS DOUBLE)
+                                    / CAST(n * n AS DOUBLE))
+                       ELSE 0.15000000000000002e0
+                            / (1.0 - (CAST(u_balband_num AS DOUBLE)
+                                      / CAST(n * n AS DOUBLE))) END)
+               AS score
+        FROM cand c, nrow, u_nation, u_segment, u_cents2, u_balband
+    )
+    SELECT id_a, id_b, dist,
+           CAST(agree_nation AS BIGINT) AS agree_nation,
+           CAST(agree_segment AS BIGINT) AS agree_segment,
+           CAST(agree_cents2 AS BIGINT) AS agree_cents2,
+           CAST(agree_balband AS BIGINT) AS agree_balband,
+           score,
+           CASE WHEN score >= 1000.0 THEN 'match'
+                WHEN score >= 1.0 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
+"""
+
+
+# q161: both candidate generators replayed in full over the SAME
+# injected corpus — the LSH branch embeds the q25 oracle machinery
+# (same generator, same corpus SQL), the SNM branch replays q159's
+# rank/window with the SHINGLE verify, and both are measured against
+# the constructed truth (lo%25==0, hi==lo+20000).
+def _q161_oracle() -> str:
+    lsh_sql = _minhash_oracle()  # q25 corpus, threshold 0.6, id_a < id_b
+    return f"""
+    WITH corpus AS (
+        {_Q25_BASE_SQL}
+    ),
+    truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> length(t) > 0) AS tk
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               END) AS sh
+        FROM corpus JOIN toks USING (doc_id)
+    ),
+    keyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                      1, 32) AS bkey
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+        FROM keyed
+    ),
+    snm_cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+    ),
+    snm_ver AS (
+        SELECT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS i,
+                   len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh)) AS u
+            FROM snm_cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        )
+        WHERE (CASE WHEN u = 0 THEN 0.0
+                    ELSE CAST(i AS DOUBLE) / u END) >= 0.6
+    ),
+    lsh_pairs AS (
+        {lsh_sql}
+    ),
+    allpairs AS (
+        SELECT 'lsh' AS method, least(id_a, id_b) AS lo,
+               greatest(id_a, id_b) AS hi
+        FROM lsh_pairs
+        UNION ALL
+        SELECT 'snm' AS method, lo, hi FROM snm_ver
+    ),
+    agg AS (
+        SELECT method,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN hi = lo + 20000 AND lo % 25 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS truth_found
+        FROM allpairs GROUP BY method
+    )
+    SELECT method, n_pairs, truth_found,
+           CAST((1000 * truth_found) // n_truth AS BIGINT) AS recall_pm
+    FROM agg, truth
+    """
+
+
+ORACLES["q161_blocking_recall"] = _q161_oracle()
+
+
+# q162: the direct quadratic containment definition over the injected
+# excerpt corpus — the Spark side blocks with the rarest-first prefix
+# filter, so the value-hash certifies the filter's losslessness (the
+# same spec-vs-algorithm pattern as q158).
+ORACLES["q162_containment_join"] = """
+    WITH wt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> length(t) > 0) AS w
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT d.doc_id + 30000 AS doc_id,
+               array_to_string(list_slice(w.w, 1, (2 * len(w.w)) // 5), ' ')
+               AS text
+        FROM documents d JOIN wt w USING (doc_id)
+        WHERE d.doc_id % 20 = 0
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> length(t) > 0) AS tk
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               END) AS sh
+        FROM toks
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+               AS sh
+        FROM sh WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST((1000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+                AS BIGINT) AS containment_pm
+    FROM sets a JOIN sets b
+      ON a.doc_id != b.doc_id
+     AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+"""

@@ -5346,7 +5346,13 @@ def q158_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
     )
-    return edit_distance_join(c, "c_custkey", "c_name", d=1)
+    return edit_distance_join(
+        c,
+        "c_custkey",
+        "c_name",
+        d=1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q159_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5393,6 +5399,240 @@ def q159_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000 * _i DIV _u AS BIGINT)").alias("jac_milli"),
         )
         .filter(F.col("jac_milli") >= 500)
+    )
+
+
+def q160_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, end to end: FastSS blocking (q158's
+    ed<=1 candidate pairs) scored by the Fellegi-Sunter model
+    (`operators/linkage.py`) over four comparison fields — nation,
+    market segment, balance-cents remainder, $100 balance band — with
+    u-probabilities ESTIMATED FROM THE DATA as exact int64 freq^2 sums
+    (one vocabulary-sized aggregate per field, one double division at
+    the end) and the composite likelihood ratio multiplied in fixed
+    field order, so the raw double score value-hashes across engines.
+    On TPC-H customers the near-name pairs are DIFFERENT entities, and
+    the model says so: agreements on independent fields are rare, so
+    scores concentrate far below the match threshold — exactly the
+    blocking-recall-vs-scoring-precision split the method formalizes.
+    The one-row u-stats table rides as a broadcast (the q76/q90 stats
+    shape)."""
+    from sparkdiff.operators.editdist import edit_distance_join
+    from sparkdiff.operators.linkage import (
+        LinkageField,
+        fellegi_sunter_score,
+        field_u_stats,
+    )
+
+    attrs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.pmod(_cents("c_acctbal"), F.lit(100)).cast("long").alias("cents2"),
+        F.floor(_cents("c_acctbal").cast("double") / F.lit(10000.0))
+        .cast("long")
+        .alias("balband"),
+    )
+    cand = edit_distance_join(
+        attrs.select(F.col("id").alias("c_custkey"), "c_name"),
+        "c_custkey",
+        "c_name",
+        d=1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    a = attrs.select(
+        F.col("id").alias("_aid"),
+        *[F.col(c).alias(f"{c}_a") for c in attrs.columns if c != "id"],
+    )
+    b = attrs.select(
+        F.col("id").alias("_bid"),
+        *[F.col(c).alias(f"{c}_b") for c in attrs.columns if c != "id"],
+    )
+    pairs = (
+        cand.join(a, cand.id_a == a._aid, "inner")
+        .join(b, cand.id_b == b._bid, "inner")
+        .drop("_aid", "_bid")
+    )
+    u = field_u_stats(attrs, ["c_nationkey", "c_mktsegment", "cents2", "balband"])
+    fields = [
+        LinkageField(
+            "nation",
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b")).cast("int"),
+            0.95,
+            "u_c_nationkey_num",
+        ),
+        LinkageField(
+            "segment",
+            (F.col("c_mktsegment_a") == F.col("c_mktsegment_b")).cast("int"),
+            0.9,
+            "u_c_mktsegment_num",
+        ),
+        LinkageField(
+            "cents2",
+            (F.col("cents2_a") == F.col("cents2_b")).cast("int"),
+            0.9,
+            "u_cents2_num",
+        ),
+        LinkageField(
+            "balband",
+            (F.col("balband_a") == F.col("balband_b")).cast("int"),
+            0.85,
+            "u_balband_num",
+        ),
+    ]
+    out = fellegi_sunter_score(pairs, u, fields, upper=1000.0, lower=1.0)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+        F.col("agree_nation").cast("long").alias("agree_nation"),
+        F.col("agree_segment").cast("long").alias("agree_segment"),
+        F.col("agree_cents2").cast("long").alias("agree_cents2"),
+        F.col("agree_balband").cast("long").alias("agree_balband"),
+        "score",
+        "decision",
+    )
+
+
+def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation shoot-out: sorted-neighborhood blocking
+    (q159's generator) vs MinHash-LSH (q25's), both verified by the
+    SAME 3-word-shingle Jaccard >= 0.6 on the SAME injected corpus, and
+    both measured against the CONSTRUCTED ground truth (every doc_id%25
+    original pairs with its +20000 suffix-edited copy).  Output: one
+    row per method with pair count, truth pairs found, and recall per
+    mille — the honest number behind q159's documented windowed-recall
+    trade: sorted neighborhood only sees dups whose keys sort within
+    the window, LSH sees any shingle overlap above the band threshold.
+    Shingles are materialized ONCE per doc and joined to candidate
+    pairs by id (never re-shingled per pair); the one-row truth count
+    rides as a broadcast (q76/q90 stats shape)."""
+    from sparkdiff.operators.blocking import sorted_neighborhood_pairs
+    from sparkdiff.operators.dedup import near_dup_pairs, with_word_shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
+    )
+    corpus = d.unionByName(dups)
+
+    lsh = near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.6, hash_method="md5"
+    ).select(
+        F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
+    )
+
+    sh = with_word_shingles(corpus, "text", 3, out="sh").select("doc_id", "sh")
+    bkey = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 32
+    )
+    snm_cand = sorted_neighborhood_pairs(
+        corpus, "doc_id", bkey, "text", window=4
+    ).select("id_a", "id_b")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sha"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    snm = (
+        snm_cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.6)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+    )
+
+    both = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        snm.withColumn("method", F.lit("snm"))
+    )
+    is_truth = (
+        (F.col("hi") == F.col("lo") + 20_000) & (F.col("lo") % 25 == 0)
+    ).cast("long")
+    agg = both.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(is_truth).cast("long").alias("truth_found"),
+    )
+    truth = d.filter(F.col("doc_id") % 25 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    return (
+        agg.crossJoin(F.broadcast(truth))
+        .select(
+            "method",
+            "n_pairs",
+            "truth_found",
+            F.expr("CAST(1000 * truth_found DIV n_truth AS BIGINT)").alias(
+                "recall_pm"
+            ),
+        )
+    )
+
+
+def q162_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/excerpt detection via the exact set-CONTAINMENT join
+    (`operators/dedup.containment_join`): injected excerpts (the first
+    2n/5 whitespace tokens of every 20th doc, at doc_id+30000) have
+    Jaccard ≈ 0.4 against their source — INVISIBLE to the 0.6-Jaccard
+    dedup family by construction — but containment 1.0, which is the
+    relationship that matters before a dedup pass declares a chunk and
+    its source unrelated.  Prefix-filtered (rarest-first, provably
+    lossless for any fixed order), rational-threshold (4/5) integer
+    pruning, exact verify on distinct candidates only; the oracle is
+    the direct quadratic containment definition, so the value-hash
+    certifies the prefix filter lost no pair.  All output columns are
+    integers (containment per mille = 1000·|A∩B| DIV |A|)."""
+    from sparkdiff.operators.dedup import (
+        containment_join,
+        token_hash,
+        with_word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wt = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    quotes = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 30_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    wt, 1, F.expr("CAST(2 * size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) DIV 5 AS INT)")
+                ),
+            ).alias("text"),
+        )
+    )
+    # Two measured shape decisions (10.4 s -> 2.4 s at sf0.1):
+    # repartition BEFORE the shingle projection (the corpus arrives as
+    # 2 file splits and the interpreted shingle lambdas would
+    # serialize into 2 tasks — everything between two exchanges runs
+    # at the UPSTREAM exchange's width), and hash shingles to the
+    # md5-60-bit long (q125 convention) as a TOP-LEVEL projection on
+    # the exploded element rows — codegen — never as an array-lambda
+    # transform (higher-order lambdas evaluate interpreted per
+    # element; the in-array md5 variant alone cost ~2 s).  The
+    # collect_set shuffle that rebuilds the hashed arrays moves 265k
+    # narrow rows.  The oracle replays the same hash.
+    corpus = d.unionByName(quotes).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    elems = with_word_shingles(corpus, "text", 3, out="sh").select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("_e")
+    ).select("doc_id", token_hash(F.col("_e"), "md5").alias("h"))
+    sets = elems.groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
+    out = containment_join(sets, 4, 5, id_col="doc_id", set_col="sh")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(1000 * inter DIV size_a AS BIGINT)").alias("containment_pm"),
     )
 
 
@@ -5556,4 +5796,7 @@ QUERIES: dict[str, callable] = {
     "q157_hll_ndv": q157_hll_ndv,
     "q158_edit_distance_join": q158_edit_distance_join,
     "q159_sorted_neighborhood": q159_sorted_neighborhood,
+    "q160_record_linkage": q160_record_linkage,
+    "q161_blocking_recall": q161_blocking_recall,
+    "q162_containment_join": q162_containment_join,
 }

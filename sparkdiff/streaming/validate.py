@@ -805,6 +805,29 @@ def streaming_count_min(
     return count_min_sketch(occurrences, token_col, d=d, w=w, salt=salt)
 
 
+def streaming_hll(
+    occurrences: DataFrame,
+    token_col: str = "token",
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog registers as a NATIVE stateful streaming aggregation:
+    ``operators/sketch.hll_registers``'s bucket→MAX(rho) plan run over
+    an unbounded token stream — the always-on cardinality monitor
+    (distinct users/tokens/keys so far) of an ingest pipeline.  State is
+    the register table, bounded at 2^p rows BY CONSTRUCTION; update
+    mode emits only registers a micro-batch raised, and the cumulative
+    register values equal the batch sketch over everything ingested so
+    far (MAX-mergeability IS stream/batch equivalence — pinned by the
+    batch-twin test).  Feed any foreachBatch consumer into
+    ``operators/sketch.hll_estimate`` for the NDV number; duplicates
+    across micro-batches are free (MAX absorbs re-delivery), so the
+    estimate is stable under at-least-once sources."""
+    from sparkdiff.operators.sketch import hll_registers
+
+    return hll_registers(occurrences, token_col, p=p, salt=salt)
+
+
 def streaming_contamination_gate(
     batches: DataFrame,
     patterns: DataFrame,

@@ -657,3 +657,57 @@ def test_paragraph_dedup_survivors_unique_on_real_corpus(spark):
         .count()
     )
     assert dup == 0
+
+
+# --- containment join -------------------------------------------------------
+
+def test_containment_join_exact_on_closed_domain(spark):
+    """Brute-force equivalence on all subsets of a 5-element universe:
+    prefix-filtered containment must equal the quadratic definition
+    exactly — lossless blocking AND no false positives, including
+    boundary pairs where den*inter == num*size_a exactly."""
+    from itertools import combinations
+
+    from sparkdiff.operators.dedup import containment_join
+
+    universe = ["a", "b", "c", "d", "e"]
+    sets = []
+    i = 0
+    for k in range(0, 6):
+        for c in combinations(universe, k):
+            sets.append((i, list(c)))
+            i += 1
+    df = spark.createDataFrame(sets, "doc_id: long, s: array<string>")
+    for num, den in ((4, 5), (1, 2), (1, 1)):
+        expect = {
+            (ia, ib, len(set(sa) & set(sb)), len(set(sa)))
+            for ia, sa in sets
+            for ib, sb in sets
+            if ia != ib and sa
+            and den * len(set(sa) & set(sb)) >= num * len(set(sa))
+        }
+        got = {
+            (r.id_a, r.id_b, r.inter, r.size_a)
+            for r in containment_join(df, num, den, "doc_id", "s").collect()
+        }
+        assert got == expect, f"threshold {num}/{den}"
+
+
+def test_containment_join_is_asymmetric_and_rejects_bad_threshold(spark):
+    """A strict subset is contained in its superset at t=1.0 but not
+    vice versa — the asymmetry Jaccard cannot express."""
+    import pytest
+
+    from sparkdiff.operators.dedup import containment_join
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x", "y", "z", "w", "v", "u"])],
+        "doc_id: long, s: array<string>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_join(df, 1, 1, "doc_id", "s").collect()
+    }
+    assert got == {(1, 2)}  # jaccard is 2/6 — far below any dedup bar
+    with pytest.raises(ValueError):
+        containment_join(df, 3, 2)

@@ -123,3 +123,87 @@ def test_sorted_neighborhood_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a", "p")], "rid: long, k: string, payload: string")
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "rid", F.col("k"), "payload", window=0)
+
+
+# --- Fellegi-Sunter linkage ------------------------------------------------
+
+from sparkdiff.operators.linkage import (  # noqa: E402
+    LinkageField,
+    fellegi_sunter_score,
+    field_u_stats,
+)
+
+
+def test_field_u_stats_exact_counts(spark):
+    """u numerators are exact freq^2 sums, NULL counted as a value."""
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,), (None,), (None,)], "v: string"
+    )
+    row = field_u_stats(df, ["v"]).collect()[0]
+    assert row.n == 6 and row.u_v_num == 4 + 1 + 9
+
+
+def test_fellegi_sunter_score_and_decisions(spark):
+    """Hand-replay: one agreeing and one disagreeing pair against
+    Python's float arithmetic, and the threshold split."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id: long, v: string"
+    )
+    u = field_u_stats(base, ["v"])
+    pairs = spark.createDataFrame(
+        [(1, 2, "a", "a"), (1, 3, "a", "b")],
+        "id_a: long, id_b: long, v_a: string, v_b: string",
+    )
+    fields = [
+        LinkageField(
+            "v", (F.col("v_a") == F.col("v_b")).cast("int"), 0.9, "u_v_num"
+        )
+    ]
+    out = {
+        (r.id_a, r.id_b): r
+        for r in fellegi_sunter_score(pairs, u, fields, 3.0, 1.0).collect()
+    }
+    uu = (4 + 1 + 1) / float(16)  # freq^2 sum over {a:2, b:1, c:1}, n=4
+    assert out[(1, 2)].score == 0.9 / uu
+    assert out[(1, 3)].score == (1.0 - 0.9) / (1.0 - uu)
+    # 0.9/0.375 = 2.4 -> possible; disagree ratio 0.16 -> non_match
+    assert out[(1, 2)].decision == "possible"
+    assert out[(1, 3)].decision == "non_match"
+    assert out[(1, 2)].agree_v == 1 and out[(1, 3)].agree_v == 0
+
+
+def test_fellegi_sunter_fixed_order_is_reproducible(spark):
+    """Same fields, same order -> bit-identical score across runs (the
+    product is a per-row left fold, no cross-row aggregation)."""
+    base = spark.createDataFrame(
+        [(i, f"v{i % 7}", i % 3) for i in range(100)],
+        "id: long, a: string, b: long",
+    )
+    u = field_u_stats(base, ["a", "b"])
+    pairs = (
+        base.alias("x")
+        .join(base.alias("y"), F.col("x.id") + 1 == F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.a").alias("a_a"),
+            F.col("y.a").alias("a_b"),
+            F.col("x.b").alias("b_a"),
+            F.col("y.b").alias("b_b"),
+        )
+    )
+    fields = [
+        LinkageField("a", (F.col("a_a") == F.col("a_b")).cast("int"), 0.95, "u_a_num"),
+        LinkageField("b", (F.col("b_a") == F.col("b_b")).cast("int"), 0.8, "u_b_num"),
+    ]
+    s1 = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_score(pairs, u, fields, 10.0, 1.0).collect()
+    }
+    s2 = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_score(
+            pairs.repartition(7), u, fields, 10.0, 1.0
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 99

@@ -80,3 +80,9 @@ def test_ingest_gate_pipeline_example():
     assert "batch 2: near-duplicate pairs flagged = 5" in stdout  # grown index
     assert "partitioned into 64 buckets" in stdout
     assert "bloom filter persisted" in stdout
+
+
+def test_record_linkage_pipeline_example():
+    stdout = _run("record_linkage_pipeline.py")
+    assert "injected dups re-found as matches: 4/4" in stdout  # sf0.001
+    assert "-> decision match:" in stdout and "-> decision non_match:" in stdout

@@ -157,6 +157,17 @@ _INTENTIONAL_NLJ = {
     # (q135/q144 shape).  The candidate pairing itself is the integer
     # rank EQUI-join — the corpus never cross-joins anything.
     "q159_sorted_neighborhood",
+    # q160's u-probability table is ONE ROW (n + four exact freq^2
+    # sums) crossJoin-broadcast over the candidate pairs — the q76/q90
+    # stats shape; candidates come from q158's FastSS equi-join and the
+    # attribute joins are equi-joins.
+    "q160_record_linkage",
+    # q161 combines three allowlisted shapes: the q159 rail (bounded
+    # bucket-offset non-equi broadcasts) on the SNM side and the
+    # ONE-ROW truth-count crossJoin broadcast on the output; candidate
+    # generation itself is the q25 band equi-join and the rank
+    # equi-join.
+    "q161_blocking_recall",
     # q144: the same rail for the global order statistics plus the
     # ONE-ROW corpus-count broadcast (q76/q90 stats shape); the
     # midpoint-index lookup itself is a data-sized equi-join.

@@ -154,6 +154,10 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
     "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
     "q156_keep_best_dedup": "near-dup shingle table feeds bands AND verify",
+    "q161_blocking_recall": "LSH branch is q25 machinery (shingle table "
+    "feeds bands AND verify); the SNM branch adds no persist",
+    "q162_containment_join": "containment_join persists the distinct-set "
+    "table (feeds freq, prefix, index and both verify sides)",
 }
 
 

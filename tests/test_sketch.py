@@ -195,4 +195,6 @@ def test_hll_rejects_bad_p(spark):
     with pytest.raises(ValueError):
         hll_registers(_ints(spark, 0, 10), p=3)
     with pytest.raises(ValueError):
-        hll_alpha(64)
+        hll_alpha(100)
+    # tabulated small-m constants exist (Flajolet et al. 2007)
+    assert hll_alpha(64) == 0.709

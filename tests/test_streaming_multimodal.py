@@ -1245,6 +1245,63 @@ def test_streaming_count_min_matches_batch_sketch(spark, tmp_path):
     assert got == expected and len(got) > 10
 
 
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """Streamed HLL register state after an availableNow drain over
+    multi-file micro-batches equals the one-shot batch registers (and
+    therefore the same NDV estimate) — MAX-mergeability as stream/batch
+    equivalence, including duplicate re-delivery across batches."""
+    from sparkdiff.functions.text import tokens
+    from sparkdiff.operators.sketch import hll_estimate, hll_registers
+    from sparkdiff.streaming.validate import streaming_hll
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "hll_src")
+    # two files -> two micro-batches; the odd half re-appends the first
+    # 50 docs, so cross-batch DUPLICATES exercise MAX-absorption
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") < 50)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    occ = stream.select(F.explode(tokens("text")).alias("token"))
+    state = streaming_hll(occ, p=6, salt="shll-")
+
+    got = {}
+
+    def record(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.bucket] = r.reg  # update mode: latest value wins
+
+    q = (
+        state.writeStream.outputMode("update")
+        .foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_regs = hll_registers(
+        docs.select(F.explode(tokens("text")).alias("token")), p=6, salt="shll-"
+    )
+    expected = {r.bucket: r.reg for r in batch_regs.collect()}
+    assert got == expected and len(got) > 10
+    # and the estimate computed from the streamed state matches batch
+    est_batch = hll_estimate(batch_regs, p=6).collect()[0]
+    regs_df = spark.createDataFrame(
+        [(b, r) for b, r in got.items()], "bucket: long, reg: long"
+    )
+    est_stream = hll_estimate(regs_df, p=6).collect()[0]
+    assert (est_stream.buckets_hit, est_stream.hll_ndv) == (
+        est_batch.buckets_hit,
+        est_batch.hll_ndv,
+    )
+
+
 def test_image_ahash_and_near_dup_pairs(spark):
     """aHash is a real pixel computation: a planted near-duplicate
     (same image, a few pixels nudged) lands within a few bits of its
