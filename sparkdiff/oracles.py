@@ -5252,3 +5252,52 @@ ORACLES["q162_containment_join"] = """
       ON a.doc_id != b.doc_id
      AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
 """
+
+
+# q163: the skew report replayed per key column — group sizes, exact
+# integer mean/skew/salt, p99 via cumulative key counts over the
+# size domain, top key by (count, key-string) struct order.
+def _q163_oracle(cols: tuple[str, ...] = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+)) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+    SELECT '{c}' AS key_col, n_rows, n_keys, max_n, p99_n,
+           CAST((1000 * n_rows) // n_keys AS BIGINT) AS mean_milli,
+           CAST((1000 * max_n * n_keys) // n_rows AS BIGINT) AS skew_milli,
+           CAST((max_n * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt,
+           top_key
+    FROM (
+        WITH gs AS (
+            SELECT CAST({c} AS VARCHAR) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY CAST({c} AS VARCHAR)
+        ),
+        sizes AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS keys_at FROM gs GROUP BY n
+        ),
+        ranked AS (
+            SELECT n, SUM(keys_at) OVER (ORDER BY n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM sizes
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_n,
+                   (SELECT k FROM gs ORDER BY n DESC, k DESC LIMIT 1)
+                       AS top_key
+            FROM gs
+        ),
+        p99 AS (
+            SELECT CAST(MIN(r.n) AS BIGINT) AS p99_n
+            FROM ranked r, tot t WHERE r.cum * 100 >= 99 * t.n_keys
+        )
+        SELECT t.n_rows, t.n_keys, t.max_n, p.p99_n, t.top_key
+        FROM tot t, p99 p
+    )""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["q163_skew_report"] = _q163_oracle()

@@ -5636,6 +5636,27 @@ def q162_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over lineitem's candidate keys
+    (`operators/profile.skew_report`): per key column, the exact
+    group-size facts that pick the 100 TB join strategy — orderkey
+    (max 13 rows per key: shuffle-join safely), partkey/suppkey (check
+    the p99/max tail), returnflag (UNIFORM — skew_milli ~1000 — but 3
+    keys total: the hazard is the key DOMAIN capping parallelism at 3
+    reducers, which n_keys exposes and skew_milli correctly does
+    not).  `salt` = ceil(max/mean) is the replication factor
+    that levels the heaviest reducer.  One corpus scan per column with
+    map-side combine; all statistics on the key table; p99 from a
+    bounded size-DOMAIN window; everything integer-exact and
+    value-hash oracled."""
+    from sparkdiff.operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5799,4 +5820,5 @@ QUERIES: dict[str, callable] = {
     "q160_record_linkage": q160_record_linkage,
     "q161_blocking_recall": q161_blocking_recall,
     "q162_containment_join": q162_containment_join,
+    "q163_skew_report": q163_skew_report,
 }

@@ -168,6 +168,16 @@ _INTENTIONAL_NLJ = {
     # generation itself is the q25 band equi-join and the rank
     # equi-join.
     "q161_blocking_recall",
+    # q163's per-column stats rows are ONE-ROW aggregates (totals,
+    # p99) cross-joined back over each other — bounded 1x1 broadcasts
+    # (q102/q110 shape); the only corpus-sized work is the per-column
+    # map-side-combined groupBy.
+    "q163_skew_report",
+    # q163's per-column stats rows are ONE-ROW aggregates (totals,
+    # p99) cross-joined back over each other — bounded 1x1 broadcasts
+    # (q102/q110 shape); the only corpus-sized work is the per-column
+    # map-side-combined groupBy.
+    "q163_skew_report",
     # q144: the same rail for the global order statistics plus the
     # ONE-ROW corpus-count broadcast (q76/q90 stats shape); the
     # midpoint-index lookup itself is a data-sized equi-join.

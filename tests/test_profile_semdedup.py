@@ -256,3 +256,29 @@ def test_jl_projection_signs_and_exactness(spark):
 
     with _pytest.raises(ValueError, match="with_jl_projection"):
         with_jl_projection(basis.withColumn("_jl_s", F.lit(1)), "v", signs)
+
+
+def test_skew_report_hand_computed(spark):
+    """12 rows over two key columns with known group sizes — every
+    output column checked against hand arithmetic, including the
+    NULL-key group and the deterministic struct-max top key."""
+    from sparkdiff.operators.profile import skew_report
+
+    rows = (
+        [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", 2)] * 2 + [(None, 2)]
+    )
+    df = spark.createDataFrame(rows, "k: string, g: long")
+    out = {r.key_col: r for r in skew_report(df, ["k", "g"]).collect()}
+    k = out["k"]
+    # groups: a=6, b=3, c=2, NULL=1 -> n=12, keys=4, max=6
+    assert (k.n_rows, k.n_keys, k.max_n) == (12, 4, 6)
+    assert k.mean_milli == 1000 * 12 // 4 == 3000
+    assert k.skew_milli == 1000 * 6 * 4 // 12 == 2000
+    assert k.salt == (6 * 4 + 12 - 1) // 12 == 2
+    assert k.top_key == "a"
+    # p99: smallest size with cum keys >= ceil(0.99*4)=4 -> 6
+    assert k.p99_n == 6
+    g = out["g"]
+    # groups: 1 -> 9 rows, 2 -> 3 rows
+    assert (g.n_rows, g.n_keys, g.max_n, g.top_key) == (12, 2, 9, "1")
+    assert g.skew_milli == 1000 * 9 * 2 // 12 == 1500
