@@ -223,3 +223,36 @@ def bloom_probe_compact(
     return out.withColumn(
         out_col, F.expr(" AND ".join(checks))
     ).drop("__bloom_flt", "__bloom_ps")
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: str = "bsj",
+) -> DataFrame:
+    """Runtime-filter semi-join reduction: build the filter from the
+    (selective) dim-side key set, collect its configuration-sized word
+    table once, and gate the fact scan with the zero-shuffle compact
+    probe — fact rows whose key definitely isn't in the dim subset die
+    AT THE SCAN, before any exchange.  This is the classic distributed
+    runtime filter (Spark's own ``runtime.bloomFilter`` rewrite, Trino
+    dynamic filtering): at 100 TB the win is the shuffle you never pay —
+    only the surviving sliver (true matches + designed-fpp strays) is
+    hashed across the cluster for the exact join the caller still runs,
+    which silently removes the strays (false positives cost I/O, never
+    correctness; false negatives are impossible by construction).
+
+    Collects the filter words at construction (the decontamination
+    automaton's documented convention) — size the geometry for the
+    compact domain (m ≲ 2^19; see :func:`bloom_probe_compact`).
+    Returns the gated fact frame unchanged in schema."""
+    flt = bloom_build(dim_keys.select(dim_key), dim_key, m_bits, n_hashes, seed)
+    words = {int(r["word_idx"]): int(r["bits"]) for r in flt.collect()}
+    gated = bloom_probe_compact(
+        fact, fact_key, words, m_bits, n_hashes, seed, out_col="__bloom_pass"
+    )
+    return gated.filter(F.col("__bloom_pass")).drop("__bloom_pass")

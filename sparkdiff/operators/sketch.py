@@ -256,3 +256,194 @@ def hll_corrected(estimate: Column, buckets_hit: Column, p: int = 8) -> Column:
     lc = F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty)).cast("long")
     small = (estimate <= F.lit(int(2.5 * m))) & (buckets_hit < F.lit(m))
     return F.when(small, lc).otherwise(estimate)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch — the SET-OPERATION member of the
+# sketch family (Bloom = membership, HLL = NDV, CMS = frequency).  Keeping
+# the k smallest distinct hash values per key group yields a bounded,
+# MERGEABLE uniform sample of the hashed value domain; Bar-Yossef et al.
+# 2002 (RANDOM'02, "Counting distinct elements in a data stream") give the
+# (k-1)/U_(k) NDV estimator and Beyer et al. 2007 (SIGMOD, "On synopses
+# for distinct value estimation under multiset operations") the
+# set-operation estimates this exists for: UNION and — unlike HLL —
+# INTERSECTION cardinalities between any two sketched groups, because the
+# k smallest hashes of A ∪ B are always contained in sample(A) ∪
+# sample(B), and membership of those hashes in each side's sample is
+# EXACT below the threshold.
+#
+# Determinism: the hash is the repo-standard md5-60-bit value
+# (engine-portable), the sample is "k smallest distinct" (a set, no
+# ties — hashes are distinct by construction on distinct inputs), the
+# NDV estimate is one double division of exactly-representable operands
+# ((k-1)·2^60 has a (k-1)-bit mantissa), and the intersection estimate is
+# pure int64 arithmetic — so every column value-hash oracles (q164).
+# --------------------------------------------------------------------------
+
+#: Hash domain width for the KMV estimator: md5-60-bit, matching the
+#: MinHash / Bloom / CMS construction.
+KMV_HASH_BITS = 60
+
+
+def kmv_hash(value: Column | str, salt: str = "kmv") -> Column:
+    """Repo-standard 60-bit md5 hash of ``value || salt`` (non-negative
+    int64) — the uniform variate the estimator divides by 2^60."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.conv(
+        F.substring(F.md5(F.concat(v, F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str = "token",
+    keys: list[str] | tuple = (),
+    k: int = 256,
+    salt: str = "kmv",
+    fan: int = 32,
+) -> DataFrame:
+    """One scan -> the sample table ``(*keys, hv)`` holding each key
+    group's k smallest distinct hash values (all of them when the group
+    has fewer than k distinct values).
+
+    Scale shape: distinct ``(keys, hv)`` is one map-side-combined
+    shuffle of the value domain — the same cost class as the exact NDV
+    it replaces for ONE pass, but the output is k-bounded state that
+    then merges for free (:func:`kmv_merge`), which is the point:
+    sketch each day/source/partition independently, combine k-sized
+    samples forever after.  The per-group top-k itself runs on a
+    two-level rail so no window ever sorts a whole key group: rank
+    within ``(keys, hv % fan)`` sub-buckets first (uniform hashes ->
+    uniform buckets, skew-proof), then rank the surviving
+    ``fan * k`` rows per group.  The k smallest of a group are always
+    among its sub-buckets' k smallest, so the rail is lossless."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = list(keys)
+    hv = kmv_hash(value_col, salt)
+    dist = df.select(*keys, hv.alias("hv")).distinct()
+    w1 = Window.partitionBy(
+        *keys, F.pmod(F.col("hv"), F.lit(fan))
+    ).orderBy("hv")
+    local = (
+        dist.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("hv")
+    return (
+        local.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, keys: list[str] | tuple = (), k: int = 256
+) -> DataFrame:
+    """Merge two sample tables built with identical (salt, k):
+    ``kmv(A) merge kmv(B) == kmv(A UNION ALL B)`` exactly (the k
+    smallest of a union are contained in the union of each side's k
+    smallest).  Inputs are k-bounded, so this is configuration-sized
+    work however large the sketched corpora were."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy("hv")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sample: DataFrame, keys: list[str] | tuple = (), k: int = 256
+) -> DataFrame:
+    """NDV estimate per key group: ``(*keys, kmv_ndv)``.
+
+    A group with fewer than k sample rows is EXACT (the sample is the
+    whole distinct set); otherwise ``floor((k-1) * 2^60 / max(hv))`` —
+    the Bar-Yossef (k-1)/U_(k) estimator.  (k-1)·2^60 is one exact
+    double (mantissa k-1, exponent 60), so the single division
+    value-hash oracles."""
+    num = float((k - 1) * (1 << KMV_HASH_BITS))
+    agg = sample.groupBy(*list(keys)).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max("hv").alias("_kth"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n")).otherwise(
+        F.floor(F.lit(num) / F.col("_kth").cast("double")).cast("long")
+    )
+    return agg.select(*list(keys), est.alias("kmv_ndv"))
+
+
+def kmv_pair_overlap(
+    sample: DataFrame, key: str = "source", k: int = 256
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two key groups of
+    one sample table: ``(key_a, key_b, kmv_union, kmv_inter,
+    jaccard_pm)`` for all ``key_a < key_b``.
+
+    Per pair, the combined sample L = the k smallest distinct hashes of
+    ``sample(a) ∪ sample(b)`` is a valid KMV sample of A ∪ B, so the
+    union NDV uses the same (k-1)/U_(k) rule; every h in L lies below
+    BOTH sides' thresholds, so ``h ∈ A iff h ∈ sample(a)`` — the match
+    count c is exact on the sample and ``inter = c * union DIV |L|``
+    (Beyer et al. 2007 §4) in pure int64.  The pair fan-out is
+    |groups|² × k rows of longs — configuration-sized; the corpora
+    themselves were touched once, at sketch time."""
+    from pyspark.sql import Window
+
+    s = sample.select(F.col(key).alias("_g"), "hv")
+    groups = s.select("_g").distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("key_a"))
+        .join(groups.select(F.col("_g").alias("key_b")))
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    # bounded broadcast fan-out: every pair picks up both sides' samples
+    rows = pairs.join(
+        F.broadcast(s).alias("m"),
+        (F.col("m._g") == F.col("key_a")) | (F.col("m._g") == F.col("key_b")),
+    ).select(
+        "key_a",
+        "key_b",
+        "hv",
+        (F.col("m._g") == F.col("key_a")).cast("long").alias("_ina"),
+        (F.col("m._g") == F.col("key_b")).cast("long").alias("_inb"),
+    )
+    per_h = rows.groupBy("key_a", "key_b", "hv").agg(
+        F.max("_ina").alias("in_a"), F.max("_inb").alias("in_b")
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy("hv")
+    top = per_h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    num = float((k - 1) * (1 << KMV_HASH_BITS))
+    agg = top.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_nl"),
+        F.max("hv").alias("_kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("long").alias("_c"),
+    )
+    union_est = F.when(F.col("_nl") < k, F.col("_nl")).otherwise(
+        F.floor(F.lit(num) / F.col("_kth").cast("double")).cast("long")
+    )
+    return agg.select(
+        "key_a",
+        "key_b",
+        "_nl",
+        "_c",
+        union_est.alias("kmv_union"),
+    ).select(
+        "key_a",
+        "key_b",
+        "kmv_union",
+        # c <= k and union < 2^53, so the products stay in int64
+        F.expr("_c * kmv_union DIV _nl").cast("long").alias("kmv_inter"),
+        F.expr("_c * 1000 DIV _nl").cast("long").alias("jaccard_pm"),
+    )

@@ -5301,3 +5301,414 @@ def _q163_oracle(cols: tuple[str, ...] = (
 
 
 ORACLES["q163_skew_report"] = _q163_oracle()
+
+
+# q164: KMV set-operation sketch — full replay (md5-60-bit hash,
+# k-smallest-distinct sample per source, combined per-pair top-k,
+# exact-below-threshold membership flags, the (k-1)/U_(k) union
+# estimate as ONE double division of exactly-representable operands,
+# intersection in pure int64) so the ESTIMATES themselves value-hash,
+# exactly as q157 does for HLL.  Pairs with zero shared tokens drop out
+# of the exact inner join on both engines, so the err_*_pm divisions
+# never see zero.
+def _q164_oracle(k: int = 256, salt: str = "kmv-q164") -> str:
+    from sparkdiff.operators.sketch import KMV_HASH_BITS
+
+    num = float((k - 1) * (1 << KMV_HASH_BITS))
+    return f"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    shsets AS (
+        SELECT source,
+               list_distinct(CASE
+                   WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               END) AS sh
+        FROM toks
+    ),
+    occ AS (
+        SELECT DISTINCT source, unnest(sh) AS token FROM shsets
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM occ GROUP BY source
+    ),
+    common AS (
+        SELECT a.source AS key_a, b.source AS key_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM occ a JOIN occ b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    exact AS (
+        SELECT c.key_a, c.key_b,
+               CAST(sa.n_tok + sb.n_tok - c.exact_inter AS BIGINT)
+                   AS exact_union,
+               c.exact_inter
+        FROM common c
+        JOIN sizes sa ON sa.source = c.key_a
+        JOIN sizes sb ON sb.source = c.key_b
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(token || '{salt}'), 1, 15))
+                    AS BIGINT) AS hv
+        FROM occ
+    ),
+    samp AS (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM h
+        ) WHERE rn <= {k}
+    ),
+    srcs AS (SELECT DISTINCT source FROM samp),
+    pairs AS (
+        SELECT a.source AS key_a, b.source AS key_b
+        FROM srcs a, srcs b WHERE a.source < b.source
+    ),
+    prows AS (
+        SELECT p.key_a, p.key_b, m.hv,
+               CASE WHEN m.source = p.key_a THEN 1 ELSE 0 END AS ina,
+               CASE WHEN m.source = p.key_b THEN 1 ELSE 0 END AS inb
+        FROM pairs p
+        JOIN samp m ON m.source = p.key_a OR m.source = p.key_b
+    ),
+    per_h AS (
+        SELECT key_a, key_b, hv, MAX(ina) AS in_a, MAX(inb) AS in_b
+        FROM prows GROUP BY key_a, key_b, hv
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT key_a, key_b, hv, in_a, in_b,
+                   row_number() OVER (PARTITION BY key_a, key_b
+                                      ORDER BY hv) AS rn
+            FROM per_h
+        ) WHERE rn <= {k}
+    ),
+    agg AS (
+        SELECT key_a, key_b,
+               CAST(COUNT(*) AS BIGINT) AS nl,
+               MAX(hv) AS kth,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS c
+        FROM top GROUP BY key_a, key_b
+    ),
+    est AS (
+        SELECT key_a, key_b, nl, c,
+               CASE WHEN nl < {k} THEN nl
+                    ELSE CAST(floor({num!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+               END AS kmv_union
+        FROM agg
+    )
+    SELECT e.key_a AS source_a, e.key_b AS source_b,
+           x.exact_union, x.exact_inter,
+           e.kmv_union,
+           CAST(e.c * e.kmv_union // e.nl AS BIGINT) AS kmv_inter,
+           CAST(e.c * 1000 // e.nl AS BIGINT) AS jaccard_pm,
+           CAST(abs(e.kmv_union - x.exact_union) * 1000 // x.exact_union
+                AS BIGINT) AS err_union_pm,
+           CAST(abs(e.c * e.kmv_union // e.nl - x.exact_inter) * 1000
+                // x.exact_inter AS BIGINT) AS err_inter_pm
+    FROM est e
+    JOIN exact x ON x.key_a = e.key_a AND x.key_b = e.key_b
+    """
+
+
+ORACLES["q164_kmv_set_ops"] = _q164_oracle()
+
+
+# q165: Bloom semi-join reduction — membership is the SPEC (all h md5
+# positions set in the filter built from the segment's custkeys), so
+# the oracle replays positions directly against the distinct dim
+# position set, exactly as q140 does; the exact join then marks true
+# matches and the month rollup carries pass/joined/false-pos counts
+# beside exact cents.
+ORACLES["q165_bloom_semijoin"] = """
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    dim_bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                        || 'bsj-q165#' || h.i), 1, 15))
+                    AS BIGINT) % 65536 AS p
+        FROM dim, (SELECT unnest(generate_series(0, 3)) AS i) h
+    ),
+    opos AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, h.i,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                        || 'bsj-q165#' || h.i), 1, 15))
+                    AS BIGINT) % 65536 AS p
+        FROM orders, (SELECT unnest(generate_series(0, 3)) AS i) h
+    ),
+    gate AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               MIN(CASE WHEN db.p IS NOT NULL THEN 1 ELSE 0 END) AS pass
+        FROM opos LEFT JOIN dim_bits db ON opos.p = db.p
+        GROUP BY o_orderkey, o_custkey, o_orderdate, o_totalprice
+    ),
+    gated AS (
+        SELECT g.*, CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                    AS joined
+        FROM gate g LEFT JOIN dim d ON d.c_custkey = g.o_custkey
+        WHERE g.pass = 1
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(joined) AS BIGINT) AS n_joined,
+           CAST(COUNT(*) - SUM(joined) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN joined = 1
+                         THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM gated GROUP BY 1
+"""
+
+
+# q166: pair association rules — presence-based counts over distinct
+# (order, part) rows, basket-key self-join pair counts, min-support
+# gate, all ratios as int64 per-mille; top-25 under the same
+# deterministic total order the Spark side sorts by.
+ORACLES["q166_association_rules"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM items),
+    item_n AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY i
+    ),
+    pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        GROUP BY x.i, y.i
+        HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, na.n AS n_a, nbi.n AS n_b, n_ab,
+           CAST(n_ab * 1000 // nb.n_baskets AS BIGINT) AS support_pm,
+           CAST(n_ab * 1000 // na.n AS BIGINT) AS conf_ab_pm,
+           CAST(n_ab * 1000 // nbi.n AS BIGINT) AS conf_ba_pm,
+           CAST(n_ab * 1000 * nb.n_baskets // (na.n * nbi.n) AS BIGINT)
+               AS lift_pm
+    FROM pairs
+    JOIN item_n na ON na.i = item_a
+    JOIN item_n nbi ON nbi.i = item_b
+    CROSS JOIN nb
+    ORDER BY lift_pm DESC, n_ab DESC, item_a, item_b
+    LIMIT 25
+"""
+
+
+# q167: cohort retention — integer month index (year*12 + month), MIN
+# first-month per customer, distinct active months, per-cell distinct
+# counts, per-mille as int64 floor division; the cohort label is
+# rebuilt from the index on both engines so no date/timestamp type
+# skew can leak into the hash.
+ORACLES["q167_cohort_retention"] = """
+    WITH mi AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS m
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, MIN(m) AS fm FROM mi GROUP BY o_custkey
+    ),
+    act AS (
+        SELECT DISTINCT mi.o_custkey, mi.m, f.fm
+        FROM mi JOIN first f ON f.o_custkey = mi.o_custkey
+    ),
+    cells AS (
+        SELECT fm AS cm, m - fm AS age,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+        FROM act GROUP BY fm, m - fm
+    ),
+    sizes AS (
+        SELECT fm AS cm, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY fm
+    )
+    SELECT lpad(CAST((c.cm - 1) // 12 AS VARCHAR), 4, '0') || '-' ||
+           lpad(CAST((c.cm - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+           c.age, s.cohort_size, c.n_active,
+           CAST(c.n_active * 1000 // s.cohort_size AS BIGINT)
+               AS retention_pm
+    FROM cells c JOIN sizes s ON s.cm = c.cm
+"""
+
+
+# q168: expectation suite — conditional aggregation replay, one row per
+# check via UNION ALL over the same single-aggregate CTE (n_rows and
+# every violation count come from one pass on both engines).
+ORACLES["q168_expectations"] = """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                              AND (l_quantity < 1 OR l_quantity > 49)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                              AND (l_discount < 0.0 OR l_discount > 0.1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                              AND l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+               CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                              AND l_linestatus NOT IN ('F', 'O')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+               CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                              AND NOT regexp_matches(l_returnflag,
+                                                     '^[AN]$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+               CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                    AS BIGINT) AS v7,
+               CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS v8
+        FROM lineitem
+    )
+    SELECT 'not_null(l_orderkey)' AS "check", 'l_orderkey' AS "column",
+           n AS n_rows, v0 AS n_violations, v0 = 0 AS ok FROM agg
+    UNION ALL SELECT 'not_null(l_shipdate)', 'l_shipdate', n, v1, v1 = 0
+    FROM agg
+    UNION ALL SELECT 'in_range(l_quantity,1,49)', 'l_quantity', n, v2,
+           v2 = 0 FROM agg
+    UNION ALL SELECT 'in_range(l_discount,0.0,0.1)', 'l_discount', n, v3,
+           v3 = 0 FROM agg
+    UNION ALL SELECT 'accepted_values(l_returnflag)', 'l_returnflag', n,
+           v4, v4 = 0 FROM agg
+    UNION ALL SELECT 'accepted_values(l_linestatus)', 'l_linestatus', n,
+           v5, v5 = 0 FROM agg
+    UNION ALL SELECT 'matches_regex(l_returnflag)', 'l_returnflag', n,
+           v6, v6 = 0 FROM agg
+    UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+           'l_orderkey,l_linenumber', n, v7, v7 = 0 FROM agg
+    UNION ALL SELECT 'unique(l_orderkey)', 'l_orderkey', n, v8, v8 = 0
+    FROM agg
+"""
+
+
+# q169: sample quantiles — the deterministic k-smallest-hash row sample
+# (ORDER BY md5-60-bit, v LIMIT k — tiebreak on v so duplicate identity
+# keys cannot make the boundary ambiguous) and the SAME
+# distribution-method interpolation on both population and sample
+# (_dist_cut_sql = q50's bit-pinned idiom), melted to one row per
+# percentile in exact integer cents.
+def _q169_oracle() -> str:
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    rows = []
+    for p in probs:
+        t = int(p * 100)
+        rows.append(
+            f"SELECT 'p{t}' AS pct,"
+            f" CAST(floor(e_{t} * 100) AS BIGINT) AS exact_cents,"
+            f" CAST(floor(s_{t} * 100) AS BIGINT) AS sample_cents,"
+            f" CAST(abs(CAST(floor(s_{t} * 100) AS BIGINT)"
+            f"          - CAST(floor(e_{t} * 100) AS BIGINT)) * 1000"
+            f"      // CAST(floor(e_{t} * 100) AS BIGINT) AS BIGINT)"
+            f" AS err_pm"
+            f" FROM e_cut CROSS JOIN s_cut"
+        )
+        body = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH li AS (SELECT l_extendedprice FROM lineitem),
+    {_dist_cut_sql('li', 'l_extendedprice', 'e', probs)},
+    hv AS (
+        SELECT l_extendedprice AS v,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                        || CAST(l_linenumber AS VARCHAR)
+                                        || ':sq-q169'), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem
+    ),
+    samp AS (SELECT v FROM hv ORDER BY h, v LIMIT 4096),
+    {_dist_cut_sql('samp', 'v', 's', probs)}
+    {body}
+    """
+
+
+ORACLES["q169_sample_quantiles"] = _q169_oracle()
+
+
+# q170: ingest novelty — q147's shingle CTE chain keyed by doc, batch =
+# doc_id DIV 100, first-arrival MIN per shingle, per-batch distinct
+# rollup; all-integer per-mille.
+ORACLES["q170_ingest_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    shsets AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                   ELSE list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+               END) AS sh
+        FROM toks
+    ),
+    occ AS (
+        SELECT DISTINCT CAST(doc_id // 100 AS BIGINT) AS batch,
+               unnest(sh) AS t
+        FROM shsets
+    ),
+    first AS (SELECT t, MIN(batch) AS fb FROM occ GROUP BY t)
+    SELECT o.batch,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN o.batch = f.fb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN o.batch = f.fb THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS novelty_pm
+    FROM occ o JOIN first f ON f.t = o.t
+    GROUP BY o.batch
+"""
+
+
+# q171: batch sessionization — lag + running-sum session ids over the
+# same (user_id | ms, event_id) order, session rollup, size-bucket
+# distribution; epoch-millis integers throughout.
+ORACLES["q171_session_stats"] = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS ms,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ms, event_id,
+               CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ms,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(ms) - MIN(ms) AS BIGINT) AS dur_ms
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+           CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
+    FROM per GROUP BY n_events
+"""

@@ -5666,6 +5666,410 @@ def q163_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-token set-operation estimates via the KMV
+    (k-minimum-values / theta) sketch (`operators/sketch.kmv_sketch` /
+    `kmv_pair_overlap`): per source pair, UNION and INTERSECTION NDV
+    estimates from k=256-sized samples, beside the exact counts pinning
+    the estimator error per-mille.  This is the sketch-family member
+    HLL cannot be: register sketches MAX-merge (union-only), while the
+    KMV sample supports intersections — the planning question ("how
+    many tokens do these two crawls share?") a curation pipeline asks
+    before mixing sources.  At 100 TB the left half is the product:
+    each source/day sketches independently (one scan, k-bounded
+    state), samples merge for free, and every pairwise estimate is
+    k x k work on longs; the exact columns exist here only as the
+    measuring stick.  Estimates are one exact-operand double division
+    (union) and pure int64 (intersection) — the ESTIMATES value-hash
+    oracle (see operators/sketch.py KMV section).  The sketched domain
+    is q147's 3-word shingles (thousands per source), so the sample is
+    genuinely k-truncated and the estimator path — not the small-set
+    exact fallback — is what the oracle certifies."""
+    from sparkdiff.operators.dedup import _shingle_sets
+    from sparkdiff.operators.sketch import kmv_pair_overlap, kmv_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(d, "source", "text", 3)
+    occ = sh.select(F.col("_id").alias("source"), F.explode("_sh").alias("token"))
+    # distinct (source, token) feeds the exact sizes AND both sides of
+    # the exact pair join (q147's persisted-shingle convention)
+    st = occ.distinct().persist()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    common = (
+        st.alias("a")
+        .join(st.alias("b"), "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("key_a"),
+            F.col("b.source").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    exact = (
+        common.join(
+            sizes.select(F.col("source").alias("key_a"), F.col("n_tok").alias("_na")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("key_b"), F.col("n_tok").alias("_nb")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("_na") + F.col("_nb") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            "exact_inter",
+        )
+    )
+    sk = kmv_sketch(occ, "token", keys=["source"], k=256, salt="kmv-q164")
+    est = kmv_pair_overlap(sk, "source", k=256)
+    return (
+        exact.join(est, ["key_a", "key_b"])
+        .select(
+            F.col("key_a").alias("source_a"),
+            F.col("key_b").alias("source_b"),
+            "exact_union",
+            "exact_inter",
+            "kmv_union",
+            "kmv_inter",
+            "jaccard_pm",
+            F.expr(
+                "CAST(abs(kmv_union - exact_union) * 1000 DIV exact_union AS BIGINT)"
+            ).alias("err_union_pm"),
+            F.expr(
+                "CAST(abs(kmv_inter - exact_inter) * 1000 DIV exact_inter AS BIGINT)"
+            ).alias("err_inter_pm"),
+        )
+    )
+
+
+def q165_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join reduction (`operators/bloom.
+    bloom_semi_join`): monthly revenue from BUILDING-segment customers,
+    with the orders scan pre-gated by a Bloom filter built from the
+    segment's custkeys — the Spark/Trino dynamic-filtering pattern as
+    an explicit, engine-portable operator.  The gate is a zero-shuffle
+    pure-expression probe (the 1024-word filter rides the task
+    closure), so non-matching fact rows die AT THE SCAN and only the
+    surviving sliver reaches the broadcast join that removes the
+    designed-fpp strays; at 100 TB the saved cost is the exchange of
+    the 4/5 of the fact table that was never going to join.  The
+    output pins the overhead story per month: rows the bloom passed,
+    rows the exact join kept, and the false-positive gap between them
+    (zero false negatives is the filter's contract — certified by the
+    value-hash, since a lost month-row or undercounted cents would
+    break it).  Bloom positions are md5-replayable, money is exact
+    cents."""
+    from sparkdiff.operators.bloom import bloom_semi_join
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    gated = bloom_semi_join(
+        o, "o_custkey", dim, "c_custkey", m_bits=1 << 16, n_hashes=4,
+        seed="bsj-q165",
+    )
+    joined = gated.join(
+        F.broadcast(dim.withColumn("_m", F.lit(1))),
+        gated["o_custkey"] == dim["c_custkey"],
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            .cast("long")
+            .alias("n_joined"),
+            F.sum(
+                F.when(F.col("_m").isNotNull(), _cents("o_totalprice"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "month",
+            "n_bloom_pass",
+            "n_joined",
+            (F.col("n_bloom_pass") - F.col("n_joined"))
+            .cast("long")
+            .alias("n_false_pos"),
+            "cents",
+        )
+    )
+
+
+def q166_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (`operators/itemsets.pair_association_rules`): parts that co-occur
+    in the same order, with exact per-mille support / directional
+    confidence / lift, top-25 by lift under a deterministic total
+    order.  The pair generator joins on the BASKET key, so the fan-out
+    is sum-of-C(basket,2) — linear in orders for bounded basket sizes
+    (TPC-H caps at 7 lineitems) — and the basket total is a one-row
+    broadcast; nothing is ever item x item.  All counts and ratios are
+    int64, so the whole rule table value-hash oracles."""
+    from sparkdiff.operators.itemsets import pair_association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = pair_association_rules(li, "l_orderkey", "l_partkey", min_support=2)
+    return rules.orderBy(
+        F.col("lift_pm").desc(),
+        F.col("n_ab").desc(),
+        "item_a",
+        "item_b",
+    ).limit(25)
+
+
+def q167_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the lifecycle-reporting staple: each
+    customer joins the cohort of their FIRST order month, and every
+    (cohort, months-since-first) cell counts the cohort members active
+    that many months later, with retention as exact per-mille of the
+    cohort size.  Month arithmetic is integer (year*12 + month), the
+    per-customer first-order reduction is one map-side-combined MIN,
+    the activity rollup one countDistinct per bounded (cohort, age)
+    cell — two shuffles total, both on keys that stay bounded however
+    large the order stream grows.  All-integer output, value-hash
+    oracled."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(mi.cast("long")).alias("_fm"))
+    act = (
+        o.select("o_custkey", mi.cast("long").alias("_m"))
+        .distinct()
+        .join(first, "o_custkey")
+    )
+    cells = act.groupBy(
+        F.col("_fm").alias("_cm"), (F.col("_m") - F.col("_fm")).alias("age")
+    ).agg(F.countDistinct("o_custkey").cast("long").alias("n_active"))
+    sizes = first.groupBy(F.col("_fm").alias("_cm")).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "_cm")
+        .select(
+            F.concat(
+                F.lpad(((F.col("_cm") - 1) / 12).cast("long").cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad(
+                    (F.pmod(F.col("_cm") - 1, F.lit(12)) + 1).cast("string"), 2, "0"
+                ),
+            ).alias("cohort"),
+            "age",
+            "cohort_size",
+            "n_active",
+            F.expr("n_active * 1000 DIV cohort_size").cast("long").alias(
+                "retention_pm"
+            ),
+        )
+    )
+
+
+def q168_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over lineitem
+    (`operators/expectations.expectation_report`) — the Deequ-style
+    nightly audit: not-null / range / accepted-values / regex / key-
+    uniqueness checks, ALL evaluated in one aggregation pass over one
+    scan (row-level checks are summed 0/1 flags, uniqueness rides the
+    same aggregate as count minus distinct-count), reported one row per
+    check with exact violation counts.  The report is #checks rows
+    whatever the table size; at 100 TB this is the shape that matters —
+    one pass, map-side combined, no per-check jobs.  The suite includes
+    checks that FAIL on real data (quantity range tightened to [1,49],
+    comment regex) so both report polarities are exercised and
+    value-hash pinned."""
+    from sparkdiff.operators.expectations import (
+        accepted_values,
+        expectation_report,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        not_null("l_orderkey"),
+        not_null("l_shipdate"),
+        in_range("l_quantity", 1, 49),
+        in_range("l_discount", 0.0, 0.1),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        accepted_values("l_linestatus", ["F", "O"]),
+        matches_regex("l_returnflag", "^[AN]$"),
+        unique(["l_orderkey", "l_linenumber"]),
+        unique(["l_orderkey"]),
+    ]
+    return expectation_report(li, checks)
+
+
+def q169_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile estimation from a deterministic uniform
+    row sample, pinned against the exact rail: the sample is the 4096
+    rows with the smallest md5-60-bit hash of their (orderkey,
+    linenumber) identity — a KMV-style priority sample that is (a)
+    layout-independent, (b) MERGEABLE (the k smallest of a union are
+    among each part's k smallest — every shard/day samples alone and
+    merges for free), and (c) selected by TakeOrderedAndProject
+    (per-partition top-k, never a global sort).  Both sides run the
+    SAME distribution-method interpolation (`operators/quantiles.
+    grouped_quantiles`, q50's bit-pinned rail), so the only difference
+    the per-mille error column measures is sampling error — the
+    trade a 100 TB pipeline makes when the full-domain shuffle of the
+    exact rail is the bottleneck and ~1/sqrt(k) rank error is
+    acceptable.  Output in exact integer cents."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = li.select(F.col("l_extendedprice").alias("v")).withColumn(
+        "_g", F.lit(1)
+    )
+    exact = grouped_quantiles(
+        pop, ["_g"], [(f"e{int(p * 100)}", "v", p) for p in probs]
+    ).drop("n")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                    F.lit("sq-q169"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    samp = (
+        li.select(F.col("l_extendedprice").alias("v"), hv.alias("_hv"))
+        .orderBy("_hv", "v")
+        .limit(4096)
+        .withColumn("_g", F.lit(1))
+        .select("v", "_g")
+    )
+    est = grouped_quantiles(
+        samp, ["_g"], [(f"s{int(p * 100)}", "v", p) for p in probs]
+    ).drop("n")
+    j = exact.join(est, "_g")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(f"p{int(p * 100)}").alias("pct"),
+                F.floor(F.col(f"e{int(p * 100)}") * 100)
+                .cast("long")
+                .alias("exact_cents"),
+                F.floor(F.col(f"s{int(p * 100)}") * 100)
+                .cast("long")
+                .alias("sample_cents"),
+            )
+            for p in probs
+        ]
+    )
+    return (
+        j.select(F.explode(cells).alias("r"))
+        .select("r.*")
+        .withColumn(
+            "err_pm",
+            F.expr(
+                "abs(sample_cents - exact_cents) * 1000 DIV exact_cents"
+            ).cast("long"),
+        )
+    )
+
+
+def q170_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-novelty burn-down — the dedup planning curve a continuous
+    crawl pipeline watches: treating doc_id ranges as arrival batches
+    (width 100), each batch reports its distinct 3-word shingles, how
+    many were NEVER seen in any earlier batch (first-arrival = the
+    corpus-global MIN batch per shingle), and the novelty rate per
+    mille.  A falling curve is the signal to spend less on re-crawl
+    and more on dedup.  Scale shape: one map-side-combined MIN over
+    the shingle domain, one distinct-per-batch rollup, one join of two
+    shingle-keyed tables — no doc x doc anything, and the output is
+    #batches rows.  All-integer, value-hash oracled."""
+    from sparkdiff.operators.dedup import _shingle_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(d, "doc_id", "text", 3)
+    occ = (
+        sh.select(
+            F.expr("_id DIV 100").cast("long").alias("batch"),
+            F.explode("_sh").alias("t"),
+        )
+        .distinct()
+    )
+    first = occ.groupBy("t").agg(F.min("batch").alias("_fb"))
+    per = (
+        occ.join(first, "t")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("batch") == F.col("_fb")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "batch",
+        "n_shingles",
+        "n_novel",
+        F.expr("n_novel * 1000 DIV n_shingles").cast("long").alias(
+            "novelty_pm"
+        ),
+    )
+
+
+def q171_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the batch twin of
+    `streaming/sessionize.stateful_sessionize`: events split into
+    sessions at >30-minute idle gaps (lag + running sum of
+    session-start flags over ONE per-user window spec = one shuffle),
+    then rolled up into the session-size distribution: for each
+    events-per-session count, how many sessions, how many distinct
+    users, and total/max session duration.  The report is bounded by
+    the max session length, not the stream; all arithmetic is
+    epoch-millis longs, value-hash oracled."""
+    from pyspark.sql import Window
+
+    GAP_MS = 30 * 60 * 1000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = e.withColumn(
+        "_new",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | (F.col("ms") - F.lag("ms").over(w) > GAP_MS),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "_sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("dur_ms"),
+    )
+    return per.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+        F.max("dur_ms").cast("long").alias("max_dur_ms"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -5830,4 +6234,12 @@ QUERIES: dict[str, callable] = {
     "q161_blocking_recall": q161_blocking_recall,
     "q162_containment_join": q162_containment_join,
     "q163_skew_report": q163_skew_report,
+    "q164_kmv_set_ops": q164_kmv_set_ops,
+    "q165_bloom_semijoin": q165_bloom_semijoin,
+    "q166_association_rules": q166_association_rules,
+    "q167_cohort_retention": q167_cohort_retention,
+    "q168_expectations": q168_expectations,
+    "q169_sample_quantiles": q169_sample_quantiles,
+    "q170_ingest_novelty": q170_ingest_novelty,
+    "q171_session_stats": q171_session_stats,
 }

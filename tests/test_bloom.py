@@ -129,3 +129,29 @@ def test_null_keys_are_total_over_input_rows(spark):
         for r in bloom_probe_compact(corpus, "k", words, M, H, SEED).collect()
     }
     assert compact == probed2
+
+
+def test_bloom_semi_join_is_recall_complete_and_strays_are_fpp(spark):
+    """The runtime-filter gate never drops a true match (zero false
+    negatives), keeps the fact schema, and at a collision-forcing
+    geometry lets only false-POSITIVE strays through — which the
+    caller's exact join then removes."""
+    from sparkdiff.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 200, 10)], "k int")
+    gated = bloom_semi_join(fact, "k", dim, "k", m_bits=1 << 12, n_hashes=4)
+    assert gated.columns == fact.columns
+    got = {r.k for r in gated.collect()}
+    want = set(range(0, 200, 10))
+    assert want <= got  # recall-complete
+    # tiny filter: 64 bits for 20 keys -> heavy false positives, but
+    # still never a false negative; every stray is removed by the join
+    tiny = bloom_semi_join(fact, "k", dim, "k", m_bits=64, n_hashes=2)
+    tiny_keys = {r.k for r in tiny.collect()}
+    assert want <= tiny_keys and len(tiny_keys) > len(want)
+    joined = tiny.join(dim.withColumnRenamed("k", "dk"),
+                       F.col("k") == F.col("dk")).collect()
+    assert {r.k for r in joined} == want

@@ -105,9 +105,24 @@ _INTENTIONAL_NLJ = {
     # bounded by construction; the corpus-sized work (shingles, exact
     # pair intersections) is all equi-joins and aggregates.
     "q147_source_overlap",
+    # q169 joins its two ONE-ROW quantile aggregates (population cuts x
+    # sample cuts) on a literal group key that constant-folds away —
+    # a bounded 1x1 product (q102's summary-row shape).
+    "q169_sample_quantiles",
+    # q164's KMV pair stage cross-pairs the per-SOURCE group list and
+    # fans each pair out over the k-bounded sample broadcast (an OR
+    # membership condition) — groups² × k rows of longs, constant in
+    # corpus bytes (q147's signature-pair argument); the corpus-sized
+    # work (shingles, distinct hashes, exact intersections) is all
+    # equi-joins and aggregates.
+    "q164_kmv_set_ops",
     # q106 broadcasts the ONE-ROW total-token-count aggregate over the
     # bigram table (q76/q90 stats shape); word-key joins are unhinted.
     "q106_collocations",
+    # q166 broadcasts the ONE-ROW basket-count aggregate over the rule
+    # table (q76/q90 stats shape); pair generation and item-count
+    # lookups are equi-joins on basket/item keys.
+    "q166_association_rules",
     # q109 broadcasts the ONE-ROW decile-cut table over the scan; q110's
     # 3-row report cross-joins one-row count aggregates (q102 shape).
     # The orphan checks themselves are left_anti equi-joins.

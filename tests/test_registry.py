@@ -65,6 +65,10 @@ EAGER_BY_DESIGN = {
     # q156: keep-best dedup shares q149's family labeler (same eager
     # CC fixpoint)
     "q156_keep_best_dedup",
+    # q165: the runtime-filter gate collects the configuration-sized
+    # (1024-word) Bloom table at construction so the probe is a pure
+    # scan-side expression (the decontamination automaton's convention)
+    "q165_bloom_semijoin",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
@@ -158,6 +162,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "feeds bands AND verify); the SNM branch adds no persist",
     "q162_containment_join": "containment_join persists the distinct-set "
     "table (feeds freq, prefix, index and both verify sides)",
+    "q164_kmv_set_ops": "distinct (source, shingle) table feeds exact "
+    "sizes AND both sides of the exact pair join",
 }
 
 

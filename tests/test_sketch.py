@@ -198,3 +198,104 @@ def test_hll_rejects_bad_p(spark):
         hll_alpha(100)
     # tabulated small-m constants exist (Flajolet et al. 2007)
     assert hll_alpha(64) == 0.709
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch
+# --------------------------------------------------------------------------
+
+
+def _kmv_py(values, k, salt):
+    """Mirrored reference: k smallest distinct md5-60-bit hashes."""
+    import hashlib
+
+    hs = {
+        int(hashlib.md5((v + salt).encode()).hexdigest()[:15], 16)
+        for v in set(values)
+    }
+    return sorted(hs)[:k]
+
+
+def test_kmv_sample_is_k_smallest_distinct(spark):
+    from sparkdiff.operators.sketch import kmv_sketch
+
+    vals = [f"w{i}" for i in range(40)] * 3  # duplicates cost nothing
+    occ = _occ(spark, vals)
+    got = sorted(r.hv for r in kmv_sketch(occ, k=8, salt="kt").collect())
+    assert got == _kmv_py(vals, 8, "kt")
+    # under-full group: the sample IS the distinct set
+    small = _occ(spark, ["a", "b", "b", "c"])
+    got_s = sorted(r.hv for r in kmv_sketch(small, k=8, salt="kt").collect())
+    assert got_s == _kmv_py(["a", "b", "c"], 8, "kt")
+
+
+def test_kmv_two_level_rail_matches_any_fan(spark):
+    """The skew-proof sub-bucket rail is lossless for every fan."""
+    from sparkdiff.operators.sketch import kmv_sketch
+
+    vals = [f"v{i}" for i in range(200)]
+    occ = _occ(spark, vals)
+    want = _kmv_py(vals, 16, "kf")
+    for fan in (1, 3, 32):
+        got = sorted(
+            r.hv for r in kmv_sketch(occ, k=16, salt="kf", fan=fan).collect()
+        )
+        assert got == want, fan
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from sparkdiff.operators.sketch import kmv_merge, kmv_sketch
+
+    a = [f"a{i}" for i in range(60)] + ["shared0", "shared1"]
+    b = [f"b{i}" for i in range(60)] + ["shared0", "shared1"]
+    sa = kmv_sketch(_occ(spark, a), k=12, salt="km")
+    sb = kmv_sketch(_occ(spark, b), k=12, salt="km")
+    merged = sorted(r.hv for r in kmv_merge(sa, sb, k=12).collect())
+    direct = sorted(
+        r.hv for r in kmv_sketch(_occ(spark, a + b), k=12, salt="km").collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_estimate_exact_below_k_and_within_theory_above(spark):
+    from sparkdiff.operators.sketch import kmv_estimate, kmv_sketch
+
+    small = _occ(spark, ["a", "b", "c", "c"])
+    est = kmv_estimate(kmv_sketch(small, k=64, salt="ke"), k=64).collect()
+    assert est[0].kmv_ndv == 3  # under-full -> exact
+    n, k = 5000, 256
+    occ = _occ(spark, [f"t{i}" for i in range(n)])
+    got = kmv_estimate(kmv_sketch(occ, k=k, salt="ke"), k=k).collect()[0].kmv_ndv
+    # ~1/sqrt(k-2) relative error; allow 4 sigma
+    assert abs(got - n) < 4 * n / (k - 2) ** 0.5
+
+
+def test_kmv_pair_overlap_membership_is_exact(spark):
+    """Hand-replay the per-pair combined sample on a constructed
+    overlap: counts in the sample match the Python mirror exactly."""
+    from sparkdiff.operators.sketch import kmv_pair_overlap, kmv_sketch
+
+    shared = [f"s{i}" for i in range(30)]
+    a = shared + [f"a{i}" for i in range(50)]
+    b = shared + [f"b{i}" for i in range(50)]
+    k = 16
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    occ = spark.createDataFrame(rows, "src: string, token: string")
+    sk = kmv_sketch(occ, "token", keys=["src"], k=k, salt="kp")
+    got = kmv_pair_overlap(sk, "src", k=k).collect()[0]
+    sa, sb = set(_kmv_py(a, k, "kp")), set(_kmv_py(b, k, "kp"))
+    L = sorted(sa | sb)[:k]
+    c = sum(1 for h in L if h in sa and h in sb)
+    kth = max(L)
+    union = len(L) if len(L) < k else int((k - 1) * (1 << 60) / kth)
+    assert (got.key_a, got.key_b) == ("A", "B")
+    assert got.kmv_union == union
+    assert got.kmv_inter == c * union // len(L)
+    assert got.jaccard_pm == c * 1000 // len(L)
+
+
+def test_kmv_rejects_bad_k(spark):
+    from sparkdiff.operators.sketch import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(_occ(spark, ["a"]), k=1)
