@@ -301,6 +301,7 @@ def kmv_sketch(
     k: int = 256,
     salt: str = "kmv",
     fan: int = 32,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """One scan -> the sample table ``(*keys, hv)`` holding each key
     group's k smallest distinct hash values (all of them when the group
@@ -316,14 +317,22 @@ def kmv_sketch(
     within ``(keys, hv % fan)`` sub-buckets first (uniform hashes ->
     uniform buckets, skew-proof), then rank the surviving
     ``fan * k`` rows per group.  The k smallest of a group are always
-    among its sub-buckets' k smallest, so the rail is lossless."""
+    among its sub-buckets' k smallest, so the rail is lossless.
+
+    ``assume_distinct=True`` skips the internal distinct shuffle — pass
+    it when the caller already holds distinct ``(keys, value)`` rows
+    (e.g. a persisted table another consumer built); duplicate values
+    would then waste rank slots and silently bias the sample, so only
+    assert it when it is actually true."""
     from pyspark.sql import Window
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     keys = list(keys)
     hv = kmv_hash(value_col, salt)
-    dist = df.select(*keys, hv.alias("hv")).distinct()
+    dist = df.select(*keys, hv.alias("hv"))
+    if not assume_distinct:
+        dist = dist.distinct()
     w1 = Window.partitionBy(
         *keys, F.pmod(F.col("hv"), F.lit(fan))
     ).orderBy("hv")

@@ -5723,7 +5723,12 @@ def q164_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
-    sk = kmv_sketch(occ, "token", keys=["source"], k=256, salt="kmv-q164")
+    # the persisted distinct (source, token) table IS the sketch input —
+    # hash it directly and skip the internal distinct shuffle
+    sk = kmv_sketch(
+        st, "token", keys=["source"], k=256, salt="kmv-q164",
+        assume_distinct=True,
+    )
     est = kmv_pair_overlap(sk, "source", k=256)
     return (
         exact.join(est, ["key_a", "key_b"])
@@ -5827,7 +5832,9 @@ def q166_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q167_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle — the lifecycle-reporting staple: each
+    """Cohort retention triangle over the PURCHASE stream — the monthly
+    complement of q84's weekly event-activity cohorts (different table,
+    grain, and an all-integer retention rail): each
     customer joins the cohort of their FIRST order month, and every
     (cohort, months-since-first) cell counts the cohort members active
     that many months later, with retention as exact per-mille of the
@@ -5956,8 +5963,14 @@ def q169_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_g", F.lit(1))
         .select("v", "_g")
     )
+    # the sample is <= 4096 rows BY CONSTRUCTION (post-limit), so the
+    # single-window cumulative strategy is safe and skips the ranged
+    # rail's extra stages
     est = grouped_quantiles(
-        samp, ["_g"], [(f"s{int(p * 100)}", "v", p) for p in probs]
+        samp,
+        ["_g"],
+        [(f"s{int(p * 100)}", "v", p) for p in probs],
+        cum="window",
     ).drop("n")
     j = exact.join(est, "_g")
     cells = F.array(
@@ -6001,31 +6014,43 @@ def q170_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = _shingle_sets(d, "doc_id", "text", 3)
+    # distinct (batch, shingle) feeds BOTH rollups (first-arrival MIN
+    # and per-batch sizes) — persist so the explode+distinct shuffle
+    # runs once (q147's persisted-shingle convention)
     occ = (
         sh.select(
             F.expr("_id DIV 100").cast("long").alias("batch"),
             F.explode("_sh").alias("t"),
         )
         .distinct()
+        .persist()
     )
-    first = occ.groupBy("t").agg(F.min("batch").alias("_fb"))
-    per = (
-        occ.join(first, "t")
+    # a shingle is novel exactly in its MIN batch, so both report
+    # columns are plain aggregates — per-batch distinct counts and
+    # per-first-batch counts — joined at #batches grain; the shingle
+    # domain is shuffled for the MIN but never joined back to itself
+    novel = (
+        occ.groupBy("t")
+        .agg(F.min("batch").alias("batch"))
         .groupBy("batch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum((F.col("batch") == F.col("_fb")).cast("long"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    sizes = occ.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        sizes.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0))
             .cast("long")
             .alias("n_novel"),
         )
-    )
-    return per.select(
-        "batch",
-        "n_shingles",
-        "n_novel",
-        F.expr("n_novel * 1000 DIV n_shingles").cast("long").alias(
-            "novelty_pm"
-        ),
+        .withColumn(
+            "novelty_pm",
+            F.expr("n_novel * 1000 DIV n_shingles").cast("long"),
+        )
     )
 
 

@@ -887,3 +887,29 @@ def streaming_contamination_gate(
         on_contaminated(hits, batch_id)
 
     return batches.writeStream.outputMode("append").foreachBatch(handle)
+
+
+def streaming_expectations(stream: DataFrame, checks: list[tuple]) -> DataFrame:
+    """The expectation suite (`operators/expectations.
+    expectation_report`) as a NATIVE stateful streaming aggregation —
+    the always-on data-quality monitor beside the Bloom/CMS/HLL gates:
+    cumulative row counts and per-check violation counts over
+    everything ingested so far, one report row per check in update
+    mode.  State is the single row of counters (bounded by the CHECK
+    LIST, not the stream) because every row-level check is a summed
+    0/1 flag — mergeable across micro-batches, so the cumulative
+    report equals the batch report over the union (pinned by the
+    batch-twin test).  ``unique()`` checks are rejected: tuple-distinct
+    counting is stream-unbounded state — run uniqueness on the at-rest
+    table (q168) or key admission through
+    :func:`streaming_event_dedup`."""
+    from sparkdiff.operators.expectations import expectation_report
+
+    for name, _target, flag in checks:
+        if flag is None:
+            raise ValueError(
+                "unique() checks need distinct aggregation (unbounded "
+                f"state over a stream): {name!r} — run it on the "
+                "at-rest table instead"
+            )
+    return expectation_report(stream, checks)

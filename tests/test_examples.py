@@ -86,3 +86,11 @@ def test_record_linkage_pipeline_example():
     stdout = _run("record_linkage_pipeline.py")
     assert "injected dups re-found as matches: 4/4" in stdout  # sf0.001
     assert "-> decision match:" in stdout and "-> decision non_match:" in stdout
+
+
+def test_corpus_planning_pipeline_example():
+    stdout = _run("corpus_planning_pipeline.py")
+    assert "== expectation gate ==" in stdout
+    assert "== most-overlapping source pairs ==" in stdout
+    assert "== novelty burn-down ==" in stdout
+    assert "batch 0: 1000pm novel" in stdout  # batch 0 is all-novel by definition

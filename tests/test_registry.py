@@ -164,6 +164,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "table (feeds freq, prefix, index and both verify sides)",
     "q164_kmv_set_ops": "distinct (source, shingle) table feeds exact "
     "sizes AND both sides of the exact pair join",
+    "q170_ingest_novelty": "distinct (batch, shingle) table feeds the "
+    "first-arrival MIN AND the per-batch size rollup",
 }
 
 

@@ -299,3 +299,20 @@ def test_kmv_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         kmv_sketch(_occ(spark, ["a"]), k=1)
+
+
+def test_kmv_assume_distinct_equals_default(spark):
+    """Pre-distincted input + assume_distinct=True is the same sketch
+    the default path builds from raw occurrences."""
+    from sparkdiff.operators.sketch import kmv_sketch
+
+    vals = [f"w{i % 50}" for i in range(300)]  # heavy duplication
+    occ = _occ(spark, vals)
+    a = sorted(r.hv for r in kmv_sketch(occ, k=16, salt="kd").collect())
+    b = sorted(
+        r.hv
+        for r in kmv_sketch(
+            occ.distinct(), k=16, salt="kd", assume_distinct=True
+        ).collect()
+    )
+    assert a == b

@@ -1507,3 +1507,65 @@ def test_video_frame_hashes_and_near_dup_pairs(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == (2, 666)  # 2 shared / min(3,3) frames
+
+
+def test_streaming_expectations_matches_batch_report(spark, tmp_path):
+    """Streamed expectation counters after an availableNow drain over
+    two micro-batches equal the one-shot batch report over the union —
+    summed-flag mergeability as stream/batch equivalence — and unique()
+    checks are rejected up front."""
+    import pytest as _pytest
+
+    from sparkdiff.operators.expectations import (
+        accepted_values,
+        expectation_report,
+        in_range,
+        not_null,
+        unique,
+    )
+    from sparkdiff.streaming.validate import streaming_expectations
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    src = str(tmp_path / "exp_src")
+    li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    checks = [
+        not_null("l_quantity"),
+        in_range("l_quantity", 1, 49),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+    ]
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = streaming_expectations(stream, checks)
+
+    got = {}
+
+    def record(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.check] = (r.n_rows, r.n_violations, r.ok)
+
+    q = (
+        state.writeStream.outputMode("update")
+        .foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        r.check: (r.n_rows, r.n_violations, r.ok)
+        for r in expectation_report(li, checks).collect()
+    }
+    assert got == expected and len(got) == 3
+    with _pytest.raises(ValueError):
+        streaming_expectations(stream, checks + [unique(["l_orderkey"])])
