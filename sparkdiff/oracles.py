@@ -5712,3 +5712,72 @@ ORACLES["q171_session_stats"] = """
            CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
     FROM per GROUP BY n_events
 """
+
+
+# q172: packing trade-off — the q57 prefix-sum CTE replayed per
+# capacity for concat split counts; window counts / waste are pure
+# integer aggregates of the same tokenized projection; per-mille in
+# int64 floor division.
+def _q172_oracle() -> str:
+    caps = (128, 512)
+    parts = []
+    for cap in caps:
+        parts.append(f"""(
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(doc_id % 4 AS BIGINT) AS shard,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> length(x) > 0)) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        w AS (
+            SELECT *,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t
+        ),
+        split AS (
+            SELECT CAST(SUM(CASE WHEN n_tokens > 0
+                                  AND floor((cum - 1) / {cap}.0)
+                                      > floor((cum - n_tokens) / {cap}.0)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS concat_split_docs
+            FROM w
+        ),
+        shard_tot AS (
+            SELECT shard, SUM(n_tokens) AS tot FROM t GROUP BY shard
+        ),
+        con AS (
+            SELECT CAST(SUM(CAST(ceil(tot / {cap}.0) AS BIGINT)) AS BIGINT)
+                       AS concat_windows,
+                   CAST(SUM(CAST(ceil(tot / {cap}.0) AS BIGINT) * {cap}
+                            - tot) AS BIGINT) AS concat_waste
+            FROM shard_tot
+        ),
+        pad AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CAST(ceil(n_tokens / {cap}.0) AS BIGINT))
+                        AS BIGINT) AS pad_windows,
+                   CAST(SUM(CAST(ceil(n_tokens / {cap}.0) AS BIGINT) * {cap}
+                            - n_tokens) AS BIGINT) AS pad_waste,
+                   CAST(SUM(CASE WHEN n_tokens > {cap} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pad_split_docs
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT CAST({cap} AS BIGINT) AS capacity,
+               p.n_docs, p.total_tokens,
+               c.concat_windows, s.concat_split_docs, c.concat_waste,
+               p.pad_windows, p.pad_waste, p.pad_split_docs,
+               CAST(c.concat_waste * 1000 // (c.concat_windows * {cap})
+                    AS BIGINT) AS concat_waste_pm,
+               CAST(p.pad_waste * 1000 // (p.pad_windows * {cap})
+                    AS BIGINT) AS pad_waste_pm
+        FROM pad p CROSS JOIN con c CROSS JOIN split s
+    )""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["q172_packing_tradeoff"] = _q172_oracle()

@@ -6095,6 +6095,92 @@ def q171_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_packing_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning report — the packing-efficiency numbers
+    that pick a context length and packing strategy BEFORE an export:
+    for each candidate capacity, CONCAT-AND-CHUNK (q57's prefix-sum
+    rail: zero intra-stream padding, but documents split across window
+    boundaries) versus PAD-PER-DOC (no splits below capacity, but every
+    window pads to full length), each with exact window counts, wasted
+    tokens (per-mille of window budget), and documents split.  One
+    tokenized projection feeds every capacity (persisted, doc-count
+    sized); the concat split counts come from the same
+    `pack_concat_chunks` rail q57 exports; the pad strategy is pure
+    per-doc arithmetic.  All-integer, value-hash oracled."""
+    from sparkdiff.functions.textstats import ws_token_count
+    from sparkdiff.operators.packing import pack_concat_chunks
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count("text").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("long").alias("shard_key"),
+    ).persist()
+    rows = []
+    for cap in (128, 512):
+        packed = pack_concat_chunks(
+            d, "doc_id", "n_tokens", capacity=cap, shard_col="shard_key"
+        )
+        concat_split = packed.agg(
+            F.sum((F.col("spans") > 1).cast("long")).alias("v")
+        ).select(F.col("v").cast("long").alias("concat_split_docs"))
+        per_shard = d.groupBy("shard_key").agg(
+            F.sum("n_tokens").alias("_tot")
+        )
+        concat = per_shard.agg(
+            F.sum(F.expr(f"CAST(ceil(_tot / {cap}.0) AS BIGINT)")).alias(
+                "concat_windows"
+            ),
+            F.sum(
+                F.expr(
+                    f"CAST(ceil(_tot / {cap}.0) AS BIGINT) * {cap} - _tot"
+                )
+            ).alias("concat_waste"),
+        )
+        pad = d.filter(F.col("n_tokens") > 0).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.expr(f"CAST(ceil(n_tokens / {cap}.0) AS BIGINT)"))
+            .cast("long")
+            .alias("pad_windows"),
+            F.sum(
+                F.expr(
+                    f"CAST(ceil(n_tokens / {cap}.0) AS BIGINT) * {cap}"
+                    " - n_tokens"
+                )
+            )
+            .cast("long")
+            .alias("pad_waste"),
+            F.sum((F.col("n_tokens") > cap).cast("long"))
+            .cast("long")
+            .alias("pad_split_docs"),
+        )
+        rows.append(
+            pad.join(F.broadcast(concat))
+            .join(F.broadcast(concat_split))
+            .select(
+                F.lit(cap).cast("long").alias("capacity"),
+                "n_docs",
+                "total_tokens",
+                F.col("concat_windows").cast("long").alias("concat_windows"),
+                "concat_split_docs",
+                F.col("concat_waste").cast("long").alias("concat_waste"),
+                "pad_windows",
+                "pad_waste",
+                "pad_split_docs",
+                F.expr(f"concat_waste * 1000 DIV (concat_windows * {cap})")
+                .cast("long")
+                .alias("concat_waste_pm"),
+                F.expr(f"pad_waste * 1000 DIV (pad_windows * {cap})")
+                .cast("long")
+                .alias("pad_waste_pm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6267,4 +6353,5 @@ QUERIES: dict[str, callable] = {
     "q169_sample_quantiles": q169_sample_quantiles,
     "q170_ingest_novelty": q170_ingest_novelty,
     "q171_session_stats": q171_session_stats,
+    "q172_packing_tradeoff": q172_packing_tradeoff,
 }

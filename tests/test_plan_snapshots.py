@@ -105,6 +105,10 @@ _INTENTIONAL_NLJ = {
     # bounded by construction; the corpus-sized work (shingles, exact
     # pair intersections) is all equi-joins and aggregates.
     "q147_source_overlap",
+    # q172 products its per-capacity ONE-ROW aggregates (pad stats x
+    # concat windows x split count) — bounded 1x1x1 (q102's summary-row
+    # shape); the corpus work is one scan + the q57 prefix-sum rail.
+    "q172_packing_tradeoff",
     # q169 joins its two ONE-ROW quantile aggregates (population cuts x
     # sample cuts) on a literal group key that constant-folds away —
     # a bounded 1x1 product (q102's summary-row shape).

@@ -166,6 +166,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "sizes AND both sides of the exact pair join",
     "q170_ingest_novelty": "distinct (batch, shingle) table feeds the "
     "first-arrival MIN AND the per-batch size rollup",
+    "q172_packing_tradeoff": "tokenized doc projection feeds the pack "
+    "rail AND the shard/pad aggregates for every candidate capacity",
 }
 
 
