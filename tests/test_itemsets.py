@@ -38,3 +38,45 @@ def test_pair_rules_min_support_one_keeps_singletons(spark):
         for r in pair_association_rules(df, "basket", "item", min_support=1).collect()
     }
     assert got == {("x", "y"), ("x", "z")}
+
+
+def test_pair_rules_match_brute_force_on_random_baskets(spark):
+    """Seeded random baskets vs a Python brute-force mirror: every
+    column of every rule row, at min_support=1 so nothing hides."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(40):
+        for _ in range(rng.randint(1, 6)):
+            rows.append((b, rng.choice("abcdefg")))
+    df = spark.createDataFrame(rows, "basket int, item string")
+
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    item_n = {}
+    pair_n = {}
+    for items in baskets.values():
+        for i in items:
+            item_n[i] = item_n.get(i, 0) + 1
+        for x, y in itertools.combinations(sorted(items), 2):
+            pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+    want = {
+        (a, b): (
+            item_n[a], item_n[b], n,
+            n * 1000 // nb, n * 1000 // item_n[a], n * 1000 // item_n[b],
+            n * 1000 * nb // (item_n[a] * item_n[b]),
+        )
+        for (a, b), n in pair_n.items()
+    }
+    got = {
+        (r.item_a, r.item_b): (
+            r.n_a, r.n_b, r.n_ab,
+            r.support_pm, r.conf_ab_pm, r.conf_ba_pm, r.lift_pm,
+        )
+        for r in pair_association_rules(df, "basket", "item", min_support=1).collect()
+    }
+    assert got == want
