@@ -723,3 +723,60 @@ def quantize_int8(
         F.array_min("_codes").cast("long").alias("min_code"),
         qerr.cast("long").alias("qerr_s"),
     )
+
+
+def embedding_cross_matches(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str,
+    probe_id: str,
+    corpus_vec: str,
+    probe_vec: str,
+    threshold: float = 0.99,
+    dim: int = 64,
+    bands: int = 6,
+    rows_per_band: int = 12,
+    seed: int = 0x9E37,
+) -> DataFrame:
+    """Cross-set cosine matches ``(corpus_id, probe_id, cosine)`` with
+    cosine ≥ threshold — :func:`embedding_near_dup_pairs`'s CROSS-SET
+    twin: dedup asks "which corpus items duplicate EACH OTHER", this
+    asks "which corpus items match a PROBE set" (semantic benchmark
+    decontamination, leaked-document lookup, reference-set screening).
+
+    Identical scale shape: both sides sign against the SAME plane set,
+    candidates come from a (band, key) equi-join of corpus keys against
+    probe keys — probes × corpus never materializes — and the exact
+    cosine verifies candidates only.  Probe sets are typically eval
+    benchmarks (10³–10⁵ rows), so the probe side of the join broadcasts
+    under AQE for free."""
+    if not 1 <= rows_per_band <= 31:
+        raise ValueError(
+            f"rows_per_band must be in [1, 31] (band keys are int32 bit "
+            f"packs), got {rows_per_band}"
+        )
+    planes = _deterministic_planes(bands * rows_per_band, dim, seed)
+    keyer = _srp_band_keys_udf(planes, bands, rows_per_band)
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), _as_double(F.col(corpus_vec)).alias("_cv")
+    )
+    p = probes.select(
+        F.col(probe_id).alias("_pid"), _as_double(F.col(probe_vec)).alias("_pv")
+    )
+    ck = c.select(
+        "_cid", F.posexplode(keyer(F.col("_cv"))).alias("band", "key")
+    )
+    pk = p.select(
+        "_pid", F.posexplode(keyer(F.col("_pv"))).alias("band", "key")
+    )
+    cands = ck.join(pk, ["band", "key"]).select("_cid", "_pid").distinct()
+    verified = (
+        cands.join(c, "_cid")
+        .join(p, "_pid")
+        .select(
+            F.col("_cid").alias("corpus_id"),
+            F.col("_pid").alias("probe_id"),
+            cosine(F.col("_cv"), F.col("_pv")).alias("cosine"),
+        )
+    )
+    return verified.filter(F.col("cosine") >= threshold)

@@ -5781,3 +5781,84 @@ def _q172_oracle() -> str:
 
 
 ORACLES["q172_packing_tradeoff"] = _q172_oracle()
+
+
+# q173: semantic decontamination — q51's SRP replay re-pointed at the
+# CROSS-SET join (corpus band keys vs probe band keys, no a<b filter);
+# same plane literals, same fold orders, same verify formula.
+def _q173_oracle() -> str:
+    from sparkdiff.operators.similarity import _deterministic_planes
+
+    bands, rows_per_band, dim = 6, 12, 64
+    planes = _deterministic_planes(bands * rows_per_band, dim)
+
+    def fold_dot(vec: str, coefs: list[float]) -> str:
+        return "(" + " + ".join(
+            f"{vec}[{i + 1}] * {float(c)!r}" for i, c in enumerate(coefs)
+        ) + ")"
+
+    keys = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {fold_dot('v', planes[b * rows_per_band + j])} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        keys.append(f"CAST({bits} AS INTEGER) AS k{b}")
+    key_cols = ",\n                   ".join(keys)
+    band_structs = ", ".join(
+        f"struct_pack(band := {b}, key := k{b})" for b in range(bands)
+    )
+    pair_fold = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {dim}), i -> va[i] * vb[i])), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+        "(acc, x) -> acc + x))"
+    )
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        probe AS (
+            SELECT vec_id + 200000 AS vec_id,
+                   list_transform(
+                       generate_series(1, {dim}),
+                       i -> v[i] * (1.0 + 0.01 * CAST(((i - 1) % 7) - 3 AS DOUBLE))
+                   ) AS v
+            FROM raw WHERE vec_id % 40 = 0
+        ),
+        csigs AS (SELECT vec_id, {key_cols} FROM raw),
+        psigs AS (SELECT vec_id, {key_cols} FROM probe),
+        ck AS (
+            SELECT vec_id, bk.band AS band, bk.key AS key
+            FROM (SELECT vec_id, unnest([{band_structs}]) AS bk FROM csigs)
+        ),
+        pk AS (
+            SELECT vec_id, bk.band AS band, bk.key AS key
+            FROM (SELECT vec_id, unnest([{band_structs}]) AS bk FROM psigs)
+        ),
+        cands AS (
+            SELECT DISTINCT c.vec_id AS corpus_id, p.vec_id AS probe_id
+            FROM ck c JOIN pk p ON c.band = p.band AND c.key = p.key
+        ),
+        verified AS (
+            SELECT cd.corpus_id, cd.probe_id,
+                   {pair_fold} AS d,
+                   {norm.format(v='va')} AS na,
+                   {norm.format(v='vb')} AS nb
+            FROM cands cd
+            JOIN (SELECT vec_id, v AS va FROM raw) a ON a.vec_id = cd.corpus_id
+            JOIN (SELECT vec_id, v AS vb FROM probe) b ON b.vec_id = cd.probe_id
+        )
+        SELECT corpus_id, probe_id,
+               CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END
+                   AS cosine
+        FROM verified
+        WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END)
+              >= 0.99
+    """
+
+
+ORACLES["q173_semantic_decontamination"] = _q173_oracle()

@@ -6181,6 +6181,42 @@ def q172_packing_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q173_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the EMBEDDING-space member
+    of the contamination family (q66 n-gram / q134 exact-substring /
+    THIS): which corpus vectors semantically match an eval PROBE set?
+    The probe set is constructed by q51's convention (every 40th
+    vector, deterministically ±3%-perturbed, re-keyed) so ground truth
+    is exactly the %40 originals and recall is certified by the
+    value-hash.  `operators/similarity.embedding_cross_matches` is the
+    cross-set twin of the near-dup self-join: both sides sign against
+    the same SRP planes, candidates come from a (band, key) equi-join
+    of corpus keys against probe keys — probes x corpus never
+    materializes — and exact cosine verifies candidates only; at
+    100 TB the probe side is benchmark-sized and broadcasts."""
+    from sparkdiff.operators.similarity import embedding_cross_matches
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") % 40 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 200_000)
+        .withColumn(
+            "v",
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                * (F.lit(1.0) + F.lit(0.01) * (i % 7 - 3).cast("double")),
+            ),
+        )
+    )
+    return embedding_cross_matches(
+        e, probes, "vec_id", "vec_id", "v", "v", threshold=0.99
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6354,4 +6390,5 @@ QUERIES: dict[str, callable] = {
     "q170_ingest_novelty": q170_ingest_novelty,
     "q171_session_stats": q171_session_stats,
     "q172_packing_tradeoff": q172_packing_tradeoff,
+    "q173_semantic_decontamination": q173_semantic_decontamination,
 }

@@ -711,3 +711,26 @@ def test_containment_join_is_asymmetric_and_rejects_bad_threshold(spark):
     assert got == {(1, 2)}  # jaccard is 2/6 — far below any dedup bar
     with pytest.raises(ValueError):
         containment_join(df, 3, 2)
+
+
+def test_embedding_cross_matches_finds_planted_probe(spark):
+    """Cross-set SRP matching: a probe that is a tiny perturbation of
+    one corpus vector matches exactly that vector; an orthogonal probe
+    matches nothing; output is (corpus_id, probe_id, cosine)."""
+    from sparkdiff.operators.similarity import embedding_cross_matches
+
+    dim = 64
+    base = [[float((i * 7 + j * 3) % 11 - 5) for j in range(dim)] for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, base[i]) for i in range(8)], "cid int, v array<double>"
+    )
+    near = [x * 1.001 for x in base[3]]
+    ortho = [(1.0 if j % 2 == 0 else -1.0) * ((j * 13 % 7) + 1) for j in range(dim)]
+    probes = spark.createDataFrame(
+        [(100, near), (101, ortho)], "pid int, v array<double>"
+    )
+    got = embedding_cross_matches(
+        corpus, probes, "cid", "pid", "v", "v", threshold=0.99, dim=dim
+    ).collect()
+    assert {(r.corpus_id, r.probe_id) for r in got} == {(3, 100)}
+    assert got[0].cosine > 0.999
