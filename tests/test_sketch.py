@@ -316,3 +316,19 @@ def test_kmv_assume_distinct_equals_default(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_kmv_pair_overlap_underfull_groups_are_exact(spark):
+    """Both groups below k: the combined sample is the whole union, so
+    union/intersection/jaccard are EXACT set arithmetic."""
+    from sparkdiff.operators.sketch import kmv_pair_overlap, kmv_sketch
+
+    rows = [("A", v) for v in ("x", "y", "z")] + [
+        ("B", v) for v in ("y", "z", "w", "q")
+    ]
+    occ = spark.createDataFrame(rows, "src: string, token: string")
+    sk = kmv_sketch(occ, "token", keys=["src"], k=64, salt="ku")
+    got = kmv_pair_overlap(sk, "src", k=64).collect()[0]
+    assert got.kmv_union == 5   # |{x,y,z,w,q}|
+    assert got.kmv_inter == 2 * 5 // 5
+    assert got.jaccard_pm == 2 * 1000 // 5
