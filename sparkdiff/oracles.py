@@ -5862,3 +5862,33 @@ def _q173_oracle() -> str:
 
 
 ORACLES["q173_semantic_decontamination"] = _q173_oracle()
+
+
+# q174: trending segments — daily (event_type x k-decile) counts, lag
+# rise per segment over the bounded segment-day table, min-base gate,
+# top-20 under the same deterministic total order.
+ORACLES["q174_trending_segments"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               event_type || ':' ||
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                    AS VARCHAR) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY CAST(ts AS DATE),
+                 event_type || ':' ||
+                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                      AS VARCHAR)
+    ),
+    risen AS (
+        SELECT day, segment, n,
+               lag(n) OVER (PARTITION BY segment ORDER BY day) AS prev_n
+        FROM daily
+    )
+    SELECT day, segment, n, prev_n,
+           CAST((n - prev_n) * 1000 // prev_n AS BIGINT) AS rise_pm
+    FROM risen
+    WHERE prev_n >= 5
+    ORDER BY rise_pm DESC, day, segment
+    LIMIT 20
+"""

@@ -6217,6 +6217,49 @@ def q173_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q174_trending_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-segment detection over the event stream — the "what
+    spiked today" dashboard staple: events bucketed into segments
+    (event_type x JSON-prop decile), daily counts, day-over-day rise
+    per segment via lag over ONE bounded-domain window (segments x
+    days, never the event stream), minimum-base filter so
+    1-event noise can't top the board, top-20 risers under a
+    deterministic total order.  Rise is exact integer per-mille; the
+    JSON hop uses the same get_json_object path as q31.  One shuffle
+    to the (day, segment) rollup, everything after runs on the
+    bounded segment-day table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    seg = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"),
+    )
+    daily = (
+        e.select(F.to_date("ts").alias("day"), seg.alias("segment"))
+        .groupBy("day", "segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy("day")
+    risen = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n") >= 5
+    )
+    return (
+        risen.select(
+            "day",
+            "segment",
+            "n",
+            F.col("prev_n").cast("long").alias("prev_n"),
+            F.expr("(n - prev_n) * 1000 DIV prev_n").cast("long").alias(
+                "rise_pm"
+            ),
+        )
+        .orderBy(F.col("rise_pm").desc(), "day", "segment")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6391,4 +6434,5 @@ QUERIES: dict[str, callable] = {
     "q171_session_stats": q171_session_stats,
     "q172_packing_tradeoff": q172_packing_tradeoff,
     "q173_semantic_decontamination": q173_semantic_decontamination,
+    "q174_trending_segments": q174_trending_segments,
 }
