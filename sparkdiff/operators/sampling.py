@@ -503,3 +503,45 @@ def priority_sample(
         .withColumn(est_col, F.greatest(w.cast("double"), F.col("_tau")))
         .drop("_rn", "_tau")
     )
+
+
+def min_hash_row_sample(
+    df: DataFrame,
+    id_cols: list[str] | tuple,
+    k: int,
+    salt: str = "rowsample",
+) -> DataFrame:
+    """Deterministic uniform row sample WITHOUT replacement: the k rows
+    whose md5-60-bit identity hash is smallest — the ROW-level twin of
+    the KMV value sketch (operators/sketch.kmv_sketch), sharing its two
+    load-bearing properties: (a) layout-independent (the hash orders
+    rows, not partitions), and (b) MERGEABLE — the k smallest of a
+    union are among each part's k smallest, so every shard/day samples
+    independently and samples re-sample to one.  Selection is
+    ``orderBy(hash, tiebreak).limit(k)`` = TakeOrderedAndProject
+    (per-partition top-k, driver merges k·P rows — never a global
+    sort); duplicate identities tie-break on the id columns so the
+    sampled MULTISET is deterministic even under non-unique keys.
+    Returns the input schema unchanged.  q169 embeds the same
+    construction inline (with a value tiebreak matched to its oracle);
+    `priority_sample` is the weighted generalization (uniform weights
+    reduce to this ordering)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ids = [F.col(c) for c in id_cols]
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", *ids, F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    from sparkdiff.operators._util import reserve_columns
+
+    reserve_columns(df, ("_rs_hv",), "min_hash_row_sample")
+    return (
+        df.withColumn("_rs_hv", hv)
+        .orderBy("_rs_hv", *id_cols)
+        .limit(k)
+        .drop("_rs_hv")
+    )

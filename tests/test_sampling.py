@@ -489,3 +489,37 @@ def test_internal_temp_columns_raise_on_collision(spark):
         range_join_bucketed(
             ts, ts.drop("_bucket"), "k", "ts", "ts", -1000, 1000
         )
+
+
+def test_min_hash_row_sample_deterministic_and_mergeable(spark):
+    """Layout-independence (same sample at any partitioning), the
+    KMV merge property (shard samples re-sample to the global sample),
+    and under-full passthrough."""
+    from sparkdiff.operators.sampling import min_hash_row_sample
+
+    rows = [(i, f"p{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    k = 16
+    want = sorted(
+        (r.id, r.payload)
+        for r in min_hash_row_sample(df, ["id"], k, salt="ms").collect()
+    )
+    # layout-independent
+    got2 = sorted(
+        (r.id, r.payload)
+        for r in min_hash_row_sample(
+            df.repartition(7, "payload"), ["id"], k, salt="ms"
+        ).collect()
+    )
+    assert got2 == want
+    # mergeable: sample each half, union, re-sample
+    a = min_hash_row_sample(df.filter("id % 2 = 0"), ["id"], k, salt="ms")
+    b = min_hash_row_sample(df.filter("id % 2 = 1"), ["id"], k, salt="ms")
+    merged = sorted(
+        (r.id, r.payload)
+        for r in min_hash_row_sample(a.unionByName(b), ["id"], k, salt="ms").collect()
+    )
+    assert merged == want
+    # under-full: everything comes back
+    small = df.filter("id < 5")
+    assert min_hash_row_sample(small, ["id"], k, salt="ms").count() == 5
