@@ -69,6 +69,34 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(tier, "documents.parquet"))
 
+    # 0. expectation gate: malformed input poisons every stage below,
+    # so the Deequ-style one-pass audit (q168 machinery) runs FIRST and
+    # fails fast on critical violations; the report is #checks rows and
+    # the pass costs one scan
+    from sparkdiff.operators.expectations import (
+        expectation_report,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    g = stage(
+        "expectation_gate",
+        expectation_report(
+            docs,
+            [
+                not_null("doc_id"),
+                not_null("text"),
+                in_range("n_chars", 1, 10_000_000),
+                unique(["doc_id"]),
+            ],
+        ),
+        f"{OUT}/s0_gate",
+    )
+    failed = [r["check"] for r in g.collect() if not r["ok"]]
+    if failed:
+        raise SystemExit(f"expectation gate failed: {failed}")
+
     # 1. decontaminate: fixed held-out suite (replica 0 only), excised
     # in one broadcast-automaton corpus scan (operators/contamination)
     pats = docs.filter(
