@@ -3879,39 +3879,49 @@ def q124_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Σ (c1−c2)²·2^20 div (c1+c2)`` in exact integers through
     DECIMAL(38,0) (squared web-scale counts overflow BIGINT; log-based
     PSI is not hash-portable).  Buckets are value-domain-bounded, so
-    the stat table is tiny regardless of row count."""
-    hive, sf = testkit.lineitem_pair(spark, sf_dir)
+    the stat table is tiny regardless of row count.
 
-    def hist(df: DataFrame, col: str, width: int, side: str) -> DataFrame:
+    Both columns ride ONE ``stack`` fan-out per side (the q67/q71
+    one-scan shape): each lineitem side is scanned once, bucketed into
+    (column, bucket) pairs, and the two config-sized histograms meet
+    in a single full-outer join keyed on (column, bucket) — replacing
+    the old per-column branch tree (4 scans, 2 joins, 2 final
+    aggregates, 1 union, ~10 stages) that made this query a per-stage
+    scheduling-overhead canary on KB-sized data
+    (BENCH_DETAIL_r07 retimes, VERDICT r7 #1)."""
+    hive, sf = testkit.lineitem_pair(spark, sf_dir)
+    widths = [("l_quantity", 100), ("l_extendedprice", 100_000)]
+    stack_expr = "stack({n}, {args}) AS (column, bucket)".format(
+        n=len(widths),
+        args=", ".join(
+            f"'{c}', CAST(FLOOR({c} * 100 / {w}) AS BIGINT)"
+            for c, w in widths
+        ),
+    )
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
         return (
-            df.select(
-                (F.floor(F.col(col) * 100 / width)).cast("long").alias("bucket")
-            )
-            .groupBy("bucket")
+            df.selectExpr(stack_expr)
+            .groupBy("column", "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias(f"c_{side}"))
         )
 
-    def drift(col: str, width: int) -> DataFrame:
-        h = hist(hive, col, width, "h")
-        s = hist(sf, col, width, "s")
-        j = h.join(s, "bucket", "full_outer").select(
+    j = (
+        hist(hive, "h")
+        .join(hist(sf, "s"), ["column", "bucket"], "full_outer")
+        .select(
+            "column",
             F.coalesce("c_h", F.lit(0)).alias("c1"),
             F.coalesce("c_s", F.lit(0)).alias("c2"),
         )
-        contrib = F.expr(
-            "CAST((CAST(c1 - c2 AS DECIMAL(38,0)) * (c1 - c2) * 1048576)"
-            " div CAST(c1 + c2 AS DECIMAL(38,0)) AS BIGINT)"
-        )
-        return (
-            j.agg(
-                F.count(F.lit(1)).cast("long").alias("n_buckets"),
-                F.sum(contrib).cast("long").alias("chi2_s"),
-            )
-            .select(F.lit(col).alias("column"), "n_buckets", "chi2_s")
-        )
-
-    return drift("l_quantity", 100).unionByName(
-        drift("l_extendedprice", 100_000)
+    )
+    contrib = F.expr(
+        "CAST((CAST(c1 - c2 AS DECIMAL(38,0)) * (c1 - c2) * 1048576)"
+        " div CAST(c1 + c2 AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return j.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(contrib).cast("long").alias("chi2_s"),
     )
 
 
