@@ -28,11 +28,19 @@ adjudicate itself:
   hypervisor took CPU away mid-run and medians are not comparable
   round-over-round.
 - ``retimes``: after the sweep finishes (forced GC, caches cleared),
-  the queries whose medians moved >1.5x vs the PREVIOUS round's
-  BENCH_DETAIL_r file are re-timed one more time each, in isolation at
-  the end of the run.  A re-time near the previous round's median
-  brands the official median as in-run noise; a re-time confirming the
-  official median brands it a real regression.
+  the queries whose medians moved >1.5x vs their BEST-KNOWN archived
+  median (the minimum across ALL BENCH_DETAIL_r* files — round-7
+  verdict #3: a prev-round-only comparator let a 1.3x-per-round creep
+  slip under the trigger forever) are re-timed one more time each, in
+  isolation at the end of the run.  A re-time near the best-known
+  median brands the official median as in-run noise; a re-time
+  confirming the official median brands it a real regression.
+- ``adjudicated_value`` (round-7 verdict #2): the headline ``value``
+  sums in-session medians, so a noise-branded mover still inflates it;
+  the adjudicated total substitutes every successfully re-timed
+  query's isolated median into the same sum.  When the two fields
+  diverge, trust ``adjudicated_value`` — each substitution's evidence
+  is in ``retimes``.
 """
 
 from __future__ import annotations
@@ -86,27 +94,52 @@ def _host_health(before: dict[str, int] | None, after: dict[str, int] | None, wa
     }
 
 
-def _prev_round_medians(here: str, rnd: int) -> tuple[int | None, dict[str, float]]:
-    """Per-query medians from the most recent archived round before
-    ``rnd`` — the comparison base for the end-of-run re-time pass."""
-    best: tuple[int, str] | None = None
-    for f in os.listdir(here):
+def _best_known_medians(
+    here: str, rnd: int
+) -> dict[str, tuple[float, int]]:
+    """Per-query BEST (minimum) median across ALL archived rounds before
+    ``rnd``, as {query: (median, round_it_was_set)} — the comparison base
+    for the end-of-run re-time pass.  Round-7 verdict #3: comparing only
+    against the PREVIOUS round left a creeping-regression blind spot (a
+    query drifting 1.3x every round never crossed the 1.5x trigger);
+    the minimum over the full archive set has no such blind spot."""
+    best: dict[str, tuple[float, int]] = {}
+    for f in sorted(os.listdir(here)):
         m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
-        if m and int(m.group(1)) < rnd:
-            if best is None or int(m.group(1)) > best[0]:
-                best = (int(m.group(1)), f)
-    if best is None:
-        return None, {}
-    try:
-        with open(os.path.join(here, best[1])) as fh:
-            prev = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return None, {}
-    return best[0], {
-        q: d["median"]
-        for q, d in prev.get("queries_detail", {}).items()
-        if d.get("median")
-    }
+        if not m or int(m.group(1)) >= rnd:
+            continue
+        try:
+            with open(os.path.join(here, f)) as fh:
+                arch = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for q, d in arch.get("queries_detail", {}).items():
+            med = d.get("median")
+            if med and (q not in best or med < best[q][0]):
+                best[q] = (med, int(m.group(1)))
+    return best
+
+
+def _select_movers(
+    timings: dict[str, float | None],
+    base: dict[str, tuple[float, int]],
+    threshold: float = 1.5,
+    cap: int = 10,
+) -> list[tuple[str, float]]:
+    """Queries whose official median exceeds ``threshold`` x their
+    best-known archived median, worst ratio first, capped — the set the
+    end-of-run isolated re-time pass measures.  Pure so the trigger is
+    unit-testable (synthetic-creep pin in tests/test_bench_health.py)."""
+    return sorted(
+        (
+            (name, med / base[name][0])
+            for name, med in timings.items()
+            if med is not None
+            and name in base
+            and med > threshold * base[name][0]
+        ),
+        key=lambda kv: -kv[1],
+    )[:cap]
 
 
 def main() -> None:
@@ -197,23 +230,16 @@ def main() -> None:
         ]
         rnd = str(max(recorded, default=0) + 1)
 
-    # END-OF-RUN RE-TIME PASS: queries whose median moved >1.5x vs the
-    # previous round's FULL archive (partial SPARK_GRAFT_BENCH_ONLY runs
-    # never write archives) get one more isolated measurement (caches
-    # cleared, forced GC, nothing else running in the session) so the
-    # artifact itself says whether the move was in-run noise or real.
-    prev_round, prev_medians = _prev_round_medians(here, int(rnd))
+    # END-OF-RUN RE-TIME PASS: queries whose median moved >1.5x vs their
+    # BEST-KNOWN archived median (minimum across all BENCH_DETAIL_r*
+    # files — round-7 verdict #3 killed the prev-round-only comparison's
+    # creep blind spot; partial SPARK_GRAFT_BENCH_ONLY runs never write
+    # archives) get one more isolated measurement (caches cleared, forced
+    # GC, nothing else running in the session) so the artifact itself
+    # says whether the move was in-run noise or real.
+    base_medians = _best_known_medians(here, int(rnd))
     retimes: dict[str, dict] = {}
-    movers = sorted(
-        (
-            (name, med / prev_medians[name])
-            for name, med in timings.items()
-            if med is not None
-            and prev_medians.get(name)
-            and med > 1.5 * prev_medians[name]
-        ),
-        key=lambda kv: -kv[1],
-    )[:10]
+    movers = _select_movers(timings, base_medians)
     if movers:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
@@ -232,19 +258,33 @@ def main() -> None:
                 continue
             finally:
                 spark.catalog.clearCache()
-            iso_ratio = round(iso / prev_medians[name], 2)
+            base_med, base_round = base_medians[name]
+            iso_ratio = round(iso / base_med, 2)
             retimes[name] = {
-                "prev_round": prev_round,
-                "prev_median": prev_medians[name],
+                "base_round": base_round,
+                "base_median": base_med,
                 "official_median": timings[name],
                 "official_ratio": round(official_ratio, 2),
                 "isolated_median": iso,
                 "isolated_runs": runs,
                 "isolated_ratio": iso_ratio,
-                # <=1.25x of last round under isolation = the official
-                # median was in-run/host noise; above = treat as real
+                # <=1.25x of the best-known median under isolation = the
+                # official median was in-run/host noise; above = treat as
+                # real (host_health contextualizes cross-host shifts)
                 "verdict": "noise" if iso_ratio <= 1.25 else "confirmed",
             }
+
+    # ADJUDICATED TOTAL (round-7 verdict #2): the official ``value`` sums
+    # in-session medians, so a noise-branded mover still inflates the
+    # driver-visible headline (r7: q142 3.49 official vs 1.65 isolated).
+    # ``adjudicated_value`` substitutes each successfully re-timed
+    # query's isolated median — the cleaner measurement whichever way
+    # the verdict fell — into the same sum.
+    adjudicated = total
+    for name, r in retimes.items():
+        if "isolated_median" in r and timings.get(name) is not None:
+            adjudicated += r["isolated_median"] - timings[name]
+    adjudicated = round(adjudicated, 4)
 
     host_health = _host_health(
         jiffies_before, _cpu_jiffies(), time.perf_counter() - wall_t0
@@ -253,6 +293,7 @@ def main() -> None:
     full = {
         "metric": "sparkdiff_total_query_time",
         "value": total,
+        "adjudicated_value": adjudicated,
         "unit": "sec",
         "queries": timings,
         "n_runs": n_runs,
@@ -279,6 +320,7 @@ def main() -> None:
     compact = {
         "metric": "sparkdiff_total_query_time",
         "value": total,
+        "adjudicated_value": adjudicated,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

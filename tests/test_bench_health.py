@@ -11,7 +11,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _cpu_jiffies, _host_health, _prev_round_medians  # noqa: E402
+from bench import (  # noqa: E402
+    _best_known_medians,
+    _cpu_jiffies,
+    _host_health,
+    _select_movers,
+)
 
 
 def test_cpu_jiffies_reads_proc_stat():
@@ -42,21 +47,50 @@ def test_host_health_degrades_gracefully_without_proc():
     assert h == {"available": False, "wall_sec": 1.0}
 
 
-def test_prev_round_medians_picks_latest_before_current(tmp_path):
+def test_best_known_medians_takes_minimum_across_archives(tmp_path):
     for rnd, med in ((5, 1.0), (6, 2.0)):
         with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
             json.dump(
                 {"queries_detail": {"q01": {"median": med},
                                     "q02": {"median": None}}}, fh,
             )
-    prev_round, meds = _prev_round_medians(str(tmp_path), 7)
-    assert prev_round == 6
-    assert meds == {"q01": 2.0}  # None medians are dropped
-    # current round's own archive must not be its comparison base
-    prev_round, meds = _prev_round_medians(str(tmp_path), 6)
-    assert prev_round == 5 and meds == {"q01": 1.0}
+    # the base is the MINIMUM across all archives, with its round
+    assert _best_known_medians(str(tmp_path), 7) == {"q01": (1.0, 5)}
+    # None medians are dropped; current/future rounds are excluded
+    assert _best_known_medians(str(tmp_path), 6) == {"q01": (1.0, 5)}
     # no earlier archive -> empty base, retime pass becomes a no-op
-    assert _prev_round_medians(str(tmp_path), 5) == (None, {})
+    assert _best_known_medians(str(tmp_path), 5) == {}
+
+
+def test_select_movers_catches_creeping_regression(tmp_path):
+    """Round-7 verdict #3: a query drifting 1.3x per round never crosses
+    the 1.5x trigger against the PREVIOUS round alone — against the
+    best-known minimum it must fire."""
+    creep = [1.0, 1.3, 1.69]  # r1..r3 medians, 1.3x per round
+    for rnd, med in enumerate(creep, start=1):
+        with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
+            json.dump({"queries_detail": {"q_creep": {"median": med}}}, fh)
+    base = _best_known_medians(str(tmp_path), 4)
+    assert base == {"q_creep": (1.0, 1)}
+    current = {"q_creep": 2.2}  # 1.3x vs r3 (under trigger), 2.2x vs best
+    assert current["q_creep"] < 1.5 * creep[-1], "sanity: prev-only misses"
+    movers = _select_movers(current, base)
+    assert movers == [("q_creep", 2.2)]
+    # below the threshold vs best-known -> no retime
+    assert _select_movers({"q_creep": 1.4}, base) == []
+    # failed queries (None) and never-archived queries never fire
+    assert _select_movers({"q_creep": None, "q_new": 9.9}, base) == []
+
+
+def test_select_movers_caps_and_orders_worst_first():
+    base = {f"q{i:02d}": (1.0, 1) for i in range(20)}
+    timings = {f"q{i:02d}": 2.0 + i * 0.1 for i in range(20)}
+    movers = _select_movers(timings, base)
+    assert len(movers) == 10
+    assert movers[0][0] == "q19"  # worst ratio first
+    assert [r for _, r in movers] == sorted(
+        (r for _, r in movers), reverse=True
+    )
 
 
 def test_bench_retime_wiring_end_to_end(tmp_path):
@@ -101,8 +135,16 @@ def test_bench_retime_wiring_end_to_end(tmp_path):
         "q01_pricing_summary", "q46_lineitem_diff",
     }
     for r in detail["retimes"].values():
-        assert r["prev_round"] == 6
+        assert r["base_round"] == 6
         assert r["verdict"] == "confirmed"  # vs a fabricated 0.1ms median
         assert r["isolated_median"] > 0
+    # adjudicated total = official total with isolated medians
+    # substituted for every re-timed query (round-7 verdict #2)
+    expected = detail["value"] + sum(
+        r["isolated_median"] - detail["queries"][name]
+        for name, r in detail["retimes"].items()
+    )
+    assert abs(detail["adjudicated_value"] - expected) < 1e-6
+    assert abs(compact["adjudicated_value"] - expected) < 1e-6
     # partial runs must not write the round archive
     assert not (tmp_path / "BENCH_DETAIL_r07.json").exists()
