@@ -96,3 +96,34 @@ def expectation_report(df: DataFrame, checks: list[tuple]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+class ExpectationGateError(RuntimeError):
+    """A fail-fast expectation gate found violations — the pipeline
+    fronted by the gate must not run any downstream stage."""
+
+    def __init__(self, failed: list[str]):
+        super().__init__(f"expectation gate failed: {failed}")
+        self.failed = failed
+
+
+def expectation_gate(
+    df: DataFrame, checks: list[tuple], report_sink: str | None = None
+) -> list:
+    """Fail-fast front of a curation pipeline: evaluate ``checks`` in
+    the usual one scan, optionally persist the report (durable evidence
+    of WHY a run aborted), and raise :class:`ExpectationGateError`
+    naming every failed check — callers sequence this BEFORE any
+    curation stage so malformed input costs one audit scan, never a
+    poisoned multi-stage run (tools/curation_16x_probe.py stage 0).
+    Returns the collected report rows on success."""
+    report = expectation_report(df, checks)
+    if report_sink is not None:
+        report.write.mode("overwrite").parquet(report_sink)
+        rows = df.sparkSession.read.parquet(report_sink).collect()
+    else:
+        rows = report.collect()
+    failed = sorted(r["check"] for r in rows if not r["ok"])
+    if failed:
+        raise ExpectationGateError(failed)
+    return rows

@@ -283,7 +283,10 @@ try:  # pragma: no cover - container lacks pypdf
 
     EXTRACTORS[".pdf"] = _pdf_to_text
 except ImportError:
-    pass
+    # Silent fallback is the contract: the stdlib extractor registered
+    # above stays in place, so PDF ingestion works everywhere and
+    # upgrades in-place when the richer library is installed.
+    EXTRACTORS[".pdf"] = pdf_to_text_stdlib
 
 
 def load_documents(

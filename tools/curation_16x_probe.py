@@ -74,28 +74,25 @@ def main() -> None:
     # fails fast on critical violations; the report is #checks rows and
     # the pass costs one scan
     from sparkdiff.operators.expectations import (
-        expectation_report,
+        expectation_gate,
         in_range,
         not_null,
         unique,
     )
 
-    g = stage(
-        "expectation_gate",
-        expectation_report(
-            docs,
-            [
-                not_null("doc_id"),
-                not_null("text"),
-                in_range("n_chars", 1, 10_000_000),
-                unique(["doc_id"]),
-            ],
-        ),
-        f"{OUT}/s0_gate",
+    t0 = time.time()
+    expectation_gate(
+        docs,
+        [
+            not_null("doc_id"),
+            not_null("text"),
+            in_range("n_chars", 1, 10_000_000),
+            unique(["doc_id"]),
+        ],
+        report_sink=f"{OUT}/s0_gate",
     )
-    failed = [r["check"] for r in g.collect() if not r["ok"]]
-    if failed:
-        raise SystemExit(f"expectation gate failed: {failed}")
+    timings.append(("expectation_gate", time.time() - t0, 4))
+    print(f"expectation_gate: {timings[-1][1]:.1f}s, 4 checks", flush=True)
 
     # 1. decontaminate: fixed held-out suite (replica 0 only), excised
     # in one broadcast-automaton corpus scan (operators/contamination)
