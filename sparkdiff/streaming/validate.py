@@ -623,6 +623,7 @@ def checksum_drift_monitor(
     n_buckets: int = 4096,
     decimal_scale: int | None = 4,
     ts_format: str = "yyyy-MM-dd HH:mm:ss",
+    include_clean: bool = False,
 ):
     """Continuous drift detection: per micro-batch, the buckets whose
     maintained stream-side checksum diverges from the (cached) reference
@@ -635,7 +636,15 @@ def checksum_drift_monitor(
     the stream catches up.  Update mode delivers only buckets touched by
     the batch, so per-batch compare work is O(touched buckets), not
     O(n_buckets).
-    """
+
+    ``include_clean=True`` delivers EVERY touched bucket with an extra
+    ``is_dirty`` flag instead of only the dirty ones — required by any
+    consumer that maintains a converging alert set across micro-batches:
+    a bucket that ingests its last rows and converges on the reference
+    is touched-and-clean in that batch, and without the clean signal the
+    consumer's stale dirty entry can never be cleared (the composed
+    monitor in examples/monitoring_pipeline.py drains two rounds with a
+    restart; round 1's half-ingested buckets must clear in round 2)."""
     ref = (
         bucket_summary(
             reference_df,
@@ -661,13 +670,17 @@ def checksum_drift_monitor(
         if batch_df.isEmpty():
             return
         j = batch_df.join(ref, "bucket", "left_outer")
-        dirty = j.filter(
+        flagged = j.withColumn(
+            "is_dirty",
             ~(
                 F.col("n").eqNullSafe(F.col("ref_n"))
                 & F.col("checksum").eqNullSafe(F.col("ref_checksum"))
-            )
+            ),
         )
-        on_dirty(dirty, batch_id)
+        if include_clean:
+            on_dirty(flagged, batch_id)
+        else:
+            on_dirty(flagged.filter("is_dirty").drop("is_dirty"), batch_id)
 
     return (
         state.writeStream.outputMode("update")

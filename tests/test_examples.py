@@ -94,3 +94,12 @@ def test_corpus_planning_pipeline_example():
     assert "== most-overlapping source pairs ==" in stdout
     assert "== novelty burn-down ==" in stdout
     assert "batch 0: 1000pm novel" in stdout  # batch 0 is all-novel by definition
+
+
+def test_monitoring_pipeline_example():
+    stdout = _run("monitoring_pipeline.py")
+    assert "all four monitors match their batch twins after the restart" in stdout
+    # the suite surfaces the live violation counter (event_type "error"
+    # is deliberately not in the accepted set)
+    assert "'accepted_values(event_type)': 201" in stdout
+    assert "drift monitor: 22 dirty buckets (expected 22" in stdout

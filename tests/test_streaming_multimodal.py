@@ -611,6 +611,76 @@ def test_checksum_drift_monitor_finds_perturbed_buckets(spark, tmp_path):
     assert all(b in expected for b in dirty_latest)
 
 
+def test_checksum_drift_monitor_clean_transitions(spark, tmp_path):
+    """include_clean=True must deliver touched-and-converged buckets
+    with is_dirty=False, so an alert set maintained across micro-batches
+    converges: a half-ingested bucket reports dirty in batch 1 and must
+    CLEAR in batch 2 once its remaining rows arrive (without the clean
+    signal the stale alert can never be dropped)."""
+    from sparkdiff.operators.diff import bucket_summary
+    from sparkdiff.streaming.validate import checksum_drift_monitor
+
+    cols = ["event_type", "value"]
+    events = load_table(spark, SF_DIR_SMALL, "events").drop("ts")
+    reference = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 37 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    # two files -> two micro-batches: half the rows, then the rest
+    src = str(tmp_path / "drift_src")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    alert_set: set[int] = set()
+    saw_clean_transition = {"yes": False}
+
+    def track(df, _bid):
+        for r in df.collect():
+            if r.is_dirty:
+                alert_set.add(r.bucket)
+            else:
+                if r.bucket in alert_set:
+                    saw_clean_transition["yes"] = True
+                alert_set.discard(r.bucket)
+
+    q = (
+        checksum_drift_monitor(
+            stream, reference, "event_id", cols, track,
+            n_buckets=64, include_clean=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_clean"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def summ(df):
+        return {
+            r.bucket: (r.n, r.checksum)
+            for r in bucket_summary(
+                df, "event_id", cols, n_buckets=64, distinct_pks=False
+            ).collect()
+        }
+
+    s_side, r_side = summ(events), summ(reference)
+    expected = {b for b in s_side if s_side[b] != r_side.get(b)}
+    assert alert_set == expected and expected
+    assert saw_clean_transition["yes"], (
+        "no bucket went dirty->clean across the two micro-batches; the "
+        "fixture no longer exercises the transition"
+    )
+
+
 def test_cdc_checksum_stream_drains_to_final_state(spark, tmp_path):
     """The CDC checksum agg runs as a real stream: after draining a CDC
     log directory, the maintained state equals the batch summary of the
