@@ -5892,3 +5892,138 @@ ORACLES["q174_trending_segments"] = """
     ORDER BY rise_pm DESC, day, segment
     LIMIT 20
 """
+
+
+# q175: functional-dependency audit — per candidate, the g3 violation
+# count Σ(group_size − max dependent frequency) replayed verbatim; the
+# candidate list is shared with the Spark side (queries.FD_CANDIDATES)
+# so both engines always audit the same dependencies.
+def _q175_oracle() -> str:
+    from sparkdiff.queries import FD_CANDIDATES, _fd_cast
+
+    def one(label: str, table: str, det: str, dep: str) -> str:
+        return f"""
+    SELECT '{label}' AS candidate,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n - m) AS BIGINT) AS n_violations,
+           SUM(n - m) = 0 AS holds
+    FROM (
+        SELECT det, SUM(cnt) AS n, MAX(cnt) AS m
+        FROM (
+            SELECT {_fd_cast(det)} AS det, {_fd_cast(dep)} AS dep,
+                   COUNT(*) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ) GROUP BY det
+    )"""
+
+    return "\nUNION ALL\n".join(one(*c) for c in FD_CANDIDATES)
+
+
+ORACLES["q175_fd_audit"] = _q175_oracle()
+
+
+# q176: equal-frequency binning — DuckDB's single row_number window IS
+# the spec the Spark side's range-partitioned rail must equal; integer
+# cents keep the sort key and the bin bounds exact.
+ORACLES["q176_equifreq_binning"] = """
+    WITH urgent AS (
+        SELECT DISTINCT o_custkey AS c_custkey
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    labeled AS (
+        SELECT c.c_custkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS pos
+        FROM customer c LEFT JOIN urgent u USING (c_custkey)
+    ),
+    ranked AS (
+        SELECT bal_cents, pos,
+               row_number() OVER (ORDER BY bal_cents, c_custkey) AS rn,
+               COUNT(*) OVER () AS _n
+        FROM labeled
+    )
+    SELECT CAST((rn - 1) * 8 // _n AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+           CAST(MIN(bal_cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(bal_cents) AS BIGINT) AS hi_cents
+    FROM ranked GROUP BY 1
+"""
+
+
+# q177: CUSUM change point — the day-count-scaled cumulative deviation
+# S_i = Σ (c_j·D − N) stays in exact integers; argmax |S_i| with the
+# earliest-day tiebreak replayed as the same row_number pick.
+ORACLES["q177_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, SUM(c) AS n_total, COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    s AS (
+        SELECT d.event_type, d.day, t.n_days, t.n_total,
+               SUM(d.c * t.n_days - t.n_total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s_i
+        FROM daily d JOIN totals t USING (event_type)
+    ),
+    pick AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY abs(s_i) DESC, day ASC
+        ) AS _r
+        FROM s
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_total AS BIGINT) AS total,
+           CAST(day AS VARCHAR) AS change_day,
+           CAST(abs(s_i) AS BIGINT) AS s_abs
+    FROM pick WHERE _r = 1
+"""
+
+
+# q178: join-cardinality audit — per md5-60-bit-hash bucket, the
+# uniformity estimate rows_l·rows_p div max(ndv) beside the exact join
+# size Σ cnt_l(k)·cnt_p(k), both computed from per-key count tables
+# (the raw join never executes on either engine).
+ORACLES["q178_join_cardinality_audit"] = f"""
+    WITH lk AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_l,
+               {_md5_token_hash("CAST(l_partkey AS VARCHAR)")} % 16 AS bucket
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pk AS (
+        SELECT p_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_p,
+               {_md5_token_hash("CAST(p_partkey AS VARCHAR)")} % 16 AS bucket
+        FROM part GROUP BY p_partkey
+    ),
+    sides AS (
+        SELECT l.bucket, l.rows_l, l.ndv_l, p.rows_p, p.ndv_p
+        FROM (SELECT bucket, SUM(cnt_l) AS rows_l, COUNT(*) AS ndv_l
+              FROM lk GROUP BY bucket) l
+        JOIN (SELECT bucket, SUM(cnt_p) AS rows_p, COUNT(*) AS ndv_p
+              FROM pk GROUP BY bucket) p USING (bucket)
+    ),
+    act AS (
+        SELECT lk.bucket, SUM(lk.cnt_l * pk.cnt_p) AS actual
+        FROM lk JOIN pk ON lk.bucket = pk.bucket AND lk.key = pk.key
+        GROUP BY lk.bucket
+    )
+    SELECT s.bucket,
+           CAST(s.rows_l * s.rows_p // greatest(s.ndv_l, s.ndv_p)
+                AS BIGINT) AS est,
+           CAST(COALESCE(a.actual, 0) AS BIGINT) AS actual,
+           CAST(s.ndv_l AS BIGINT) AS ndv_l,
+           CAST(s.ndv_p AS BIGINT) AS ndv_p,
+           CAST(abs(s.rows_l * s.rows_p // greatest(s.ndv_l, s.ndv_p)
+                    - COALESCE(a.actual, 0)) * 1000
+                // greatest(COALESCE(a.actual, 0), 1) AS BIGINT) AS err_pm
+    FROM sides s LEFT JOIN act a USING (bucket)
+"""

@@ -6270,6 +6270,245 @@ def q174_trending_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q175's fixed FD-candidate list: (label, table, determinant expr,
+#: dependent expr) — expressions are Spark/DuckDB-portable strings.
+FD_CANDIDATES: list[tuple[str, str, str, str]] = [
+    ("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("o_orderdate->o_orderstatus", "orders", "o_orderdate", "o_orderstatus"),
+    ("o_orderstatus->o_orderpriority", "orders", "o_orderstatus",
+     "o_orderpriority"),
+    ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("c_mktsegment->c_nationkey", "customer", "c_mktsegment", "c_nationkey"),
+]
+
+
+def _fd_cast(col: str) -> str:
+    """Portable string rendering of an FD column: timestamps through
+    DATE first so Spark and DuckDB print the same literal."""
+    if col == "o_orderdate":
+        return f"CAST(CAST({col} AS DATE) AS STRING)"
+    return f"CAST({col} AS STRING)"
+
+
+def q175_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling staple behind
+    key discovery and schema validation (Papenbrock et al. 2015, VLDB,
+    "Functional dependency discovery: an experimental evaluation"):
+    for each candidate FD ``det -> dep``, the exact g3-style violation
+    count = ``Σ_groups (group_size − max dependent frequency)`` — the
+    minimum number of rows to delete for the FD to hold — plus group
+    counts and a ``holds`` verdict.
+
+    Scale shape: ONE scan per table fans all its candidates out
+    through ``stack`` (the q124/q67 shape — never a scan per
+    candidate); the first groupBy collapses to the distinct
+    (candidate, det, dep) domain with map-side combine, and everything
+    after runs on value-domain-bounded tables.  No joins, no windows,
+    all integer-exact."""
+
+    def audit(table: str) -> DataFrame:
+        cands = [c for c in FD_CANDIDATES if c[1] == table]
+        stack_expr = "stack({n}, {args}) AS (candidate, det, dep)".format(
+            n=len(cands),
+            args=", ".join(
+                f"'{label}', {_fd_cast(det)}, {_fd_cast(dep)}"
+                for label, _t, det, dep in cands
+            ),
+        )
+        pairs = (
+            load_table(spark, sf_dir, table)
+            .selectExpr(stack_expr)
+            .groupBy("candidate", "det", "dep")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        groups = pairs.groupBy("candidate", "det").agg(
+            F.sum("cnt").alias("n"), F.max("cnt").alias("m")
+        )
+        return groups.groupBy("candidate").agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.col("n") - F.col("m")).cast("long").alias("n_violations"),
+            (F.sum(F.col("n") - F.col("m")) == 0).alias("holds"),
+        )
+
+    return audit("orders").unionByName(audit("customer"))
+
+
+def q176_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning with per-bin outcome counts —
+    the feature-engineering pass behind WOE/IV scorecards and monotonic
+    binning: customers ranked by account balance on the
+    ``scalable_row_number`` rail (exact global order, NO
+    single-partition window — quantiles.py:210), split into 8
+    equal-frequency bins, each bin reporting its row count, positive /
+    negative outcome counts (outcome = customer placed at least one
+    1-URGENT order), and exact integer-cents balance bounds.  The WOE
+    ``ln((pos/Σpos)/(neg/Σneg))`` is a driver-side map over these 8
+    rows (log is not hash-portable; the counts are the data product).
+
+    Scale shape: outcome flags come from a semi-join-shaped aggregate
+    (distinct urgent custkeys, key-grouped — never a row explosion);
+    the global rank is the range-partitioned rail; the one-row corpus
+    count broadcasts (q102 shape); the report is 8 rows."""
+    from sparkdiff.operators.quantiles import scalable_row_number
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("pos", F.lit(1).cast("long"))
+    )
+    labeled = c.join(urgent, "c_custkey", "left").select(
+        "c_custkey",
+        _cents("c_acctbal").alias("bal_cents"),
+        F.coalesce("pos", F.lit(0)).alias("pos"),
+    )
+    ranked = scalable_row_number(
+        labeled, [F.col("bal_cents"), F.col("c_custkey")], out_col="rn"
+    )
+    n_total = labeled.agg(F.count(F.lit(1)).alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(n_total)).select(
+        F.expr("(rn - 1) * 8 DIV _n").cast("long").alias("bin"),
+        "bal_cents",
+        "pos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        F.min("bal_cents").cast("long").alias("lo_cents"),
+        F.max("bal_cents").cast("long").alias("hi_cents"),
+    )
+
+
+def q177_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily event volumes — the
+    monitoring question after drift (q107/q124) says WHETHER: WHEN did
+    the level shift?  Classic Page/Pettitt shape: per event type, the
+    scaled cumulative deviation ``S_i = Σ_{j<=i} (c_j·D − N)`` (D days,
+    N total events — S_i is day-count-scaled so it stays in exact
+    int64; the usual mean-subtracted sum is S_i/D) and the change
+    point = the day maximizing |S_i|, earliest day as tiebreak.
+
+    Scale shape: one shuffle to the (type, day) rollup; the cumulative
+    window and argmax run on the bounded type×day table, partitioned
+    by type — never a window over the event stream."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.col("event_type"), F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        daily.join(totals, "event_type")
+        .withColumn(
+            "s_i", F.sum(F.col("c") * F.col("n_days") - F.col("n_total")).over(w)
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs("s_i").desc(), F.col("day").asc()
+    )
+    return (
+        s.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_total").alias("total"),
+            F.col("day").cast("string").alias("change_day"),
+            F.abs("s_i").cast("long").alias("s_abs"),
+        )
+    )
+
+
+def q178_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: histogram-based join-size estimation
+    vs exact truth for ``lineitem ⋈ part`` on partkey, per hash bucket —
+    the validation an engine runs on its own cardinality model (the
+    uniformity assumption inside every textbook cost model): with
+    per-bucket counts and NDVs on each side, ``est = cnt_l·cnt_p div
+    max(ndv_l, ndv_p)``; the EXACT per-bucket join size is computed
+    WITHOUT executing the join as ``Σ_k cnt_l(k)·cnt_p(k)`` over the
+    per-key count tables.  Buckets ride the engine-portable md5-60-bit
+    key hash (the MinHash convention), so the report value-hashes.
+
+    Scale shape: two key-grouped count tables (map-side combined) are
+    the only corpus-sized shuffles; the per-key product join is
+    key-co-located; the report is 16 rows.  The raw join never runs —
+    at 100 TB that is the entire point of estimating."""
+    from sparkdiff.operators.dedup import token_hash
+
+    n_buckets = 16
+    bucket = lambda c: F.pmod(  # noqa: E731 — two single-use lambdas
+        token_hash(F.col(c).cast("string"), "md5"), F.lit(n_buckets)
+    ).cast("long")
+    lk = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_l"))
+        .withColumn("bucket", bucket("key"))
+    )
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_p"))
+        .withColumn("bucket", bucket("key"))
+    )
+    sides = (
+        lk.groupBy("bucket")
+        .agg(
+            F.sum("cnt_l").alias("rows_l"),
+            F.count(F.lit(1)).alias("ndv_l"),
+        )
+        .join(
+            pk.groupBy("bucket").agg(
+                F.sum("cnt_p").alias("rows_p"),
+                F.count(F.lit(1)).alias("ndv_p"),
+            ),
+            "bucket",
+        )
+    )
+    actual = (
+        lk.join(pk, ["bucket", "key"])
+        .groupBy("bucket")
+        .agg(F.sum(F.col("cnt_l") * F.col("cnt_p")).alias("actual"))
+    )
+    return (
+        sides.join(actual, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                "rows_l * rows_p DIV greatest(ndv_l, ndv_p)"
+            ).cast("long").alias("est"),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            F.col("ndv_l").cast("long").alias("ndv_l"),
+            F.col("ndv_p").cast("long").alias("ndv_p"),
+        )
+        .withColumn(
+            "err_pm",
+            F.expr(
+                "abs(est - actual) * 1000 DIV greatest(actual, 1)"
+            ).cast("long"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6445,4 +6684,8 @@ QUERIES: dict[str, callable] = {
     "q172_packing_tradeoff": q172_packing_tradeoff,
     "q173_semantic_decontamination": q173_semantic_decontamination,
     "q174_trending_segments": q174_trending_segments,
+    "q175_fd_audit": q175_fd_audit,
+    "q176_equifreq_binning": q176_equifreq_binning,
+    "q177_cusum_changepoint": q177_cusum_changepoint,
+    "q178_join_cardinality_audit": q178_join_cardinality_audit,
 }

@@ -140,6 +140,10 @@ _INTENTIONAL_NLJ = {
     # ONE-ROW revenue total / customer count (q76/q90 stats shape).
     "q117_revenue_concentration",
     "q128_customer_gini",
+    # q176 rides the same rail (bounded #partitions-row bucket-offset
+    # non-equi broadcast) plus the ONE-ROW corpus-count broadcast that
+    # turns ranks into equal-frequency bins (q102/q76 stats shape).
+    "q176_equifreq_binning",
     # q135 rides the same rail: the bucket-offset table is the bounded
     # #partitions-row non-equi broadcast join, and the total weight is
     # a ONE-ROW broadcast (q76/q90 stats shape) carrying the overflow
