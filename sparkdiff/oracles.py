@@ -6027,3 +6027,59 @@ ORACLES["q178_join_cardinality_audit"] = f"""
                 // greatest(COALESCE(a.actual, 0), 1) AS BIGINT) AS err_pm
     FROM sides s LEFT JOIN act a USING (bucket)
 """
+
+
+# q179: join-view delta — the oracle certifies the delta ALGEBRA by
+# computing the ground truth the hard way: full new view minus full old
+# view, as a per-nation GROUP BY difference (counts and cents subtract
+# exactly; zero-delta nations drop out on both engines only if BOTH
+# deltas are zero — kept explicitly to match the Spark side, which
+# emits every nation its delta rows touch).
+ORACLES["q179_join_view_delta"] = """
+    WITH o AS (
+        SELECT o_custkey AS c_custkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    c AS (SELECT c_custkey, c_nationkey FROM customer),
+    new_v AS (
+        SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o.cents) AS BIGINT) AS cents
+        FROM o JOIN c USING (c_custkey)
+        GROUP BY c.c_nationkey
+    ),
+    old_v AS (
+        SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o.cents) AS BIGINT) AS cents
+        FROM o JOIN c USING (c_custkey)
+        WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND c.c_custkey % 13 != 0
+        GROUP BY c.c_nationkey
+    )
+    SELECT n.c_nationkey,
+           CAST(n.n - COALESCE(o2.n, 0) AS BIGINT) AS delta_rows,
+           CAST(n.cents - COALESCE(o2.cents, 0) AS BIGINT) AS delta_cents
+    FROM new_v n LEFT JOIN old_v o2 USING (c_nationkey)
+    WHERE n.n - COALESCE(o2.n, 0) != 0
+"""
+
+
+# q180: k-anonymity / l-diversity audit — QI decile via floor of an
+# exact-cents double division (negative balances floor identically in
+# both engines; truncating integer division would not).
+ORACLES["q180_k_anonymity"] = """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS bal_decile
+        FROM customer
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.bal_decile,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c.c_custkey) >= 5 AS k_anonymous,
+           COUNT(DISTINCT o.o_orderpriority) >= 3 AS l_diverse
+    FROM c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+"""

@@ -6509,6 +6509,98 @@ def q178_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q179_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (`operators/ivm.
+    join_delta`): the orders⋈customer view's delta under an insert-only
+    batch (the most recent orders slice + the newest customer slice),
+    computed as ``ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`` — three delta-sized joins, the
+    old×old product untouched — then rolled up per nation so the answer
+    is configuration-sized.  The oracle recomputes the full new view
+    minus the full old view (GROUP BY difference), certifying the
+    delta algebra equals recompute-from-scratch.  Completes the IVM
+    family: q108 maintains aggregates by partial combine, q52/q53 gate
+    re-validation by checksums, this maintains the join body itself.
+
+    Scale shape: both deltas are slices, so both maintenance joins have
+    one delta-sized side (broadcastable in a real refresh); the rollup
+    is map-side combined; everything integer-exact."""
+    from sparkdiff.operators.ivm import join_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    dv = join_delta(
+        o.filter(F.col("o_orderdate") < cutoff),
+        o.filter(F.col("o_orderdate") >= cutoff),
+        c.filter(F.col("c_custkey") % 13 != 0),
+        c.filter(F.col("c_custkey") % 13 == 0),
+        "c_custkey",
+    )
+    return dv.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("delta_rows"),
+        F.sum("cents").cast("long").alias("delta_cents"),
+    )
+
+
+def q180_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) — the privacy pass a training-data pipeline runs next
+    to the PII scrub (q56): customers grouped by their quasi-identifier
+    tuple (nation, market segment, account-balance decile — the
+    decile from exact integer cents, fixed width, so the QI domain is
+    bounded and engine-portable), each group reporting its size, the
+    number of DISTINCT sensitive values its members expose (order
+    priority, via the orders join), and the k>=5 / l>=3 verdicts.  A
+    group smaller than k re-identifies its members; a group with too
+    few distinct sensitive values leaks the attribute even when k
+    holds.
+
+    Scale shape: one orders⋈customer equi-join keyed on custkey, then
+    a map-side-combined rollup to the bounded QI domain (nations x
+    segments x deciles); the report never exceeds that domain."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        # floor (not truncate) so negative balances bucket identically
+        # in Spark and DuckDB; cents <= 10^6 so the double is exact
+        F.floor(_cents("c_acctbal") / F.lit(100_000.0)).cast("long").alias(
+            "bal_decile"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    )
+    joined = c.join(o, "c_custkey")
+    return (
+        joined.groupBy("c_nationkey", "c_mktsegment", "bal_decile")
+        .agg(
+            F.countDistinct("c_custkey").cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_orderpriority").cast("long").alias(
+                "n_sensitive"
+            ),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_decile",
+            "n_members",
+            "n_rows",
+            "n_sensitive",
+            (F.col("n_members") >= 5).alias("k_anonymous"),
+            (F.col("n_sensitive") >= 3).alias("l_diverse"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6688,4 +6780,6 @@ QUERIES: dict[str, callable] = {
     "q176_equifreq_binning": q176_equifreq_binning,
     "q177_cusum_changepoint": q177_cusum_changepoint,
     "q178_join_cardinality_audit": q178_join_cardinality_audit,
+    "q179_join_view_delta": q179_join_view_delta,
+    "q180_k_anonymity": q180_k_anonymity,
 }
