@@ -118,3 +118,92 @@ def pagerank(
         if prev.is_cached:
             prev.unpersist()
     return r.select("node", "deg", "rank_s")
+
+
+def hierarchy_closure(
+    parents: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Flatten a forest (each node has at most one parent; roots have
+    NULL parent) into its transitive closure ``(node, root, depth)`` —
+    the org-chart / BOM / category-tree staple SQL expresses as
+    ``WITH RECURSIVE``.
+
+    Scale shape: POINTER DOUBLING, not per-level recursion — each round
+    self-joins the current ancestor map ``m`` to compose ``m ∘ m``
+    (ancestor jumps double: 1, 2, 4, ...), so a depth-D hierarchy
+    settles in ``⌈log2 D⌉`` shuffle rounds instead of D.  This is the
+    same halving trick as the large-star/small-star connected
+    components in :func:`connected_components`, specialized to the
+    single-parent case where composition needs no min-aggregation.
+    ``max_rounds`` = 40 bounds doubling at depth 2^40 — termination is
+    detected by an empty frontier (some node's ancestor pointer can
+    still advance), one existence probe per round on the ancestor map.
+    DANGLING parents (ids that are not nodes — dirty data) are
+    terminal: the walk stops there and reports the dangling id as the
+    root with the depth reached, exactly what a recursive CTE does
+    when its parent join finds no row.  Cycles (worse data) never
+    drain the frontier; the loop raises after ``max_rounds`` instead
+    of silently looping — run the q110-style FK integrity check first.
+    """
+    m = parents.select(
+        F.col(node_col).cast("long").alias("n"),
+        F.col(parent_col).cast("long").alias("a"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    ).persist()
+    for _ in range(max_rounds):
+        hop_probe = m.select(
+            F.col("n").alias("_hn"), F.col("a").alias("_ha")
+        )
+        # frontier: a node can still ADVANCE — its ancestor is itself a
+        # node that has an ancestor.  Roots (_ha NULL) and dangling
+        # parents (no _hn row) are both terminal, so the check drains
+        # on dirty data instead of spinning to max_rounds.
+        if (
+            m.filter(F.col("a").isNotNull())
+            .join(hop_probe, F.col("a") == F.col("_hn"))
+            .filter(F.col("_ha").isNotNull())
+            .isEmpty()
+        ):
+            closure = m.select(
+                F.col("n").alias(node_col),
+                F.coalesce("a", "n").alias("root"),
+                F.col("d").alias("depth"),
+            )
+            m.unpersist()
+            return closure
+        hop = m.select(
+            F.col("n").alias("_hn"),
+            F.col("a").alias("_ha"),
+            F.col("d").alias("_hd"),
+        )
+        nxt = (
+            m.join(hop, m["a"] == hop["_hn"], "left")
+            .select(
+                "n",
+                # ancestor's ancestor if it has one, else stay put
+                F.when(
+                    F.col("_ha").isNotNull(), F.col("_ha")
+                ).otherwise(F.col("a")).alias("a"),
+                (
+                    F.col("d")
+                    + F.when(
+                        F.col("_ha").isNotNull(), F.col("_hd")
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("d"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize before unpersisting the previous map
+        m.unpersist()
+        m = nxt
+    m.unpersist()
+    raise ValueError(
+        f"hierarchy did not settle in {max_rounds} doubling rounds — "
+        "cycle in the parent relation?"
+    )

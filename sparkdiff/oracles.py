@@ -6083,3 +6083,88 @@ ORACLES["q180_k_anonymity"] = """
     FROM c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2, 3
 """
+
+
+# q181: hierarchy closure — DuckDB's real WITH RECURSIVE per-level walk
+# is the spec the Spark pointer-doubling loop must equal exactly; the
+# summary groups the closure by (root, depth).
+ORACLES["q181_hierarchy_closure"] = """
+    WITH RECURSIVE p AS (
+        SELECT doc_id AS node,
+               CASE WHEN doc_id >= 9 THEN doc_id // 3 END AS parent
+        FROM documents
+    ),
+    cl AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM p
+        UNION ALL
+        SELECT cl.node, p.parent AS cur, cl.depth + 1 AS depth
+        FROM cl JOIN p ON p.node = cl.cur
+        WHERE p.parent IS NOT NULL
+    ),
+    closure AS (
+        SELECT node, cur AS root, depth,
+               row_number() OVER (PARTITION BY node ORDER BY depth DESC)
+                   AS _r
+        FROM cl
+    )
+    SELECT root, depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM closure WHERE _r = 1
+    GROUP BY root, depth
+"""
+
+
+# q182: chi-square independence — marginals and N from the bounded cell
+# table; the scaled term goes through HUGEINT (DuckDB's exact integer)
+# exactly as the Spark side goes through DECIMAL(38,0).
+ORACLES["q182_chi2_independence"] = """
+    WITH cells AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    enriched AS (
+        SELECT o_orderstatus, o_orderpriority, obs,
+               SUM(obs) OVER (PARTITION BY o_orderstatus) AS row_total,
+               SUM(obs) OVER (PARTITION BY o_orderpriority) AS col_total,
+               SUM(obs) OVER () AS n
+        FROM cells
+    )
+    SELECT o_orderstatus, o_orderpriority, obs,
+           CAST(row_total * col_total * 1000 // n AS BIGINT)
+               AS expected_milli,
+           CAST((CAST(n AS HUGEINT) * obs
+                 - CAST(row_total AS HUGEINT) * col_total)
+                * (CAST(n AS HUGEINT) * obs
+                   - CAST(row_total AS HUGEINT) * col_total)
+                * 1000000
+                // (CAST(n AS HUGEINT) * row_total * col_total)
+               AS BIGINT) AS chi2_term_scaled
+    FROM enriched
+"""
+
+
+# q183: Benford first-digit audit — the digit comes from the integer-
+# cents STRING on both engines (no float log anywhere); the reference
+# shares are the same integer constants the Spark side embeds.
+ORACLES["q183_benford_audit"] = """
+    WITH counts AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    ref(digit, benford_pm) AS (
+        VALUES (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+               (6, 66), (7, 57), (8, 51), (9, 45)
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000 // t.t AS BIGINT) AS share_pm,
+           CAST(r.benford_pm AS BIGINT) AS benford_pm,
+           CAST(abs(c.n * 1000 // t.t - r.benford_pm) AS BIGINT) AS dev_pm
+    FROM counts c JOIN ref r ON r.digit = c.digit CROSS JOIN tot t
+"""

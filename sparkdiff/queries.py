@@ -6601,6 +6601,135 @@ def q180_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening — the WITH RECURSIVE staple (org charts,
+    BOMs, category trees) Spark SQL lacks natively, implemented as
+    POINTER DOUBLING (`operators/graph.hierarchy_closure`): each round
+    composes the ancestor map with itself, so a depth-D forest settles
+    in ceil(log2 D) shuffle rounds, not D — the difference between 8
+    and 256 rounds on a deep enterprise hierarchy.  The fixture forest
+    is documents with parent = doc_id div 3 (doc_id >= 9; 9 roots,
+    depth ~6 at sf0.01); the oracle replays it as the real
+    WITH RECURSIVE, certifying (node, root, depth) exactly.  The
+    summary groups by (root, depth) so the output is
+    forest-shape-sized."""
+    from sparkdiff.operators.graph import hierarchy_closure
+
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS node",
+        "CASE WHEN doc_id >= 9 THEN doc_id DIV 3 END AS parent",
+    )
+    closure = hierarchy_closure(d)
+    return closure.groupBy("root", "depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
+def q182_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categorical columns
+    (order status × order priority) — the statistical cousin of the FD
+    audit (q175): per contingency cell, the observed count, the
+    expected count under independence as exact integer per-mille
+    (``row_total · col_total · 1000 div N``), and the scaled chi-square
+    term ``(N·obs − rt·ct)² · 10^6 div (N·rt·ct)`` kept exact through
+    DECIMAL(38,0) (squared web-scale products overflow BIGINT).
+
+    Scale shape: ONE corpus scan to the (status, priority) cell table;
+    marginals and N come from windows over that BOUNDED table (|status|
+    × |priority| rows — never the corpus), so no second scan, no
+    one-row broadcast join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rt = F.sum("obs").over(Window.partitionBy("o_orderstatus"))
+    ct = F.sum("obs").over(Window.partitionBy("o_orderpriority"))
+    n = F.sum("obs").over(
+        Window.partitionBy()
+    )  # bounded cell table: a single-partition window over <=15 rows
+    enriched = cells.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        rt.cast("long").alias("row_total"),
+        ct.cast("long").alias("col_total"),
+        n.cast("long").alias("n"),
+    )
+    return enriched.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        F.expr("row_total * col_total * 1000 DIV n")
+        .cast("long")
+        .alias("expected_milli"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * obs - CAST(row_total AS"
+            " DECIMAL(38,0)) * col_total) *"
+            " (CAST(n AS DECIMAL(38,0)) * obs - CAST(row_total AS"
+            " DECIMAL(38,0)) * col_total) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * row_total * col_total)"
+            " AS BIGINT)"
+        ).alias("chi2_term_scaled"),
+    )
+
+
+#: Benford's-law first-digit reference distribution, per mille —
+#: floor(log10(1 + 1/d) * 1000) for d = 1..9.
+BENFORD_PM = [301, 176, 124, 96, 79, 66, 57, 51, 45]
+
+
+def q183_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (Nigrini's forensic-accounting staple)
+    run as a data-quality check beside q168: observed first-significant-
+    digit counts, their exact per-mille share, the Benford reference
+    share, and the absolute deviation.  TPC-H prices are uniform-ish,
+    NOT Benford — the audit is supposed to flag them; the value of the
+    query is the exact, portable machinery (digit from the integer-
+    cents string — no floating log anywhere; reference as fixed
+    integer constants).
+
+    Scale shape: one scan, map-side-combined count to <=9 rows; the
+    share window runs on the bounded digit table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        _cents("o_totalprice").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_PM]), F.col("digit").cast("int")
+    ).cast("long")
+    total = F.sum("n").over(Window.partitionBy())  # <=9-row table
+    return (
+        counts.select(
+            "digit",
+            "n",
+            (F.col("n") * F.lit(1000)).alias("_num"),
+            total.cast("long").alias("_tot"),
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("_num DIV _tot").cast("long").alias("share_pm"),
+            benford.alias("benford_pm"),
+            F.abs(F.expr("_num DIV _tot") - benford)
+            .cast("long")
+            .alias("dev_pm"),
+        )
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6782,4 +6911,7 @@ QUERIES: dict[str, callable] = {
     "q178_join_cardinality_audit": q178_join_cardinality_audit,
     "q179_join_view_delta": q179_join_view_delta,
     "q180_k_anonymity": q180_k_anonymity,
+    "q181_hierarchy_closure": q181_hierarchy_closure,
+    "q182_chi2_independence": q182_chi2_independence,
+    "q183_benford_audit": q183_benford_audit,
 }

@@ -111,3 +111,43 @@ def test_rrf_fuse_orders_by_summed_reciprocals(spark):
     assert out[30].r1 == -1 and out[40].r0 == -1
     assert out[30].rrf == pytest.approx(1.0 / 63.0)
     assert set(out) == {10, 20, 30, 40}
+
+
+def test_hierarchy_closure_flattens_forest_with_dangling_parent(spark):
+    """Pointer doubling must equal the per-level walk, treat dangling
+    parents (dirty data) as terminal roots like a recursive CTE does,
+    and keep depth = edges traversed."""
+    import pytest
+
+    from sparkdiff.operators.graph import hierarchy_closure
+
+    #      0 (root)        7 -> 99 (dangling)
+    #     / \
+    #    1   2
+    #    |
+    #    3 -> 4 -> 5 (chain under 1: 3's parent is 1)
+    rows = [
+        (0, None), (1, 0), (2, 0), (3, 1), (4, 3), (5, 4),
+        (7, 99),  # 99 is not a node
+    ]
+    df = spark.createDataFrame(rows, "node int, parent int")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in hierarchy_closure(df).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 1), 2: (0, 1), 3: (0, 2), 4: (0, 3),
+        5: (0, 4), 7: (99, 1),
+    }
+
+
+def test_hierarchy_closure_raises_on_cycle(spark):
+    import pytest
+
+    from sparkdiff.operators.graph import hierarchy_closure
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "node int, parent int"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        hierarchy_closure(df, max_rounds=5)

@@ -69,6 +69,11 @@ EAGER_BY_DESIGN = {
     # (1024-word) Bloom table at construction so the probe is a pure
     # scan-side expression (the decontamination automaton's convention)
     "q165_bloom_semijoin",
+    # q181: pointer-doubling closure — ceil(log2 depth) bounded rounds
+    # at construction, each one isEmpty/count on the node-sized ancestor
+    # map (the q65/q90 iterative-fixpoint convention); all per-round
+    # persists are dropped before the closure is returned
+    "q181_hierarchy_closure",
 }
 
 #: The driver-verified window, verbatim (CORRECTNESS checks the first 50
