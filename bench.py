@@ -33,8 +33,14 @@ adjudicate itself:
   verdict #3: a prev-round-only comparator let a 1.3x-per-round creep
   slip under the trigger forever) are re-timed one more time each, in
   isolation at the end of the run.  A re-time near the best-known
-  median brands the official median as in-run noise; a re-time
-  confirming the official median brands it a real regression.
+  median brands the official median as in-run ``noise``; a re-time
+  that merely tracks the fleet-wide ``drift_vs_best`` (median over ALL
+  queries of this-run/best-known — the whole run sitting on a slower
+  host) brands ``host_shift``; only a re-time slower than both
+  best-known and the fleet drift is ``confirmed`` (round-8 evidence:
+  six sub-second queries flagged 1.3–1.9x on a 1.3%-steal host whose
+  fleet median had itself moved — per-query flags that a uniform-drift
+  check dissolves).
 - ``adjudicated_value`` (round-7 verdict #2): the headline ``value``
   sums in-session medians, so a noise-branded mover still inflates it;
   the adjudicated total substitutes every successfully re-timed
@@ -118,6 +124,53 @@ def _best_known_medians(
             if med and (q not in best or med < best[q][0]):
                 best[q] = (med, int(m.group(1)))
     return best
+
+
+def _median_ratio_vs_base(
+    timings: dict[str, float | None],
+    base: dict[str, tuple[float, int]],
+) -> float | None:
+    """Fleet-wide drift indicator: the MEDIAN over all measured queries
+    of (this run's median / best-known median).  ~1.0 on a healthy
+    host; uniformly >1 when the whole run sits on a slower host than
+    the best archive — the signature that distinguishes 'one query
+    regressed' (isolated spike, fleet median ~1) from 'the floor moved'
+    (every query shifted together)."""
+    ratios = sorted(
+        med / base[n][0]
+        for n, med in timings.items()
+        if med is not None and base.get(n)
+    )
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    r = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(r, 3)
+
+
+def _retime_verdict(iso_ratio: float, drift: float | None) -> str:
+    """Brand an isolated re-time against the best-known median:
+
+    - ``noise``      — isolated run is back near best-known; the
+      official median was in-run interference.
+    - ``host_shift`` — isolated run tracks the FLEET's uniform drift
+      (within the same 1.25 tolerance of drift x best): the whole run
+      sits on a slower host, so this query did not individually
+      regress.  Only claimed for modest uniform drift (<= 3x) — beyond
+      that something other than host floor is wrong and the flag must
+      surface.
+    - ``confirmed``  — slower than both best-known AND the fleet
+      drift explains: a real per-query regression.
+    """
+    if iso_ratio <= 1.25:
+        return "noise"
+    if drift is not None and 1.0 < drift <= 3.0 and iso_ratio <= 1.25 * drift:
+        return "host_shift"
+    return "confirmed"
 
 
 def _select_movers(
@@ -238,6 +291,7 @@ def main() -> None:
     # GC, nothing else running in the session) so the artifact itself
     # says whether the move was in-run noise or real.
     base_medians = _best_known_medians(here, int(rnd))
+    drift = _median_ratio_vs_base(timings, base_medians)
     retimes: dict[str, dict] = {}
     movers = _select_movers(timings, base_medians)
     if movers:
@@ -268,10 +322,7 @@ def main() -> None:
                 "isolated_median": iso,
                 "isolated_runs": runs,
                 "isolated_ratio": iso_ratio,
-                # <=1.25x of the best-known median under isolation = the
-                # official median was in-run/host noise; above = treat as
-                # real (host_health contextualizes cross-host shifts)
-                "verdict": "noise" if iso_ratio <= 1.25 else "confirmed",
+                "verdict": _retime_verdict(iso_ratio, drift),
             }
 
     # ADJUDICATED TOTAL (round-7 verdict #2): the official ``value`` sums
@@ -300,6 +351,7 @@ def main() -> None:
         "queries_detail": detail,
         "sf": sf,
         "host_health": host_health,
+        "drift_vs_best": drift,
         "retimes": retimes,
     }
     if errors:
@@ -327,6 +379,7 @@ def main() -> None:
         "n_errors": len(errors),
         "n_runs": n_runs,
         "steal_pct": host_health.get("steal_pct"),
+        "drift_vs_best": drift,
         "n_retimed": len(retimes),
         "n_confirmed_regressions": sum(
             1 for r in retimes.values() if r.get("verdict") == "confirmed"

@@ -148,3 +148,26 @@ def test_bench_retime_wiring_end_to_end(tmp_path):
     assert abs(compact["adjudicated_value"] - expected) < 1e-6
     # partial runs must not write the round archive
     assert not (tmp_path / "BENCH_DETAIL_r07.json").exists()
+
+
+def test_median_ratio_vs_base_and_drift_verdicts():
+    from bench import _median_ratio_vs_base, _retime_verdict
+
+    base = {"a": (1.0, 1), "b": (2.0, 1), "c": (4.0, 1), "new": None}
+    # ratios: 1.3, 1.3, 1.3 -> uniform drift
+    assert _median_ratio_vs_base(
+        {"a": 1.3, "b": 2.6, "c": 5.2, "unseen": 9.9}, base
+    ) == 1.3
+    assert _median_ratio_vs_base({}, base) is None
+    # near best-known -> in-run noise regardless of drift
+    assert _retime_verdict(1.1, 1.3) == "noise"
+    # tracks the fleet's uniform drift -> host shift, not a regression
+    assert _retime_verdict(1.5, 1.3) == "host_shift"
+    # exceeds what drift explains -> real regression
+    assert _retime_verdict(2.0, 1.3) == "confirmed"
+    # no drift data or no uniform slowdown -> plain threshold
+    assert _retime_verdict(1.5, None) == "confirmed"
+    assert _retime_verdict(1.5, 1.0) == "confirmed"
+    # absurd "drift" (fabricated archives, broken host) must not
+    # absorb regressions -- the 3x cap falls through to confirmed
+    assert _retime_verdict(900.0, 1000.0) == "confirmed"
