@@ -6168,3 +6168,36 @@ ORACLES["q183_benford_audit"] = """
            CAST(abs(c.n * 1000 // t.t - r.benford_pm) AS BIGINT) AS dev_pm
     FROM counts c JOIN ref r ON r.digit = c.digit CROSS JOIN tot t
 """
+
+
+# q184: point-in-time join — probe = purchase ts minus one hour against
+# the q101-shaped SCD2 intervals; inner join drops probes before the
+# first state, exactly like the Spark side.
+ORACLES["q184_point_in_time_join"] = """
+    WITH changed AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS _prev
+        FROM events
+    ),
+    hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM changed
+        WHERE _prev IS NULL OR _prev != event_type
+    ),
+    probes AS (
+        SELECT user_id, ts - INTERVAL 1 HOUR AS probe_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT h.state AS prior_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM probes p JOIN hist h ON h.user_id = p.user_id
+    WHERE h.valid_from <= p.probe_ts
+      AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    GROUP BY h.state
+"""

@@ -6730,6 +6730,63 @@ def q183_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) join against the SCD2 history — the
+    warehouse temporal staple q101 builds the input for: every purchase
+    event asks "what state was this user in ONE HOUR BEFORE the
+    purchase?" by joining probe timestamps to the state-validity
+    intervals (``valid_from <= t < valid_to``, NULL = current), then
+    rolling up conversions by preceding state — the attribution
+    question a funnel analysis asks of versioned dimensions.  Probes
+    that predate the user's first recorded state drop (inner join):
+    there is no version to attribute to.
+
+    Scale shape: ONE equi-join on user_id with the interval predicate
+    as a residual filter — versions per user are bounded by that user's
+    change count, so the join never fans out beyond per-key history
+    size; the rollup output is state-domain-sized.  No global sort, no
+    window beyond q101's own per-user spec."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        e.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("_prev"),
+        )
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("_prev") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("probe_ts"),
+    )
+    pit = probes.join(hist, "user_id").filter(
+        (F.col("valid_from") <= F.col("probe_ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("probe_ts") < F.col("valid_to"))
+        )
+    )
+    return pit.groupBy(F.col("state").alias("prior_state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6914,4 +6971,5 @@ QUERIES: dict[str, callable] = {
     "q181_hierarchy_closure": q181_hierarchy_closure,
     "q182_chi2_independence": q182_chi2_independence,
     "q183_benford_audit": q183_benford_audit,
+    "q184_point_in_time_join": q184_point_in_time_join,
 }

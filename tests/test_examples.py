@@ -103,3 +103,11 @@ def test_monitoring_pipeline_example():
     # is deliberately not in the accepted set)
     assert "'accepted_values(event_type)': 201" in stdout
     assert "drift monitor: 22 dirty buckets (expected 22" in stdout
+
+
+def test_data_quality_pipeline_example():
+    stdout = _run("data_quality_pipeline.py")
+    assert "gate passed: 4 checks, 0 violations" in stdout
+    assert "o_orderkey->o_custkey" in stdout and "HOLDS" in stdout
+    assert "NOT Benford-like" in stdout  # TPC-H prices are uniform-ish
+    assert "report complete" in stdout
