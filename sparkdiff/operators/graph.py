@@ -148,6 +148,14 @@ def hierarchy_closure(
     drain the frontier; the loop raises after ``max_rounds`` instead
     of silently looping — run the q110-style FK integrity check first.
     """
+    # localCheckpoint (eager), NOT persist: each round's self-join
+    # references the previous map TWICE, so the LOGICAL plan doubles
+    # per round even when the data is cached — by round ~10 the
+    # analyzer walks a million-node tree and the driver OOMs (measured:
+    # a 1024-deep chain killed a 16g driver).  Checkpointing truncates
+    # the lineage so every round starts from a leaf plan; on a real
+    # cluster prefer spark.sparkContext.setCheckpointDir + .checkpoint()
+    # if executor loss during the (short) loop matters.
     m = parents.select(
         F.col(node_col).cast("long").alias("n"),
         F.col(parent_col).cast("long").alias("a"),
@@ -155,7 +163,7 @@ def hierarchy_closure(
         .otherwise(F.lit(1))
         .cast("long")
         .alias("d"),
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_rounds):
         hop_probe = m.select(
             F.col("n").alias("_hn"), F.col("a").alias("_ha")
@@ -170,13 +178,11 @@ def hierarchy_closure(
             .filter(F.col("_ha").isNotNull())
             .isEmpty()
         ):
-            closure = m.select(
+            return m.select(
                 F.col("n").alias(node_col),
                 F.coalesce("a", "n").alias("root"),
                 F.col("d").alias("depth"),
             )
-            m.unpersist()
-            return closure
         hop = m.select(
             F.col("n").alias("_hn"),
             F.col("a").alias("_ha"),
@@ -197,12 +203,10 @@ def hierarchy_closure(
                     ).otherwise(F.lit(0))
                 ).cast("long").alias("d"),
             )
-            .persist()
+            # eager: materializes now AND truncates lineage (see above)
+            .localCheckpoint()
         )
-        nxt.count()  # materialize before unpersisting the previous map
-        m.unpersist()
         m = nxt
-    m.unpersist()
     raise ValueError(
         f"hierarchy did not settle in {max_rounds} doubling rounds — "
         "cycle in the parent relation?"

@@ -151,3 +151,23 @@ def test_hierarchy_closure_raises_on_cycle(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         hierarchy_closure(df, max_rounds=5)
+
+
+def test_hierarchy_closure_deep_chain_uses_log_rounds(spark):
+    """A 4096-deep path settles under doubling (12 rounds of joins);
+    per-level recursion would need 4096 joins and never finish inside
+    the max_rounds=40 guard — so completing AT ALL certifies the
+    doubling, and the depths must be exact."""
+    from sparkdiff.operators.graph import hierarchy_closure
+
+    n = 4096
+    df = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(n)],
+        "node int, parent int",
+    )
+    got = {r.node: (r.root, r.depth) for r in hierarchy_closure(df).collect()}
+    assert len(got) == n
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 1)
+    assert got[n - 1] == (0, n - 1)
+    assert all(root == 0 and depth == node for node, (root, depth) in got.items())
