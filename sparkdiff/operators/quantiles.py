@@ -270,3 +270,63 @@ def scalable_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def weighted_quantile_cuts(
+    df: DataFrame,
+    value_col,
+    weight_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Exact WEIGHTED quantile cut points: ``(bin, target_weight,
+    cut)`` for bin = 1..n_bins-1, where ``cut`` is the smallest value
+    whose cumulative weight reaches ``ceil(bin·W/n_bins)`` — the
+    importance-weighted twin of the q109 equi-depth cuts (token-count-
+    weighted corpus statistics, quantity-weighted price deciles).
+
+    Scale shape: weights collapse to one row per DISTINCT value first
+    (map-side combine); the cumulative weight rides the same
+    range-partitioned prefix-sum rail as ``_dist_quantiles``'s ranged
+    mode — no per-group window over a continuous domain.  Cut
+    selection joins the (9-row, broadcast) target table with a >=
+    predicate and takes MIN(value) per bin; integer weights keep every
+    comparison exact."""
+    vw = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(weight_col).cast("long").alias("_w")
+    )
+    part = vw.repartitionByRange(F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_v")
+    local = part.withColumn("_lcum", F.sum("_w").over(w_local))
+    bsums = part.groupBy("_pid").agg(F.sum("_w").alias("_bc"))
+    # bounded: one row per range bucket (= shuffle partitions)
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsums.select(
+        "_pid", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
+    )
+    tot = bsums.agg(F.sum("_bc").cast("long").alias("_W"))
+    pre = local.join(offs, "_pid").select(
+        "_v", (F.col("_off") + F.col("_lcum")).cast("long").alias("_cum")
+    )
+    spark = df.sparkSession
+    targets = (
+        spark.range(1, n_bins)
+        .select(F.col("id").cast("long").alias("bin"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.expr(f"(bin * _W + {n_bins - 1}) DIV {n_bins}")
+            .cast("long")
+            .alias("target_weight"),
+        )
+    )
+    return (
+        pre.join(F.broadcast(targets), F.col("_cum") >= F.col("target_weight"))
+        .groupBy("bin", "target_weight")
+        .agg(F.min("_v").alias("cut"))
+    )

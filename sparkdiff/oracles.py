@@ -6201,3 +6201,51 @@ ORACLES["q184_point_in_time_join"] = """
       AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
     GROUP BY h.state
 """
+
+
+# q185: Markov transition matrix — one lead window, bounded-matrix
+# rollup, per-mille row-normalized.
+ORACLES["q185_state_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_state
+        FROM events
+    ),
+    m AS (
+        SELECT state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE next_state IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT state, next_state, n,
+           CAST(SUM(n) OVER (PARTITION BY state) AS BIGINT) AS row_total,
+           CAST(n * 1000 // SUM(n) OVER (PARTITION BY state) AS BIGINT)
+               AS p_pm
+    FROM m
+"""
+
+
+# q186: weighted quantile cuts — DuckDB's one-window cumulative weight
+# over distinct prices is the spec the Spark prefix-sum rail must
+# equal; ceil targets as (bin*W + 9) // 10 in exact integers.
+ORACLES["q186_weighted_quantiles"] = """
+    WITH vw AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, SUM(w) OVER (ORDER BY v) AS c FROM vw
+    ),
+    tot AS (SELECT SUM(w) AS W FROM vw),
+    targets AS (
+        SELECT CAST(d AS BIGINT) AS bin,
+               CAST((d * W + 9) // 10 AS BIGINT) AS target_weight
+        FROM range(1, 10) t(d) CROSS JOIN tot
+    )
+    SELECT t.bin, t.target_weight,
+           CAST(MIN(c.v) AS BIGINT) AS cut_cents
+    FROM cum c JOIN targets t ON c.c >= t.target_weight
+    GROUP BY 1, 2
+"""

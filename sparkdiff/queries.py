@@ -6787,6 +6787,68 @@ def q184_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the product-analytics staple between q96's path strings
+    and q101's SCD2 intervals: (state, next_state) pairs via ONE lead
+    window per user, counted into the bounded state×state matrix, with
+    the transition probability as exact integer per-mille of the row
+    total (windows for the row totals run over the ≤|states|² matrix,
+    never the event stream)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("state"),
+            F.lead("event_type").over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+    )
+    m = pairs.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("state"))
+    return m.select(
+        "state",
+        "next_state",
+        "n",
+        row_tot.cast("long").alias("row_total"),
+        F.expr("n * 1000").cast("long").alias("_num"),
+    ).select(
+        "state",
+        "next_state",
+        "n",
+        "row_total",
+        F.expr("_num DIV row_total").cast("long").alias("p_pm"),
+    )
+
+
+def q186_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price deciles (`operators/quantiles.
+    weighted_quantile_cuts`): the smallest extended price (exact
+    cents) whose cumulative ORDERED QUANTITY reaches each decile of
+    total quantity — the importance-weighted twin of q109's equi-depth
+    histogram (a training pipeline weights by token count the same
+    way).  Weights collapse to one row per distinct price first; the
+    cumulative weight rides the range-partitioned prefix-sum rail (no
+    single-partition window over the continuous price domain); cut
+    selection is a 9-row broadcast >= join.  Integer cents × integer
+    quantities keep every comparison exact."""
+    from sparkdiff.operators.quantiles import weighted_quantile_cuts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantile_cuts(li, "price_cents", "qty", n_bins=10).select(
+        "bin",
+        "target_weight",
+        F.col("cut").cast("long").alias("cut_cents"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -6972,4 +7034,6 @@ QUERIES: dict[str, callable] = {
     "q182_chi2_independence": q182_chi2_independence,
     "q183_benford_audit": q183_benford_audit,
     "q184_point_in_time_join": q184_point_in_time_join,
+    "q185_state_transitions": q185_state_transitions,
+    "q186_weighted_quantiles": q186_weighted_quantiles,
 }

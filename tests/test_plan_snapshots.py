@@ -144,6 +144,10 @@ _INTENTIONAL_NLJ = {
     # non-equi broadcast) plus the ONE-ROW corpus-count broadcast that
     # turns ranks into equal-frequency bins (q102/q76 stats shape).
     "q176_equifreq_binning",
+    # q186's cut selection is a 9-row broadcast >= join over the
+    # prefix-summed distinct-value table, plus the ONE-ROW total-weight
+    # broadcast that sizes the targets (q109's cut-table shape).
+    "q186_weighted_quantiles",
     # q135 rides the same rail: the bucket-offset table is the bounded
     # #partitions-row non-equi broadcast join, and the total weight is
     # a ONE-ROW broadcast (q76/q90 stats shape) carrying the overflow
