@@ -6249,3 +6249,30 @@ ORACLES["q186_weighted_quantiles"] = """
     FROM cum c JOIN targets t ON c.c >= t.target_weight
     GROUP BY 1, 2
 """
+
+
+# q187: event-time lateness audit — running event-time max per user in
+# arrival (event_id) order, fixed 900s buckets, per-mille shares.
+ORACLES["q187_lateness_audit"] = """
+    WITH late AS (
+        -- floor each epoch SEPARATELY: Spark's unix_timestamp truncates
+        -- sub-second timestamps per value; subtracting exact epochs and
+        -- rounding once drifts by 1s on fractional-second data
+        SELECT CAST(floor(epoch(MAX(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS DATE), event_id % 16, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
+        FROM events
+    ),
+    counts AS (
+        SELECT late_s - late_s % 900 AS bucket_s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(late_s) AS BIGINT) AS max_late_s
+        FROM late GROUP BY 1
+    )
+    SELECT CAST(bucket_s AS BIGINT) AS bucket_s, n, max_late_s,
+           CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS share_pm
+    FROM counts
+"""

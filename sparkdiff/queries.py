@@ -6849,6 +6849,66 @@ def q186_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that SIZES a
+    streaming watermark (`streaming/` windowed aggs drop events later
+    than the watermark, so the delay bound must come from data, not
+    guesswork): per event, lateness = how far the event-time clock had
+    already advanced past this event within its user's arrival order
+    (running MAX of ts over arrival rank minus ts); rolled up into
+    fixed 15-minute lateness buckets with exact per-mille shares, plus
+    each bucket's worst case in seconds.  Reading the report: the
+    bucket where the cumulative share crosses your loss budget is your
+    watermark delay.
+
+    Arrival order models a 16-way partitioned transport: within each
+    user and day, events arrive shard-by-shard (shard = event_id mod
+    16) — the deterministic stand-in for the interleaving a partitioned
+    log actually delivers (the raw fixture is perfectly time-ordered,
+    which would make every lateness zero and the audit vacuous).
+
+    Scale shape: ONE per-user cumulative-max window over the arrival
+    order — the same per-key spec every sessionization already pays —
+    then a map-side-combined rollup to the bounded bucket domain.  All
+    integer seconds."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_shard", F.pmod("event_id", F.lit(16))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.to_date("ts"), F.col("_shard"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).cast("long").alias("late_s")
+    )
+    bucketed = late.select(
+        (F.col("late_s") - F.pmod("late_s", F.lit(900))).alias("bucket_s"),
+        "late_s",
+    )
+    counts = bucketed.groupBy("bucket_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
+    total = F.sum("n").over(Window.partitionBy())  # bounded bucket table
+    return counts.select(
+        "bucket_s",
+        "n",
+        "max_late_s",
+        (F.col("n") * F.lit(1000)).alias("_num"),
+        total.cast("long").alias("_tot"),
+    ).select(
+        "bucket_s",
+        "n",
+        "max_late_s",
+        F.expr("_num DIV _tot").cast("long").alias("share_pm"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -7036,4 +7096,5 @@ QUERIES: dict[str, callable] = {
     "q184_point_in_time_join": q184_point_in_time_join,
     "q185_state_transitions": q185_state_transitions,
     "q186_weighted_quantiles": q186_weighted_quantiles,
+    "q187_lateness_audit": q187_lateness_audit,
 }
