@@ -6276,3 +6276,94 @@ ORACLES["q187_lateness_audit"] = """
            CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS share_pm
     FROM counts
 """
+
+
+# q188: watermark loss accounting — q187's lateness column priced at
+# four candidate delays; same floored-epoch convention.
+ORACLES["q188_watermark_loss"] = """
+    WITH late AS (
+        SELECT CAST(floor(epoch(MAX(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS DATE), event_id % 16, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
+        FROM events
+    ),
+    cand(watermark_s) AS (VALUES (0), (900), (1800), (3600))
+    SELECT CAST(c.watermark_s AS BIGINT) AS watermark_s,
+           CAST(SUM(CASE WHEN l.late_s > c.watermark_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN l.late_s > c.watermark_s THEN 1 ELSE 0 END)
+                * 1000 // COUNT(*) AS BIGINT) AS loss_pm
+    FROM late l CROSS JOIN cand c
+    GROUP BY c.watermark_s
+"""
+
+
+# q189: conversion lag p50/p90/p99 — the q50 interpolation idiom
+# (rank target p·(n−1), 1-based cumulative, cofrac·lo + frac·hi)
+# replayed over the distinct-lag distribution; epochs floored per
+# value exactly like Spark's unix_timestamp.
+ORACLES["q189_conversion_lag"] = """
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    lag AS (
+        SELECT e.user_id,
+               CAST(floor(epoch(MIN(e.ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(f.view_ts))) AS BIGINT) AS lag_s
+        FROM events e JOIN fv f USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= f.view_ts
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT CAST(lag_s AS DOUBLE) AS v, COUNT(*) AS c
+        FROM lag GROUP BY 1
+    ),
+    dist AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v) AS cum,
+               SUM(c) OVER () AS n
+        FROM counts
+    ),
+    parts AS (
+        SELECT
+            CAST(MIN(CASE WHEN cum >= floor(0.5 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p50_lo,
+            CAST(MIN(CASE WHEN cum >= ceil(0.5 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p50_hi,
+            MIN(0.5 * CAST(n - 1 AS DOUBLE)
+                - floor(0.5 * CAST(n - 1 AS DOUBLE))) AS p50_frac,
+            MIN(ceil(0.5 * CAST(n - 1 AS DOUBLE))
+                - 0.5 * CAST(n - 1 AS DOUBLE)) AS p50_cofrac,
+            CAST(MIN(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p90_lo,
+            CAST(MIN(CASE WHEN cum >= ceil(0.9 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p90_hi,
+            MIN(0.9 * CAST(n - 1 AS DOUBLE)
+                - floor(0.9 * CAST(n - 1 AS DOUBLE))) AS p90_frac,
+            MIN(ceil(0.9 * CAST(n - 1 AS DOUBLE))
+                - 0.9 * CAST(n - 1 AS DOUBLE)) AS p90_cofrac,
+            CAST(MIN(CASE WHEN cum >= floor(0.99 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p99_lo,
+            CAST(MIN(CASE WHEN cum >= ceil(0.99 * CAST(n - 1 AS DOUBLE)) + 1
+                          THEN v END) AS DOUBLE) AS p99_hi,
+            MIN(0.99 * CAST(n - 1 AS DOUBLE)
+                - floor(0.99 * CAST(n - 1 AS DOUBLE))) AS p99_frac,
+            MIN(ceil(0.99 * CAST(n - 1 AS DOUBLE))
+                - 0.99 * CAST(n - 1 AS DOUBLE)) AS p99_cofrac,
+            CAST(MIN(n) AS BIGINT) AS n_users
+        FROM dist
+    )
+    SELECT
+        CASE WHEN p50_frac = 0 THEN p50_lo
+             ELSE p50_cofrac * p50_lo + p50_frac * p50_hi END AS p50_s,
+        CASE WHEN p90_frac = 0 THEN p90_lo
+             ELSE p90_cofrac * p90_lo + p90_frac * p90_hi END AS p90_s,
+        CASE WHEN p99_frac = 0 THEN p99_lo
+             ELSE p99_cofrac * p99_lo + p99_frac * p99_hi END AS p99_s,
+        n_users
+    FROM parts
+"""

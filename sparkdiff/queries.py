@@ -6909,6 +6909,103 @@ def q187_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_watermark_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark loss accounting — q187's decision table: for each
+    candidate watermark delay (0 / 15 / 30 / 60 minutes), exactly how
+    many events a watermarked streaming aggregation would DROP (their
+    lateness under the 16-way-sharded arrival order exceeds the
+    delay), as counts and exact per-mille of the stream.  q187 says
+    how late events run; this prices each candidate bound so the team
+    picks the delay whose loss fits the budget.
+
+    Scale shape: the lateness column is computed once (same per-user
+    window as q187); the four candidates fan out via ONE stack over
+    the per-event lateness — no per-candidate scan — and collapse to a
+    4-row report."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_shard", F.pmod("event_id", F.lit(16))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.to_date("ts"), F.col("_shard"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).cast("long").alias("late_s")
+    )
+    candidates = [0, 900, 1800, 3600]
+    stack_expr = "stack({n}, {args}) AS (watermark_s, dropped)".format(
+        n=len(candidates),
+        args=", ".join(
+            f"CAST({c} AS BIGINT), CAST(late_s > {c} AS LONG)"
+            for c in candidates
+        ),
+    )
+    return (
+        late.selectExpr(stack_expr)
+        .groupBy("watermark_s")
+        .agg(
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "watermark_s",
+            "n_dropped",
+            F.expr("n_dropped * 1000 DIV n_events")
+            .cast("long")
+            .alias("loss_pm"),
+        )
+    )
+
+
+def q189_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution — the product metric behind funnel
+    SLAs: per user, seconds from FIRST view to FIRST subsequent
+    purchase (users who never purchase after their first view drop
+    out), then exact interpolated p50/p90/p99 of the lag over all
+    converting users via the q50 distribution-method quantile rail
+    (shuffle carries distinct lag values, never user rows; no
+    single-partition window).
+
+    Scale shape: two MIN reductions keyed by user (map-side combined),
+    one broadcastable join of the two per-user one-row tables, then
+    the dist-quantile rail on the lag column.  One summary row out."""
+    from sparkdiff.operators.quantiles import grouped_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    lag = (
+        first_view.join(purchases, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts"))
+                - F.unix_timestamp(F.min("view_ts"))
+            ).cast("long").alias("lag_s")
+        )
+    )
+    specs = [
+        ("p50_s", "lag_s", 0.5),
+        ("p90_s", "lag_s", 0.9),
+        ("p99_s", "lag_s", 0.99),
+    ]
+    return grouped_quantiles(lag, [], specs, method="dist").select(
+        "p50_s", "p90_s", "p99_s", F.col("n").cast("long").alias("n_users")
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -7097,4 +7194,6 @@ QUERIES: dict[str, callable] = {
     "q185_state_transitions": q185_state_transitions,
     "q186_weighted_quantiles": q186_weighted_quantiles,
     "q187_lateness_audit": q187_lateness_audit,
+    "q188_watermark_loss": q188_watermark_loss,
+    "q189_conversion_lag": q189_conversion_lag,
 }
