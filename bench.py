@@ -41,6 +41,15 @@ adjudicate itself:
   six sub-second queries flagged 1.3–1.9x on a 1.3%-steal host whose
   fleet median had itself moved — per-query flags that a uniform-drift
   check dissolves).
+- ``floor_probe_sec`` + class-aware drift (round-9 verdict #1): each
+  run measures its own job-submission floor (warm ``spark.range(1)``
+  noop save — pure submission/commit/AQE-scheduling cost, ~0.10–0.14 s
+  historically).  Stage-count-dominated tiny queries (best-known median
+  within ``FLOOR_DOMINANCE``x the best-known floor) are adjudicated
+  against the FLOOR shift, not the scan-weighted fleet drift: round 8's
+  five residual ``confirmed`` flags (q31/q70/q78/q89/q95) were exactly
+  this class moving 1.5–2x on a per-stage scheduling-cost shift the
+  1.12 fleet median under-explained.  Verdict ``floor_shift``.
 - ``adjudicated_value`` (round-7 verdict #2): the headline ``value``
   sums in-session medians, so a noise-branded mover still inflates it;
   the adjudicated total substitutes every successfully re-timed
@@ -100,16 +109,42 @@ def _host_health(before: dict[str, int] | None, after: dict[str, int] | None, wa
     }
 
 
-def _best_known_medians(
-    here: str, rnd: int
-) -> dict[str, tuple[float, int]]:
-    """Per-query BEST (minimum) median across ALL archived rounds before
-    ``rnd``, as {query: (median, round_it_was_set)} — the comparison base
-    for the end-of-run re-time pass.  Round-7 verdict #3: comparing only
-    against the PREVIOUS round left a creeping-regression blind spot (a
-    query drifting 1.3x every round never crossed the 1.5x trigger);
-    the minimum over the full archive set has no such blind spot."""
-    best: dict[str, tuple[float, int]] = {}
+# Job-submission floor bootstrap: the ROADMAP constant-floor audit measured
+# a warm `spark.range(1)` noop save at ~0.10 s on this harness.  Used as the
+# best-known floor until archives carry their own `floor_probe_sec` (the
+# probe is recorded per-run from round 9 on, so the bootstrap ages out).
+FLOOR_BASELINE_SEC = 0.10
+# A query counts as FLOOR-DOMINATED when its best-known median is within
+# this multiple of the best-known floor — i.e. its runtime is ~stage-count x
+# per-stage scheduling cost, not scan/shuffle work.  Round-8 evidence: the
+# five residual `confirmed` flags (q31/q70/q78/q89/q95) had bests
+# 0.11-0.87 s on a ~0.10-0.14 s floor, all git-identical in code and plan.
+FLOOR_DOMINANCE = 10.0
+
+
+def _measure_floor(spark, n_runs: int) -> float:
+    """Median wall time of a warm `spark.range(1)` noop save — pure job
+    submission + commit + AQE stage scheduling, zero operator work.  The
+    per-host per-stage cost that floor-dominated queries multiply."""
+    df = spark.range(1)
+    df.write.format("noop").mode("overwrite").save()  # warm-up, untimed
+    runs = []
+    for _ in range(max(1, n_runs)):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
+def _archive_rounds(
+    here: str, rnd: int, sf: float | None = None
+) -> list[tuple[int, dict]]:
+    """(round, parsed json) for every BENCH_DETAIL_r*.json before ``rnd``.
+    When ``sf`` is given, archives recorded at a DIFFERENT scale factor
+    are excluded — an sf0.001 experiment's microsecond medians must never
+    become the best-known base for sf0.1 comparisons (archives without an
+    ``sf`` field are kept: all pre-round-9 archives are sf0.1 full runs)."""
+    out: list[tuple[int, dict]] = []
     for f in sorted(os.listdir(here)):
         m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
         if not m or int(m.group(1)) >= rnd:
@@ -119,10 +154,52 @@ def _best_known_medians(
                 arch = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        if sf is not None and arch.get("sf") is not None and arch["sf"] != sf:
+            continue
+        out.append((int(m.group(1)), arch))
+    return out
+
+
+def _best_known_medians(
+    here: str, rnd: int, sf: float | None = None
+) -> dict[str, tuple[float, int]]:
+    """Per-query best-known median across ALL archived rounds before
+    ``rnd``, as {query: (median, round_it_was_set)} — the comparison base
+    for the end-of-run re-time pass.  Round-7 verdict #3: comparing only
+    against the PREVIOUS round left a creeping-regression blind spot (a
+    query drifting 1.3x every round never crossed the 1.5x trigger);
+    comparing against the full archive set has no such blind spot.
+
+    ROBUST BASE (round-9, advisor finding): the raw minimum of N noisy
+    measurements drifts downward as rounds accumulate, so one
+    anomalously fast archived median would pin a query as a permanent
+    mover.  With >= 3 archived medians the base is therefore the MEDIAN
+    OF THE 3 SMALLEST (one lucky outlier cannot dominate alone); with
+    fewer it stays the plain minimum."""
+    samples: dict[str, list[tuple[float, int]]] = {}
+    for arch_rnd, arch in _archive_rounds(here, rnd, sf):
         for q, d in arch.get("queries_detail", {}).items():
             med = d.get("median")
-            if med and (q not in best or med < best[q][0]):
-                best[q] = (med, int(m.group(1)))
+            if med:
+                samples.setdefault(q, []).append((med, arch_rnd))
+    best: dict[str, tuple[float, int]] = {}
+    for q, pairs in samples.items():
+        pairs.sort()
+        best[q] = pairs[1] if len(pairs) >= 3 else pairs[0]
+    return best
+
+
+def _best_known_floor(
+    here: str, rnd: int, sf: float | None = None
+) -> tuple[float, int | None]:
+    """Minimum archived `floor_probe_sec` across rounds before ``rnd``
+    as (floor, round); falls back to the measured FLOOR_BASELINE_SEC
+    (round None) while no archive carries a probe yet."""
+    best: tuple[float, int | None] = (FLOOR_BASELINE_SEC, None)
+    for arch_rnd, arch in _archive_rounds(here, rnd, sf):
+        probe = arch.get("floor_probe_sec")
+        if probe and probe < best[0]:
+            best = (probe, arch_rnd)
     return best
 
 
@@ -152,22 +229,44 @@ def _median_ratio_vs_base(
     return round(r, 3)
 
 
-def _retime_verdict(iso_ratio: float, drift: float | None) -> str:
+def _retime_verdict(
+    iso_ratio: float,
+    drift: float | None,
+    floor_ratio: float | None = None,
+    floor_dominated: bool = False,
+) -> str:
     """Brand an isolated re-time against the best-known median:
 
-    - ``noise``      — isolated run is back near best-known; the
+    - ``noise``       — isolated run is back near best-known; the
       official median was in-run interference.
-    - ``host_shift`` — isolated run tracks the FLEET's uniform drift
+    - ``floor_shift`` — (round-9, class-aware drift) the query is
+      FLOOR-DOMINATED (best-known median within FLOOR_DOMINANCE x the
+      best-known job-submission floor) and its isolated slowdown tracks
+      the measured floor shift of THIS run's `spark.range(1)` probe.
+      Round-8 evidence for the class: a host's per-stage scheduling
+      cost moved 1.5-2x while the scan-weighted fleet `drift_vs_best`
+      read 1.12, so stage-count-dominated tiny queries (q31/q70/q78/
+      q89/q95) were branded `confirmed` on git-identical code+plans.
+      Scan-bound queries never take this branch (the dominance gate).
+    - ``host_shift``  — isolated run tracks the FLEET's uniform drift
       (within the same 1.25 tolerance of drift x best): the whole run
       sits on a slower host, so this query did not individually
-      regress.  Only claimed for modest uniform drift (<= 3x) — beyond
-      that something other than host floor is wrong and the flag must
-      surface.
-    - ``confirmed``  — slower than both best-known AND the fleet
-      drift explains: a real per-query regression.
-    """
+      regress.
+    - ``confirmed``   — slower than best-known AND than what either
+      comparator explains: a real per-query regression.
+
+    Both shift comparators only absorb modest (<= 3x) uniform movement —
+    beyond that something other than host state is wrong and the flag
+    must surface (same cap rationale as round 8's drift cap)."""
     if iso_ratio <= 1.25:
         return "noise"
+    if (
+        floor_dominated
+        and floor_ratio is not None
+        and 1.0 < floor_ratio <= 3.0
+        and iso_ratio <= 1.25 * floor_ratio
+    ):
+        return "floor_shift"
     if drift is not None and 1.0 < drift <= 3.0 and iso_ratio <= 1.25 * drift:
         return "host_shift"
     return "confirmed"
@@ -206,6 +305,10 @@ def main() -> None:
     # the queries, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    # this host+session's job-submission floor — the per-stage scheduling
+    # cost that floor-dominated queries multiply; archived so future rounds
+    # can adjudicate floor shifts (round-9 class-aware drift)
+    floor_probe = _measure_floor(spark, n_runs)
 
     jiffies_before = _cpu_jiffies()
     wall_t0 = time.perf_counter()
@@ -290,8 +393,12 @@ def main() -> None:
     # archives) get one more isolated measurement (caches cleared, forced
     # GC, nothing else running in the session) so the artifact itself
     # says whether the move was in-run noise or real.
-    base_medians = _best_known_medians(here, int(rnd))
+    base_medians = _best_known_medians(here, int(rnd), sf)
     drift = _median_ratio_vs_base(timings, base_medians)
+    base_floor, base_floor_round = _best_known_floor(here, int(rnd), sf)
+    floor_ratio = (
+        round(floor_probe / base_floor, 2) if floor_probe and base_floor else None
+    )
     retimes: dict[str, dict] = {}
     movers = _select_movers(timings, base_medians)
     if movers:
@@ -314,6 +421,7 @@ def main() -> None:
                 spark.catalog.clearCache()
             base_med, base_round = base_medians[name]
             iso_ratio = round(iso / base_med, 2)
+            floor_dom = base_med <= FLOOR_DOMINANCE * base_floor
             retimes[name] = {
                 "base_round": base_round,
                 "base_median": base_med,
@@ -322,7 +430,10 @@ def main() -> None:
                 "isolated_median": iso,
                 "isolated_runs": runs,
                 "isolated_ratio": iso_ratio,
-                "verdict": _retime_verdict(iso_ratio, drift),
+                "floor_dominated": floor_dom,
+                "verdict": _retime_verdict(
+                    iso_ratio, drift, floor_ratio, floor_dom
+                ),
             }
 
     # ADJUDICATED TOTAL (round-7 verdict #2): the official ``value`` sums
@@ -352,6 +463,9 @@ def main() -> None:
         "sf": sf,
         "host_health": host_health,
         "drift_vs_best": drift,
+        "floor_probe_sec": floor_probe,
+        "floor_base": {"sec": base_floor, "round": base_floor_round},
+        "floor_ratio": floor_ratio,
         "retimes": retimes,
     }
     if errors:
@@ -380,9 +494,20 @@ def main() -> None:
         "n_runs": n_runs,
         "steal_pct": host_health.get("steal_pct"),
         "drift_vs_best": drift,
+        "floor_probe_sec": floor_probe,
+        "floor_ratio": floor_ratio,
         "n_retimed": len(retimes),
         "n_confirmed_regressions": sum(
             1 for r in retimes.values() if r.get("verdict") == "confirmed"
+        ),
+        # absorbed flags stay visible round-over-round (advisor finding:
+        # only n_retimed/n_confirmed were emitted, so a real regression
+        # silently branded host_shift never surfaced in the compact line)
+        "n_host_shift": sum(
+            1 for r in retimes.values() if r.get("verdict") == "host_shift"
+        ),
+        "n_floor_shift": sum(
+            1 for r in retimes.values() if r.get("verdict") == "floor_shift"
         ),
         "detail": "BENCH_DETAIL.json",
     }

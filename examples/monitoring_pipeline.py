@@ -174,7 +174,12 @@ def main(sf_dir: str) -> None:
 
     def drain():
         for q in build_queries():
-            q.awaitTermination(300)
+            # awaitTermination returns False on timeout; proceeding with a
+            # half-drained monitor would surface as a misleading batch-twin
+            # divergence, so fail loudly here instead.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(f"monitor query {q.name!r} did not finish in 300s")
 
     # round 1: first half of the events arrives
     first = events.filter(F.col("event_id") % 2 == 0)

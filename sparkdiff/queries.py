@@ -627,16 +627,22 @@ def q30_keepmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F25: JSON parse of the ``props`` column + rollup on the extracted
     field (``from_json``/``get_json_object`` class)."""
+    from sparkdiff.session import is_single_split
+
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        e.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt50"),
-        )
+    per_row = e.select("event_type", k.alias("k"))
+    # Single-split inputs gain nothing from the post-scan Exchange (the
+    # scan is one task at any parallelism); coalesce(1) satisfies the
+    # aggregation's distribution requirement so the query fuses into ONE
+    # stage — round-9 verdict #2, measured 0.34 -> 0.31 s median at sf0.1
+    # interleaved A/B.  Multi-split inputs keep the two-phase shuffle.
+    if is_single_split(sf_dir, "events"):
+        per_row = per_row.coalesce(1)
+    return per_row.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.sum((F.col("k") > 50).cast("long")).alias("n_k_gt50"),
     )
 
 

@@ -152,6 +152,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def is_single_split(
+    sf_dir: str, name: str, max_bytes: int = 128 * 1024 * 1024
+) -> bool:
+    """True when the table's parquet footprint is ONE file no larger than
+    one scan split (``spark.sql.files.maxPartitionBytes`` default 128m),
+    i.e. the scan is a single task at any parallelism.  For this input
+    class a post-scan Exchange can never add parallelism — a query may
+    declare ``coalesce(1)`` ahead of an aggregation so its distribution
+    requirement is satisfied without the exchange, fusing the whole query
+    into one stage and dropping a stage boundary whose scheduling cost
+    dominates at KB/MB scale.  Multi-split inputs return False and keep
+    the normal two-phase shuffle plan, so the optimization is inert at
+    100 TB (driver-side metadata check only, no job launched)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path) <= max_bytes
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return len(parts) == 1 and os.path.getsize(parts[0]) <= max_bytes
+    return False
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

@@ -286,7 +286,7 @@ except ImportError:
     # Silent fallback is the contract: the stdlib extractor registered
     # above stays in place, so PDF ingestion works everywhere and
     # upgrades in-place when the richer library is installed.
-    EXTRACTORS[".pdf"] = pdf_to_text_stdlib
+    pass
 
 
 def load_documents(

@@ -54,7 +54,7 @@ def test_best_known_medians_takes_minimum_across_archives(tmp_path):
                 {"queries_detail": {"q01": {"median": med},
                                     "q02": {"median": None}}}, fh,
             )
-    # the base is the MINIMUM across all archives, with its round
+    # with < 3 archives the base is the plain MINIMUM, with its round
     assert _best_known_medians(str(tmp_path), 7) == {"q01": (1.0, 5)}
     # None medians are dropped; current/future rounds are excluded
     assert _best_known_medians(str(tmp_path), 6) == {"q01": (1.0, 5)}
@@ -62,20 +62,39 @@ def test_best_known_medians_takes_minimum_across_archives(tmp_path):
     assert _best_known_medians(str(tmp_path), 5) == {}
 
 
+def test_best_known_medians_robust_to_one_lucky_outlier(tmp_path):
+    """Round-9 advisor finding: the raw minimum of N noisy measurements
+    drifts downward as rounds accumulate, so ONE anomalously fast
+    archived median would brand a query a permanent mover.  With >= 3
+    archives the base is the median of the 3 smallest — a single lucky
+    0.1 s fluke among steady 2.0 s rounds must NOT set the base."""
+    meds = {1: 0.1, 2: 2.0, 3: 2.1, 4: 2.0}  # r1 is the fluke
+    for rnd, med in meds.items():
+        with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
+            json.dump({"queries_detail": {"q_x": {"median": med}}}, fh)
+    # 3 smallest = [0.1, 2.0(r2), 2.0(r4)] -> median = 2.0, set in r2
+    assert _best_known_medians(str(tmp_path), 5) == {"q_x": (2.0, 2)}
+    # a steady 2.2 s run is NOT a mover against the robust base
+    assert _select_movers({"q_x": 2.2}, _best_known_medians(str(tmp_path), 5)) == []
+
+
 def test_select_movers_catches_creeping_regression(tmp_path):
     """Round-7 verdict #3: a query drifting 1.3x per round never crosses
     the 1.5x trigger against the PREVIOUS round alone — against the
-    best-known minimum it must fire."""
+    best-known base it must fire (the robust base delays the trigger by
+    at most one round vs the raw minimum, it cannot suppress it)."""
     creep = [1.0, 1.3, 1.69]  # r1..r3 medians, 1.3x per round
     for rnd, med in enumerate(creep, start=1):
         with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
             json.dump({"queries_detail": {"q_creep": {"median": med}}}, fh)
     base = _best_known_medians(str(tmp_path), 4)
-    assert base == {"q_creep": (1.0, 1)}
-    current = {"q_creep": 2.2}  # 1.3x vs r3 (under trigger), 2.2x vs best
+    # robust base with 3 archives = median of the 3 smallest = r2's 1.3
+    assert base == {"q_creep": (1.3, 2)}
+    current = {"q_creep": 2.2}  # 1.3x vs r3 (under trigger), 1.69x vs base
     assert current["q_creep"] < 1.5 * creep[-1], "sanity: prev-only misses"
     movers = _select_movers(current, base)
-    assert movers == [("q_creep", 2.2)]
+    assert len(movers) == 1 and movers[0][0] == "q_creep"
+    assert abs(movers[0][1] - 2.2 / 1.3) < 1e-9
     # below the threshold vs best-known -> no retime
     assert _select_movers({"q_creep": 1.4}, base) == []
     # failed queries (None) and never-archived queries never fire
@@ -128,6 +147,11 @@ def test_bench_retime_wiring_end_to_end(tmp_path):
     compact = json.loads(proc.stdout.strip().splitlines()[-1])
     assert compact["n_retimed"] == 2
     assert compact["steal_pct"] is not None
+    # the run measures its own job-submission floor and the compact line
+    # carries the absorbed-verdict counts (round-9 #1 + advisor finding)
+    assert compact["floor_probe_sec"] > 0
+    assert compact["floor_ratio"] is not None
+    assert {"n_host_shift", "n_floor_shift"} <= set(compact)
     with open(tmp_path / "BENCH_DETAIL.json") as fh:
         detail = json.load(fh)
     assert detail["host_health"]["available"] is True
@@ -171,3 +195,47 @@ def test_median_ratio_vs_base_and_drift_verdicts():
     # absurd "drift" (fabricated archives, broken host) must not
     # absorb regressions -- the 3x cap falls through to confirmed
     assert _retime_verdict(900.0, 1000.0) == "confirmed"
+
+
+def test_floor_shift_verdicts_class_aware():
+    """Round-9 verdict #1: a per-stage scheduling-cost shift moves
+    floor-dominated (stage-count-dominated tiny) queries 1.5-2x while
+    the scan-weighted fleet drift barely moves — those re-times must be
+    branded floor_shift, and scan-bound queries must never take the
+    branch (the dominance gate)."""
+    from bench import _retime_verdict
+
+    # the round-8 scenario: fleet drift 1.12, floor moved 1.9x, a tiny
+    # query's isolated re-time at 1.8x its best -> floor_shift
+    assert _retime_verdict(1.8, 1.12, 1.9, True) == "floor_shift"
+    # the SAME ratios on a scan-bound query (not floor-dominated) are a
+    # real regression: drift 1.12 doesn't explain 1.8x
+    assert _retime_verdict(1.8, 1.12, 1.9, False) == "confirmed"
+    # noise takes precedence: back near best-known is noise either way
+    assert _retime_verdict(1.1, 1.12, 1.9, True) == "noise"
+    # slowdown beyond what the floor shift explains -> confirmed
+    assert _retime_verdict(2.8, 1.12, 1.9, True) == "confirmed"
+    # no floor movement -> branch never fires
+    assert _retime_verdict(1.8, 1.12, 1.0, True) == "confirmed"
+    # absurd floor "shift" (> 3x cap) must not absorb regressions
+    assert _retime_verdict(4.0, 1.12, 5.0, True) == "confirmed"
+    # host_shift still reachable when floor doesn't explain but the
+    # fleet drift does
+    assert _retime_verdict(1.5, 1.3, 1.0, True) == "host_shift"
+
+
+def test_best_known_floor_fallback_and_minimum(tmp_path):
+    from bench import FLOOR_BASELINE_SEC, _best_known_floor
+
+    # no archives (or archives without a probe) -> measured bootstrap
+    assert _best_known_floor(str(tmp_path), 9) == (FLOOR_BASELINE_SEC, None)
+    with open(tmp_path / "BENCH_DETAIL_r07.json", "w") as fh:
+        json.dump({"queries_detail": {}}, fh)  # pre-probe archive
+    assert _best_known_floor(str(tmp_path), 9) == (FLOOR_BASELINE_SEC, None)
+    # archived probes -> minimum wins, future rounds excluded
+    with open(tmp_path / "BENCH_DETAIL_r08.json", "w") as fh:
+        json.dump({"floor_probe_sec": 0.08}, fh)
+    with open(tmp_path / "BENCH_DETAIL_r09.json", "w") as fh:
+        json.dump({"floor_probe_sec": 0.01}, fh)
+    assert _best_known_floor(str(tmp_path), 9) == (0.08, 8)
+    assert _best_known_floor(str(tmp_path), 10) == (0.01, 9)
