@@ -569,15 +569,28 @@ def streaming_ingest_dedup(
                 )
                 if bloom_compact:
                     # small filter: merge on the driver (word dict is
-                    # configuration-sized), rewrite in one shot
+                    # configuration-sized), then persist through the SAME
+                    # rename-based swap as the large path — a plain
+                    # mode("overwrite") rewrite deletes-then-writes, so a
+                    # crash mid-write would leave a PARTIAL-but-present
+                    # bloom dir that bootstrap would not repair, and a
+                    # filter missing words admits duplicates (false
+                    # negatives).  Either-old-or-new is the invariant.
+                    import shutil
+
                     for r in fresh.collect():
                         bloom_state[r["word_idx"]] = (
                             bloom_state.get(r["word_idx"], 0) | r["bits"]
                         )
+                    nxt = bloom_dir + "_next"
+                    aside = bloom_dir + "_old"
                     spark.createDataFrame(
                         list(bloom_state.items()) or [(0, 0)],
                         "word_idx long, bits long",
-                    ).coalesce(1).write.mode("overwrite").parquet(bloom_dir)
+                    ).coalesce(1).write.mode("overwrite").parquet(nxt)
+                    os.rename(bloom_dir, aside)
+                    os.rename(nxt, bloom_dir)
+                    shutil.rmtree(aside)
                 else:
                     # large filter: NEVER through the driver — Spark-side
                     # union + bit_or into a sibling dir, then a
