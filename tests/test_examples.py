@@ -27,6 +27,20 @@ def test_parity_pipeline_example():
     assert "LastName" in stdout and "RowModified" in stdout
 
 
+def test_reference_lifecycle_pipeline_example():
+    """/process + /convert + suggester as one session (round-9 stretch):
+    the full-pair diff flags LINEITEM, the production-shape catalog
+    (145 tables / 30k columns) expands + dialect-rewrites the macro
+    script, the converted fixture pair executes, and the script diff's
+    flagged columns come back as snippets."""
+    stdout = _run("reference_lifecycle_pipeline.py")
+    assert "tables with discrepancies: ['LINEITEM']" in stdout
+    assert "145 tables / 30000 columns" in stdout
+    assert "executed script pair: 140 hive rows, 140 sf rows" in stdout
+    assert "LastName" in stdout and "RowModified" in stdout
+    assert '[response] {"columnName"' in stdout
+
+
 def test_training_data_pipeline_example():
     stdout = _run("training_data_pipeline.py")
     assert "-> chunks" in stdout
