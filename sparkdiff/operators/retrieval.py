@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: 2^33 — scales a float32 (≤ 33 fractional bits in the testdata; deeper
 #: inputs quantize identically in every engine) to an EXACT integer.
@@ -84,6 +85,18 @@ def kmeans_assign(
     — and the update is posexplode → ONE map-side-combined aggregation
     whose state is k×d rows.  Centroid sums are dyadic-scaled longs
     (exact, order-independent); only the final mean divides as double.
+
+    The per-row argmin is a map-side-combined ``min(struct(dist,
+    cluster, _v))`` aggregation, NOT a row_number window: the broadcast
+    NLJ emits the k candidate rows of each vector inside one input
+    partition, so partial aggregation collapses n×k rows back to n
+    BEFORE the exchange.  (The original window form shuffled the full
+    n×k expansion — measured at the round-9 64×-replica auto-k tier
+    (n=336k, k=3360) as the difference between a >20-minute run and
+    seconds.  Struct ordering compares dist first, then cluster —
+    bit-identical to the old ``row_number over (orderBy dist,
+    cluster)`` selection; ``_v`` is only reached on a full (dist,
+    cluster) tie, impossible for distinct clusters.)
     """
     e = vectors.select(
         F.col(id_col).alias("_id"),
@@ -104,16 +117,21 @@ def kmeans_assign(
     assigned = None
     cents_used = cents
     for _ in range(iters):
-        rn = F.row_number().over(
-            Window.partitionBy("_id").orderBy("dist", "cluster")
-        )
         cents_used = cents
+        best = F.min(
+            F.struct(F.col("dist"), F.col("cluster"), F.col("_v"))
+        ).alias("_best")
         assigned = (
             e.crossJoin(F.broadcast(cents))
             .withColumn("dist", squared_l2("_v", "_c"))
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("_id", "cluster", "dist", "_v")
+            .groupBy("_id")
+            .agg(best)
+            .select(
+                "_id",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best.dist").alias("dist"),
+                F.col("_best._v").alias("_v"),
+            )
         )
         sums = (
             assigned.select(
@@ -136,6 +154,241 @@ def kmeans_assign(
     if with_centroids:
         return out, cents_used
     return out
+
+
+def _assign_to_matrix(
+    df: DataFrame,
+    mats_bc,
+    with_coarse: bool,
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: one Arrow-batched
+    pandas_udf computing the full batch×centroid distance matrix with
+    one BLAS matmul per (batch, cell) — the per-row cost the pure-SQL
+    form cannot reach, because a ``crossJoin(broadcast(cents))``
+    materializes BOTH d-dim arrays into every expanded row (~1 KB of
+    UnsafeRow build per candidate; measured 35 s for a single 4.8M-row
+    assignment round at the 64× tier vs milliseconds of matmul).
+
+    ``mats_bc`` broadcasts ``{coarse_id: (fine_ids, matrix)}`` (or the
+    single entry ``{0: ...}`` when ``with_coarse`` is False).  Returns
+    df + ``_cl`` (chosen id within the matrix) + ``_dist``.  Ties break
+    to the FIRST row of the matrix — rows are sorted by id, so the
+    tie-break is (dist, id), matching the flat form's."""
+    fields = T.StructType(
+        [
+            T.StructField("_cl", T.LongType()),
+            T.StructField("_dist", T.DoubleType()),
+        ]
+    )
+    import numpy as np
+    import pandas as pd
+
+    # no type hints + explicit SCALAR eval type: this pyspark's hint
+    # inference has no Series -> DataFrame (struct) signature
+    from pyspark.sql.functions import PandasUDFType
+
+    if with_coarse:
+
+        @F.pandas_udf(fields, PandasUDFType.SCALAR)
+        def _best(coarse, vs):
+            mats = mats_bc.value
+            n = len(vs)
+            if n == 0:
+                return pd.DataFrame({"_cl": [], "_dist": []})
+            cl = np.zeros(n, dtype=np.int64)
+            dist = np.zeros(n, dtype=np.float64)
+            V = np.array(vs.tolist(), dtype=np.float64)
+            cv = coarse.values
+            for g in pd.unique(coarse):
+                ids, C = mats[g]
+                idx = np.nonzero(cv == g)[0]
+                Vg = V[idx]
+                d2 = (
+                    (Vg * Vg).sum(1)[:, None]
+                    - 2.0 * (Vg @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                amin = d2.argmin(1)
+                cl[idx] = ids[amin]
+                dist[idx] = d2[np.arange(len(idx)), amin]
+            return pd.DataFrame({"_cl": cl, "_dist": dist})
+
+        return df.withColumn("_b", _best("_coarse", "_v"))
+    else:
+
+        @F.pandas_udf(fields, PandasUDFType.SCALAR)
+        def _best1(vs):
+            ids, C = mats_bc.value[0]
+            if len(vs) == 0:
+                return pd.DataFrame({"_cl": [], "_dist": []})
+            V = np.array(vs.tolist(), dtype=np.float64)
+            d2 = (
+                (V * V).sum(1)[:, None]
+                - 2.0 * (V @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            amin = d2.argmin(1)
+            return pd.DataFrame(
+                {
+                    "_cl": ids[amin],
+                    "_dist": d2[np.arange(len(V)), amin],
+                }
+            )
+
+        return df.withColumn("_b", _best1("_v"))
+
+
+def _centroid_rows_to_mats(rows, keyed: bool):
+    """Driver-side ``{coarse: (sorted fine ids, matrix)}`` from collected
+    ``(_coarse?, _fine, _c)`` rows — BOUNDED: total rows ≤ k (the
+    configuration-sized centroid table, ~1.7 MB at k=3360, d=64)."""
+    import numpy as np
+
+    grouped: dict[int, list] = {}
+    for r in rows:
+        g = r["_coarse"] if keyed else 0
+        grouped.setdefault(g, []).append((r["_fine"], r["_c"]))
+    out = {}
+    for g, pairs in grouped.items():
+        pairs.sort()  # fine-id order => argmin tie-break = (dist, id)
+        out[g] = (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.float64),
+        )
+    return out
+
+
+def kmeans_assign_hierarchical(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 256,
+    iters: int = 2,
+    coarse_k: int | None = None,
+) -> DataFrame:
+    """Coarse-then-fine Lloyd — the assignment that keeps k ∝ n
+    clustering (SemDeDup's auto-k, IVF training) off the O(n·k) cliff:
+    flat assignment against k centroids costs n·k·d distance flops,
+    which under ``k = n/100`` is O(n²·d/100) — measured at the round-9
+    64×-replica tier (n=134k, k=1344) as a >20-minute Spark job.  FAISS
+    trains large IVF indexes through exactly this two-level shape (a
+    coarse quantizer routes points, fine centroids train per cell).
+
+    Level 1 trains ``coarse_k`` (default ⌈√k⌉) cells; level 2 trains
+    ``k2 = ⌈k/coarse_k⌉`` fine centroids inside every coarse cell
+    simultaneously.  Assignment is the vectorized numpy matmul of
+    :func:`_assign_to_matrix` (the ONE justified Python surface here:
+    dense linear algebra Catalyst expressions cannot batch); centroid
+    updates stay Spark-side as the same exact order-independent
+    dyadic-long aggregation the flat form uses, collected per round as
+    a configuration-sized (≤ k×d, ~1.7 MB) table.  Total distance work
+    is n·iters·(k1 + k2)·d ≈ O(n·√k·d); the pattern recurses for
+    deeper hierarchies at 10⁹+ vectors.
+
+    EAGER by design: each Lloyd round collects the bounded centroid
+    table to drive the next round's broadcast (its auto-k callers are
+    already eager — they count the corpus to derive k).  Returns
+    ``(id_col, cluster, dist)`` with ``cluster = coarse·k2 + fine`` —
+    ≈k dense ids whose expected populations match the flat form's (the
+    property SemDeDup's pair scan depends on).  Deterministic given a
+    BLAS: seeds are smallest ids (global for coarse, per-cell for
+    fine), sums are dyadic longs, argmin ties break to the smallest
+    centroid id.  NOT bit-identical to flat k-means (different centroid
+    trajectories, matmul accumulation order) — callers needing the
+    oracle-pinned flat answer (q88/q136 at driver scales) stay below
+    ``operators/similarity.HIERARCHICAL_K_THRESHOLD``."""
+    import math
+
+    k1 = coarse_k or max(2, math.isqrt(k))
+    k2 = max(1, -(-k // k1))  # ceil
+    e = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    sc = e.sparkSession.sparkContext
+
+    def _update(assigned: DataFrame, keyed: bool):
+        """Spark-side exact centroid update (dyadic-scaled long sums,
+        order-independent) + bounded collect of the ≤ k×d result."""
+        keys = (["_coarse", "_cl"] if keyed else ["_cl"])
+        sums = (
+            assigned.select(
+                *keys, F.posexplode("_v").alias("dim", "val")
+            )
+            .groupBy(*keys, "dim")
+            .agg(
+                F.sum(F.floor(F.col("val") * DYADIC_SCALE)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = sums.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: t["s"].cast("double")
+                / (t["n"] * F.lit(DYADIC_SCALE)).cast("double"),
+            ).alias("_c")
+        )
+        sel = [F.col("_cl").alias("_fine"), "_c"]
+        if keyed:
+            sel = ["_coarse", *sel]
+        return cents.select(*sel).collect()
+
+    # ---- level 1: coarse cells ------------------------------------
+    seed_rows = [
+        {"_coarse": 0, "_fine": i, "_c": r["_v"]}
+        for i, r in enumerate(e.orderBy("_id").limit(k1).collect())
+    ]
+    mats = sc.broadcast(_centroid_rows_to_mats(seed_rows, keyed=True))
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_to_matrix(e, mats, with_coarse=False).select(
+            "_id", "_v", F.col("_b._cl").alias("_cl")
+        )
+        rows = _update(assigned, keyed=False)
+        mats = sc.broadcast(
+            _centroid_rows_to_mats(
+                [{"_coarse": 0, **r.asDict()} for r in rows], keyed=True
+            )
+        )
+    ev = _assign_to_matrix(e, mats, with_coarse=False).select(
+        "_id", "_v", F.col("_b._cl").alias("_coarse")
+    )
+    # (_id, _v, _coarse) feeds the fine seeds and every fine round;
+    # persist so each consumer doesn't redo the coarse assignment (the
+    # callers' registry entries carry the PERSISTS_BY_DESIGN annotation)
+    ev = ev.persist()
+
+    # ---- level 2: fine centroids inside every coarse cell ---------
+    seed_rn = F.row_number().over(
+        Window.partitionBy("_coarse").orderBy("_id")
+    )
+    fine_seeds = (
+        ev.withColumn("_rn", seed_rn)
+        .filter(F.col("_rn") <= k2)
+        .select(
+            "_coarse",
+            (F.col("_rn") - 1).cast("long").alias("_fine"),
+            F.col("_v").alias("_c"),
+        )
+        .collect()
+    )
+    mats = sc.broadcast(
+        _centroid_rows_to_mats([r.asDict() for r in fine_seeds], keyed=True)
+    )
+    for _ in range(iters - 1):
+        assigned = _assign_to_matrix(ev, mats, with_coarse=True).select(
+            "_coarse", "_v", F.col("_b._cl").alias("_cl")
+        )
+        rows = _update(assigned, keyed=True)
+        mats = sc.broadcast(
+            _centroid_rows_to_mats([r.asDict() for r in rows], keyed=True)
+        )
+    final = _assign_to_matrix(ev, mats, with_coarse=True)
+    return final.select(
+        F.col("_id").alias(id_col),
+        (F.col("_coarse") * k2 + F.col("_b._cl")).cast("long").alias("cluster"),
+        F.col("_b._dist").alias("dist"),
+    )
 
 
 def ivf_topk_deterministic(

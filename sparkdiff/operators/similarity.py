@@ -24,6 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: k at which semdedup's cluster assignment switches from flat Lloyd
+#: (O(n·k·d), bit-pinned by the q88/q136 oracles at driver scales where
+#: auto-k stays below this) to the coarse-then-fine hierarchical form
+#: (O(n·√k·d), `operators/retrieval.kmeans_assign_hierarchical`).
+HIERARCHICAL_K_THRESHOLD = 64
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -608,9 +614,23 @@ def semdedup(
         # k ≈ 10% of corpus at production scale).  One corpus count —
         # EAGER; pass explicit ``k`` for a lazy, oracle-pinnable build.
         k = max(4, base.count() // 100)
-    assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
-        "_id", "cluster"
-    )
+    if k >= HIERARCHICAL_K_THRESHOLD:
+        # auto-k makes FLAT assignment O(n·k·d) = O(n²·d/100) — the
+        # round-9 64×-replica probe measured it as a >20-minute job at
+        # n=336k.  Past the threshold the coarse-then-fine form
+        # (O(n·√k·d)) takes over; cell populations keep the same ~100
+        # expectation, which is the property the pair scan needs.  The
+        # driver/oracle scales (sf0.01 → k=5, sf0.1 → k=52) stay on
+        # the bit-pinned flat path below the threshold.
+        from sparkdiff.operators.retrieval import kmeans_assign_hierarchical
+
+        assigned = kmeans_assign_hierarchical(
+            base, "_id", "_v", k=k, iters=iters
+        ).select("_id", "cluster")
+    else:
+        assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
+            "_id", "cluster"
+        )
     withnorm = base.select(
         "_id", "_v", norm_flat(F.col("_v"), dim).alias("_n")
     )

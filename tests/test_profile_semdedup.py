@@ -116,6 +116,51 @@ def test_semdedup_recovers_planted_duplicates(spark):
     assert out.count() == e.count() + len(expect)
 
 
+def test_semdedup_hierarchical_assignment_recovers_planted_dups(spark):
+    """Above HIERARCHICAL_K_THRESHOLD semdedup's cluster assignment
+    switches to the coarse-then-fine numpy form (round-9: flat auto-k
+    assignment is O(n²·d/100) — a >20-minute job at the 64×-replica
+    tier vs ~9 s hierarchical).  The scale path must keep semdedup's
+    load-bearing properties: exact copies land in one cell (so every
+    planted duplicate is dropped), cluster count ≈ k with bounded
+    populations, and the result is run-to-run deterministic."""
+    from sparkdiff.operators.retrieval import kmeans_assign_hierarchical
+    from sparkdiff.operators.similarity import HIERARCHICAL_K_THRESHOLD
+
+    e = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 50_000)
+    )  # exact copies: cosine 1.0 to their originals
+    corpus = e.unionByName(planted)
+    k = HIERARCHICAL_K_THRESHOLD  # forces the hierarchical branch
+    out = semdedup(corpus, "vec_id", "v", k=k, iters=2, threshold=0.99)
+    dropped = {r.vec_id for r in out.filter(F.col("kept") == 0).collect()}
+    expect = {r.vec_id for r in planted.select("vec_id").collect()}
+    # identical vectors have identical (coarse, fine) distances, and the
+    # argmin tie-break is id-independent, so copies cannot split cells
+    assert dropped == expect
+    assert out.count() == corpus.count()
+    # ~k dense cells, none empty-dominant: every population is bounded
+    # well under the corpus (the pair-scan guarantee)
+    pops = out.groupBy("cluster").count()
+    n_cells = pops.count()
+    assert k // 2 <= n_cells <= 2 * k
+    assert pops.agg(F.max("count")).first()[0] < corpus.count() // 4
+    # deterministic across runs (same session, same BLAS)
+    again = semdedup(corpus, "vec_id", "v", k=k, iters=2, threshold=0.99)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # the standalone operator agrees with what semdedup consumed
+    assign = kmeans_assign_hierarchical(corpus, "vec_id", "v", k=k, iters=2)
+    assert assign.count() == corpus.count()
+    assert assign.select("cluster").distinct().count() == n_cells
+
+
 def test_semdedup_auto_k_matches_explicit_heuristic_k(spark):
     """k=None derives max(4, n // 100) from one corpus count; the
     result must be identical to passing that k explicitly (the auto

@@ -34,7 +34,11 @@ TIERS = [
 
 
 def main() -> None:
-    from sparkdiff.operators.retrieval import kmeans_assign
+    from sparkdiff.operators.retrieval import (
+        kmeans_assign,
+        kmeans_assign_hierarchical,
+    )
+    from sparkdiff.operators.similarity import HIERARCHICAL_K_THRESHOLD
     from sparkdiff.queries import _semdedup_corpus
     from sparkdiff.session import get_spark
 
@@ -52,8 +56,15 @@ def main() -> None:
         )
         n = corpus.count()
         k = max(4, n // 100)  # the q136 auto-k rule under audit
+        # same routing as semdedup: flat Lloyd below the threshold (the
+        # oracle-pinned path), coarse-then-fine above it (the scale path)
+        assign = (
+            kmeans_assign_hierarchical
+            if k >= HIERARCHICAL_K_THRESHOLD
+            else kmeans_assign
+        )
         cells = (
-            kmeans_assign(corpus, "_id", "_v", k=k, iters=2)
+            assign(corpus, "_id", "_v", k=k, iters=2)
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("pop"))
             .persist()
