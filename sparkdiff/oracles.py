@@ -6367,3 +6367,241 @@ ORACLES["q189_conversion_lag"] = """
         n_users
     FROM parts
 """
+
+
+# q190: PSI drift scorecard — fixed-width $25k price bins, exact counts,
+# integer ppm proportions (the ln() of the PSI sum is driver-side by the
+# q176 WOE convention: counts are the data product).
+ORACLES["q190_psi_drift"] = """
+    WITH o AS (
+        SELECT least(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                     // 2500000, 22) AS bucket,
+               (year(o_orderdate) < 1998) AS is_ref
+        FROM orders
+    ),
+    per_bucket AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM o GROUP BY bucket
+    ),
+    totals AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per_bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_ref * 1000000 // t_ref AS BIGINT) AS ref_ppm,
+           CAST(n_cur * 1000000 // t_cur AS BIGINT) AS cur_ppm,
+           CAST(n_cur * 1000000 // t_cur
+                - n_ref * 1000000 // t_ref AS BIGINT) AS delta_ppm
+    FROM per_bucket CROSS JOIN totals
+"""
+
+
+# q191: decision-stump Gini split audit — integer micro-unit impurity
+# (10^6 - 10^6*(pos^2+neg^2) DIV n^2 per side, weighted), thresholds =
+# balance deciles, outcome = has >=1 1-URGENT order.
+ORACLES["q191_gini_split_audit"] = """
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS decile
+        FROM customer
+    ),
+    urgent AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    flagged AS (
+        SELECT c.decile,
+               CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS pos
+        FROM c LEFT JOIN urgent u USING (c_custkey)
+    ),
+    per_decile AS (
+        SELECT decile, COUNT(*) AS n_d, SUM(pos) AS pos_d
+        FROM flagged GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile AS threshold,
+               SUM(n_d) OVER (ORDER BY decile) AS n_l,
+               SUM(pos_d) OVER (ORDER BY decile) AS pos_l
+        FROM per_decile
+    ),
+    totals AS (
+        SELECT SUM(n_d) AS n, SUM(pos_d) AS pos FROM per_decile
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_l AS BIGINT) AS n_l,
+           CAST(pos_l AS BIGINT) AS pos_l,
+           CAST(n - n_l AS BIGINT) AS n_r,
+           CAST(pos - pos_l AS BIGINT) AS pos_r,
+           CAST((n_l * (1000000 - (1000000 * (pos_l*pos_l +
+                    (n_l-pos_l)*(n_l-pos_l))) // (n_l*n_l))
+                 + (n-n_l) * (1000000 - (1000000 * ((pos-pos_l)*(pos-pos_l)
+                    + ((n-n_l)-(pos-pos_l))*((n-n_l)-(pos-pos_l))))
+                    // ((n-n_l)*(n-n_l)))) // n AS BIGINT) AS w_gini_micro
+    FROM cum CROSS JOIN totals
+    WHERE n_l < n
+"""
+
+
+# q192: strict-containment event funnel (view -> click -> purchase),
+# per-step user counts + integer ppm conversions.
+ORACLES["q192_event_funnel"] = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT CAST(n_view AS BIGINT) AS n_view,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(n_click * 1000000 // n_view AS BIGINT) AS click_ppm,
+           CAST(n_purchase * 1000000 // n_click AS BIGINT) AS purchase_ppm,
+           CAST(n_purchase * 1000000 // n_view AS BIGINT) AS overall_ppm
+    FROM counts
+"""
+
+
+# q193: SCD2 interval builder — change log -> validity intervals via
+# per-key lead(); epoch-millis rail (Spark unix_millis == DuckDB
+# epoch_ms for the micro-second-normalized events timestamps).
+ORACLES["q193_scd2_builder"] = """
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+           CAST(epoch_ms(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) AS BIGINT) AS valid_to_ms
+    FROM events
+    WHERE user_id % 50 = 0
+"""
+
+
+# q194: bitmap segment algebra — the oracle computes the same overlaps
+# as plain distinct-set joins; a value-hash match certifies the packed
+# word AND + bit_count path loses no member.
+ORACLES["q194_bitmap_segments"] = """
+    WITH s AS (
+        SELECT DISTINCT o_orderpriority AS seg, o_custkey AS ck FROM orders
+    ),
+    sizes AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY seg),
+    ov AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*) AS n_both
+        FROM s a JOIN s b ON a.ck = b.ck AND a.seg < b.seg
+        GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b,
+           CAST(ca.n AS BIGINT) AS n_a,
+           CAST(cb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(ca.n + cb.n - n_both AS BIGINT) AS n_either
+    FROM ov
+    JOIN sizes ca ON ca.seg = ov.seg_a
+    JOIN sizes cb ON cb.seg = ov.seg_b
+"""
+
+
+def _q195_oracle(p: int = 8, salt: str = "hll-q195") -> str:
+    """Rolling-window twin of _q157_oracle: same md5-based registers,
+    keyed by day, MAX-merged across the <=7 window end-dates each day
+    contributes to, plus the exact rolling distinct."""
+    from sparkdiff.operators.sketch import HLL_SUFFIX_BITS, hll_alpha_m2_scaled
+
+    m = 1 << p
+    rmax = HLL_SUFFIX_BITS + 1
+    return f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e),
+    h AS (
+        SELECT day,
+               CAST(('0x' || substr(md5(uid || '{salt}'), 1, 15)) AS BIGINT)
+               AS hv
+        FROM e
+    ),
+    regs AS (
+        SELECT day, hv % {m} AS bucket,
+               MAX(CASE WHEN ((hv >> {p}) & ((1::BIGINT << {HLL_SUFFIX_BITS}) - 1)) = 0
+                        THEN {rmax}
+                        ELSE {rmax} - length(bin(
+                            (hv >> {p}) & ((1::BIGINT << {HLL_SUFFIX_BITS}) - 1)
+                        )) END) AS reg
+        FROM h GROUP BY day, bucket
+    ),
+    offs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off),
+    fan AS (
+        SELECT r.day + o.off AS day, r.bucket, MAX(r.reg) AS reg
+        FROM regs r CROSS JOIN offs o
+        JOIN days d ON d.day = r.day + o.off
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+               SUM(1::BIGINT << ({rmax} - reg)) AS z_present
+        FROM fan GROUP BY day
+    ),
+    est AS (
+        SELECT day, buckets_hit,
+               CAST(floor({hll_alpha_m2_scaled(p)!r}
+                    / CAST(z_present + ({m} - buckets_hit) * (1::BIGINT << {rmax})
+                           AS DOUBLE)) AS BIGINT) AS hll_ndv
+        FROM agg
+    ),
+    exact AS (
+        SELECT f.day, CAST(COUNT(DISTINCT e2.uid) AS BIGINT) AS exact_ndv
+        FROM (SELECT DISTINCT r.day + o.off AS day, r.day AS src
+              FROM (SELECT DISTINCT day FROM e) r CROSS JOIN offs o) f
+        JOIN days d ON d.day = f.day
+        JOIN e e2 ON e2.day = f.src
+        GROUP BY f.day
+    )
+    SELECT est.day, est.buckets_hit, est.hll_ndv, exact.exact_ndv
+    FROM est JOIN exact USING (day)
+    """
+
+
+ORACLES["q195_rolling_hll"] = _q195_oracle()
+
+
+# q196: HITS hubs/authorities, two unnormalized integer power-iteration
+# rounds over the distinct supplier<->part edge table.
+ORACLES["q196_hits_link_analysis"] = """
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    a1 AS (SELECT p, COUNT(*) AS a1 FROM edges GROUP BY p),
+    h1 AS (
+        SELECT e.s, SUM(a1.a1) AS h1
+        FROM edges e JOIN a1 USING (p) GROUP BY e.s
+    ),
+    a2 AS (
+        SELECT e.p, SUM(h1.h1) AS a2
+        FROM edges e JOIN h1 USING (s) GROUP BY e.p
+    )
+    SELECT CAST(a2.p AS BIGINT) AS partkey,
+           CAST(a1.a1 AS BIGINT) AS auth_round1,
+           CAST(a2.a2 AS BIGINT) AS auth_round2
+    FROM a2 JOIN a1 USING (p)
+    ORDER BY a2.a2 DESC, a2.p
+    LIMIT 20
+"""

@@ -7012,6 +7012,355 @@ def q189_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 9: drift scorecards, split audits, funnels, SCD2 capture, bitmap
+# segment algebra, rolling sketch windows, link analysis (q190-q196)
+# ---------------------------------------------------------------------------
+
+def q190_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index scorecard — the model-monitoring
+    staple for input drift between a reference and a current snapshot:
+    orders split at the 1998 orderdate boundary, o_totalprice bucketed
+    into fixed-width $25k bins (bounded, price-domain-capped), each bin
+    reporting exact counts and integer parts-per-million proportions
+    plus the signed ppm delta.  The PSI sum Σ (p-q)·ln(p/q) is a
+    driver-side map over these ≤23 rows (ln is not hash-portable; the
+    counts/ppm ARE the data product — the q176 WOE convention).
+
+    Scale shape: one scan, map-side-combined conditional counts to the
+    bounded bucket domain, a one-row total broadcast (q102 shape).  No
+    windows, no joins beyond the bounded crossJoin."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            (_cents("o_totalprice") / F.lit(2_500_000)).cast("long"),
+            F.lit(22),
+        ).alias("bucket"),
+        (F.year("o_orderdate") < 1998).alias("is_ref"),
+    )
+    per_bucket = o.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))  # one-row totals
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.expr("n_ref * 1000000 DIV t_ref").alias("ref_ppm"),
+            F.expr("n_cur * 1000000 DIV t_cur").alias("cur_ppm"),
+            F.expr(
+                "n_cur * 1000000 DIV t_cur - n_ref * 1000000 DIV t_ref"
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+def q191_gini_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split audit — the feature-screening pass behind
+    tree induction and scorecard binning (CART, Breiman et al. 1984):
+    candidate splits are the account-balance deciles (q180's bounded
+    fixed-width domain), the outcome is "customer placed ≥1 1-URGENT
+    order", and each threshold t reports left/right class counts plus
+    the weighted Gini impurity of the split in exact integer
+    micro-units: ``gini_micro = 10^6 − 10^6·(pos² + neg²) DIV n²``
+    per side, weighted as ``(n_l·g_l + n_r·g_r) DIV n`` — pure integer
+    arithmetic, so the impurity ITSELF value-hashes (no floats).
+
+    Scale shape: one semi-join-shaped outcome aggregate (distinct
+    urgent custkeys), one map-side-combined rollup to the ≤11-decile
+    domain, then cumulative sums over that bounded table (window ON
+    ≤11 ROWS — bound stated here, the q182 convention)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(_cents("c_acctbal") / F.lit(100_000.0)).cast("long").alias(
+            "decile"
+        ),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    flagged = c.join(urgent.withColumn("pos", F.lit(1)), "c_custkey", "left")
+    per_decile = flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum(F.coalesce(F.col("pos"), F.lit(0))).alias("pos_d"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_decile.select(
+        F.col("decile").alias("threshold"),
+        F.sum("n_d").over(w).alias("n_l"),
+        F.sum("pos_d").over(w).alias("pos_l"),
+    )
+    totals = per_decile.agg(
+        F.sum("n_d").alias("n"), F.sum("pos_d").alias("pos")
+    )
+    g = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_l") < F.col("n"))  # right side must be non-empty
+        .select(
+            "threshold",
+            "n_l",
+            "pos_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("pos") - F.col("pos_l")).alias("pos_r"),
+            F.expr(
+                "(n_l * (1000000 - (1000000 * (pos_l*pos_l + "
+                "(n_l-pos_l)*(n_l-pos_l))) DIV (n_l*n_l))"
+                " + (n-n_l) * (1000000 - (1000000 * ((pos-pos_l)*(pos-pos_l)"
+                " + ((n-n_l)-(pos-pos_l))*((n-n_l)-(pos-pos_l))))"
+                " DIV ((n-n_l)*(n-n_l)))) DIV n"
+            ).cast("long").alias("w_gini_micro"),
+        )
+    )
+    return g
+
+
+def q192_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel — view → click → purchase with strict
+    temporal containment per user (each step must happen at or after
+    the user's FIRST qualifying previous step), reporting per-step user
+    counts and integer ppm conversion rates.  The sequential-pattern
+    staple behind product funnels, expressed as three keyed MIN
+    reductions + two broadcastable one-row joins — never a per-user
+    event sort.
+
+    Scale shape: each step is one filtered map-side-combined MIN per
+    user; the per-user step tables join keyed on user_id; the report
+    is one row."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        )
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("n_click * 1000000 DIV n_view").alias("click_ppm"),
+        F.expr("n_purchase * 1000000 DIV n_click").alias("purchase_ppm"),
+        F.expr("n_purchase * 1000000 DIV n_view").alias("overall_ppm"),
+    )
+
+
+def q193_scd2_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval construction from a change log — the warehouse
+    loader that turns per-key ordered change events into
+    ``(key, value, valid_from, valid_to)`` validity intervals (q184
+    consumes intervals of exactly this shape; this is the builder).
+    Each user's events ordered by (ts, event_id) become intervals whose
+    ``valid_to_ms`` is the next change's timestamp, NULL for the open
+    current row.  Timestamps leave as integer epoch-millis (the
+    engine-portable rail).
+
+    Scale shape: ONE keyed window (partitionBy user — thousands of
+    small partitions, no global sort); output restricted to the
+    user_id % 50 sample purely to bound the hashed report."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+    )
+
+
+def q194_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index segment algebra — membership sets as packed-long
+    bitmaps (the roaring-bitmap pattern every OLAP engine ships for
+    audience/segment intersection): customers grouped into 5 overlapping
+    segments by order priority, each segment materialized as a
+    ``(word_idx, bits)`` bitmap (``word = custkey div 64``, bit_or of
+    ``1 << (custkey mod 64)``), then ALL pairwise segment overlaps
+    computed via word-aligned AND + bit_count — set algebra at
+    memory-bandwidth cost, never a row-level join.
+
+    Scale shape: one distinct (priority, custkey) aggregate, a
+    map-side-combined bit_or to ≤ |keyspace|/64 words per segment, and
+    a word-aligned self-join keyed (word_idx) over 5×5 bounded bitmap
+    tables.  The DuckDB oracle computes the same overlaps as plain
+    distinct-set joins — a value-hash match certifies the bitmap
+    algebra loses no member."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    bm = o.groupBy(
+        "seg", F.expr("ck DIV 64").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(ck % 64 AS INT)))")
+        .alias("bits")
+    )
+    a = bm.select(
+        F.col("seg").alias("seg_a"), "word_idx", F.col("bits").alias("ba")
+    )
+    b = bm.select(
+        F.col("seg").alias("seg_b"), "word_idx", F.col("bits").alias("bb")
+    )
+    # the INNER word join is exact for the intersection (a word present
+    # in only one segment contributes 0 to AND); the union comes from
+    # per-segment cardinalities, NOT an OR over the inner join — that
+    # would drop one-sided words and undercount
+    sizes = bm.groupBy("seg").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_seg")
+    )
+    both = (
+        a.join(b, "word_idx")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_both")
+        )
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.withColumnRenamed("seg", "seg_a")), "seg_a"
+        )
+        .withColumnRenamed("n_seg", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("seg", "seg_b")), "seg_b")
+        .withColumnRenamed("n_seg", "n_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_either"),
+        )
+    )
+
+
+def q195_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day via HLL register merges —
+    the sketch-mergeability payoff (q157's register table, now MERGED
+    ACROSS WINDOW OFFSETS instead of recomputed): each day's 2^p-row
+    register table fans out to the ≤7 window end-dates it contributes
+    to (bounded explode), a MAX-merge collapses each window, and the
+    libm-free estimator (integer-scaled harmonic sum, one double
+    division — operators/sketch.py) yields the rolling NDV.  The exact
+    rolling count(distinct) rides beside it as the measuring stick —
+    at scale it is what the merge replaces (a 7× daily re-scan).
+
+    Scale shape: register state is days × 2^p rows regardless of user
+    count; the fan-out multiplies THAT bounded table by ≤7, never the
+    events."""
+    from sparkdiff.operators.sketch import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    regs = hll_registers(e, "uid", keys=["day"], p=8, salt="hll-q195")
+    days = e.select("day").distinct()
+    fan = (
+        regs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            F.date_add(F.col("day"), F.col("off")).alias("win_end"),
+            "bucket",
+            "reg",
+        )
+        .join(days.withColumnRenamed("day", "win_end"), "win_end")
+        .groupBy(F.col("win_end").alias("day"), "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(fan, keys=["day"], p=8)
+    exact = (
+        e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            F.date_add(F.col("day"), F.col("off")).alias("win_end"),
+            "uid",
+        )
+        .join(days.withColumnRenamed("day", "win_end"), "win_end")
+        .groupBy(F.col("win_end").alias("day"))
+        .agg(F.countDistinct("uid").cast("long").alias("exact_ndv"))
+    )
+    return est.join(exact, "day").select(
+        "day", "buckets_hit", "hll_ndv", "exact_ndv"
+    )
+
+
+def q196_hits_link_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the
+    supplier↔part bipartite graph — the link-analysis twin of q90's
+    PageRank: two unnormalized power-iteration rounds from h₀ = 1
+    yield EXACT INTEGER scores (a₁ = supplier-degree of the part,
+    h₁ = Σ a₁ over the supplier's parts, a₂ = Σ h₁ over the part's
+    suppliers), so the ranking value-hashes with no float drift;
+    normalization is a driver-side scalar.  Top-20 authorities by
+    (a₂ desc, partkey) via TakeOrderedAndProject — no global sort.
+
+    Scale shape: the distinct edge table shuffles once per round keyed
+    by alternating endpoints (exactly the iterative join shape q90
+    pins); two rounds = a fixed number of keyed aggregations."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    return (
+        a2.join(a1, "p")
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("a1").cast("long").alias("auth_round1"),
+            F.col("a2").cast("long").alias("auth_round2"),
+        )
+        .orderBy(F.desc("auth_round2"), "partkey")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -7202,4 +7551,11 @@ QUERIES: dict[str, callable] = {
     "q187_lateness_audit": q187_lateness_audit,
     "q188_watermark_loss": q188_watermark_loss,
     "q189_conversion_lag": q189_conversion_lag,
+    "q190_psi_drift": q190_psi_drift,
+    "q191_gini_split_audit": q191_gini_split_audit,
+    "q192_event_funnel": q192_event_funnel,
+    "q193_scd2_builder": q193_scd2_builder,
+    "q194_bitmap_segments": q194_bitmap_segments,
+    "q195_rolling_hll": q195_rolling_hll,
+    "q196_hits_link_analysis": q196_hits_link_analysis,
 }

@@ -99,6 +99,14 @@ _INTENTIONAL_NLJ = {
     # q105 broadcasts two ONE-ROW tables (anchor date, quantile cuts)
     # over the per-user RFM table — the q76 stats-broadcast shape.
     "q105_rfm_segments",
+    # q190/q191 cross-join ONE-ROW totals over a domain-bounded bucket
+    # table (≤23 price bins / ≤11 deciles) — the q102 shape.
+    "q190_psi_drift",
+    "q191_gini_split_audit",
+    # q192's report row cross-joins three ONE-ROW step counts — the
+    # q102 summary-row shape; the per-user funnel work is all keyed
+    # MIN aggregates + equi-joins.
+    "q192_event_funnel",
     # q147's estimate stage pairs the per-SOURCE signature table with a
     # source_a < source_b inequality join — the table is one row per
     # source (constant-size regardless of corpus bytes), so the NLJ is
