@@ -6605,3 +6605,152 @@ ORACLES["q196_hits_link_analysis"] = """
     ORDER BY a2.a2 DESC, a2.p
     LIMIT 20
 """
+
+
+# q197: decile mobility — per-year spend rankings cut into deciles on
+# the exact (spend, custkey) total order; the Spark side's
+# range-partitioned rank rail must reproduce row_number() exactly.
+ORACLES["q197_decile_mobility"] = """
+    WITH o AS (
+        SELECT o_custkey, year(o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s96 AS (
+        SELECT o_custkey, SUM(cents) AS spend FROM o
+        WHERE yr = 1996 GROUP BY o_custkey
+    ),
+    s97 AS (
+        SELECT o_custkey, SUM(cents) AS spend FROM o
+        WHERE yr = 1997 GROUP BY o_custkey
+    ),
+    d96 AS (
+        SELECT o_custkey,
+               (row_number() OVER (ORDER BY spend, o_custkey) - 1) * 10
+               // COUNT(*) OVER () AS dec_96
+        FROM s96
+    ),
+    d97 AS (
+        SELECT o_custkey,
+               (row_number() OVER (ORDER BY spend, o_custkey) - 1) * 10
+               // COUNT(*) OVER () AS dec_97
+        FROM s97
+    )
+    SELECT CAST(dec_96 AS BIGINT) AS dec_96,
+           CAST(dec_97 AS BIGINT) AS dec_97,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM d96 JOIN d97 USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+
+# q198: touch attribution — last/first preceding view-or-click per
+# purchase via ignore-nulls frame windows, 'direct' when none.
+ORACLES["q198_touch_attribution"] = """
+    WITH attributed AS (
+        SELECT event_type,
+               CAST(floor(value * 1024) AS BIGINT) AS vs,
+               COALESCE(last_value(CASE WHEN event_type IN ('view', 'click')
+                                        THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                        'direct') AS last_touch,
+               COALESCE(first_value(CASE WHEN event_type IN ('view', 'click')
+                                         THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                        'direct') AS first_touch
+        FROM events
+    ),
+    purchases AS (SELECT * FROM attributed WHERE event_type = 'purchase'),
+    l AS (
+        SELECT last_touch AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_last,
+               CAST(SUM(vs) AS BIGINT) AS value_last_scaled
+        FROM purchases GROUP BY 1
+    ),
+    f AS (
+        SELECT first_touch AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_first,
+               CAST(SUM(vs) AS BIGINT) AS value_first_scaled
+        FROM purchases GROUP BY 1
+    )
+    SELECT channel,
+           COALESCE(n_last, 0) AS n_last,
+           COALESCE(value_last_scaled, 0) AS value_last_scaled,
+           COALESCE(n_first, 0) AS n_first,
+           COALESCE(value_first_scaled, 0) AS value_first_scaled
+    FROM l FULL OUTER JOIN f USING (channel)
+"""
+
+
+# q199: relational division — count-distinct-equals-divisor rewrite of
+# "suppliers reaching customers in EVERY AMERICA nation".
+ORACLES["q199_relational_division"] = """
+    WITH target AS (
+        SELECT n_nationkey AS nk FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    reach AS (
+        SELECT DISTINCT l.l_suppkey, c.c_nationkey AS nk
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN target t ON c.c_nationkey = t.nk
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM reach
+    GROUP BY l_suppkey
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM target)
+"""
+
+
+# q200: interval-weighted mean — 1024-scaled values x epoch-ms
+# durations, integer DIV at the end.
+ORACLES["q200_time_weighted_avg"] = """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(value * 1024) AS BIGINT) AS vs,
+               CAST(epoch_ms(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) - epoch_ms(ts) AS BIGINT) AS dur_ms
+        FROM events WHERE user_id % 20 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+           CAST(SUM(vs * dur_ms) // SUM(dur_ms) AS BIGINT) AS twa_scaled
+    FROM iv WHERE dur_ms IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_ms) > 0
+"""
+
+
+# q201: gaps-and-islands — day minus row_number anchors consecutive
+# runs; longest streak + totals per user.
+ORACLES["q201_activity_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id % 10 = 0
+    ),
+    anchored AS (
+        SELECT user_id,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS len
+        FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+"""

@@ -7361,6 +7361,211 @@ def q196_hits_link_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q197_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-mobility transition matrix — the cohort-economics staple
+    (credit migration, spend-tier churn): customers ranked by total
+    1996 spend vs total 1997 spend, each year's ranking cut into
+    deciles on the ``scalable_row_number`` rail (exact global order,
+    NO single-partition window), and the (decile_96 → decile_97)
+    transition counts reported for customers active in both years.
+
+    Scale shape: two per-year keyed SUM aggregates, two range-
+    partitioned rank rails, one custkey equi-join, and a map-side-
+    combined rollup to the ≤100-cell decile matrix."""
+    from sparkdiff.operators.quantiles import scalable_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        _cents("o_totalprice").alias("cents"),
+    )
+
+    def year_deciles(yr: int, out: str) -> DataFrame:
+        spend = (
+            o.filter(F.col("yr") == yr)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("spend"))
+        )
+        ranked = scalable_row_number(spend, ["spend", "o_custkey"], "rn")
+        n = ranked.agg(F.count(F.lit(1)).alias("n"))
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "o_custkey",
+            F.expr("(rn - 1) * 10 DIV n").cast("long").alias(out),
+        )
+
+    d96 = year_deciles(1996, "dec_96")
+    d97 = year_deciles(1997, "dec_97")
+    return (
+        d96.join(d97, "o_custkey")
+        .groupBy("dec_96", "dec_97")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+def q198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-touch attribution — every purchase credited to the
+    user's nearest preceding view/click (last-touch) AND their first
+    one ever (first-touch), ``direct`` when no touch precedes; per
+    channel the purchase count and the exact 1024-scaled purchase
+    value.  The funnel family's revenue-assignment twin (q192 counts
+    steps; this assigns credit).
+
+    Scale shape: ONE keyed window per user over (ts, event_id) with
+    two ignore-nulls frame scans (strictly-preceding rows), then a
+    map-side-combined rollup to the ≤4-channel domain — never an
+    as-of join per purchase."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    attributed = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1024).cast("long").alias("vs"),
+        F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("last_touch"),
+        F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("first_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    last = attributed.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last"),
+        F.sum("vs").cast("long").alias("value_last_scaled"),
+    )
+    first = attributed.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first"),
+        F.sum("vs").cast("long").alias("value_first_scaled"),
+    )
+    return last.join(first, "channel", "full_outer").select(
+        "channel",
+        F.coalesce("n_last", F.lit(0)).alias("n_last"),
+        F.coalesce("value_last_scaled", F.lit(0)).alias("value_last_scaled"),
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("value_first_scaled", F.lit(0)).alias(
+            "value_first_scaled"
+        ),
+    )
+
+
+def q199_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the FOR-ALL query shape (Codd's ÷, the
+    "suppliers who serve EVERY x" class SQL has no operator for):
+    suppliers whose shipped orders reach customers in ALL nations of
+    the AMERICA region, via the standard count-distinct-equals-divisor
+    rewrite (never a per-nation loop or anti-join cascade).
+
+    Scale shape: the lineitem→orders→customer join chain shuffles on
+    its natural keys; the nation dimension broadcasts; the divisor is
+    a one-row broadcast aggregate (q102 shape); the report collapses
+    to qualifying suppliers."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    target = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("nk"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk")
+    ).join(F.broadcast(target), "nk")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    reach = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("l_suppkey", "nk")
+        .distinct()
+    )
+    divisor = target.agg(F.count(F.lit(1)).alias("n_target"))
+    return (
+        reach.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+        .crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_covered") == F.col("n_target"))
+        .select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.col("n_covered").cast("long").alias("n_nations"),
+        )
+    )
+
+
+def q200_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted mean — the time-series aggregate behind
+    average-balance and average-position reporting (each observation
+    holds until the next one): per user, Σ value·duration DIV
+    Σ duration over consecutive-event intervals, all in exact integers
+    (1024-scaled values × epoch-millis durations).  Composes with
+    q193: these are averages over exactly the SCD2 validity intervals
+    that builder emits.
+
+    Scale shape: one keyed window (lead per user), one map-side-
+    combined SUM rollup; user_id % 20 bounds the hashed report."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1024).cast("long").alias("vs"),
+        (
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis(F.col("ts"))
+        ).alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_ms").cast("long").alias("total_ms"),
+            F.expr("sum(vs * dur_ms) DIV sum(dur_ms)")
+            .cast("long")
+            .alias("twa_scaled"),
+        )
+        .filter(F.col("total_ms") > 0)
+    )
+
+
+def q201_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — longest consecutive-day activity streak per
+    user (the retention/engagement metric), via the classic
+    day-minus-row_number island anchor: consecutive days share one
+    anchor date, so islands fall out of a keyed groupBy.
+
+    Scale shape: distinct (user, day) collapses the events first
+    (map-side combined); the ONLY window is keyed per user over its
+    bounded day set; two further keyed rollups.  Report capped to
+    user_id % 10 to bound the hash."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -7558,4 +7763,9 @@ QUERIES: dict[str, callable] = {
     "q194_bitmap_segments": q194_bitmap_segments,
     "q195_rolling_hll": q195_rolling_hll,
     "q196_hits_link_analysis": q196_hits_link_analysis,
+    "q197_decile_mobility": q197_decile_mobility,
+    "q198_touch_attribution": q198_touch_attribution,
+    "q199_relational_division": q199_relational_division,
+    "q200_time_weighted_avg": q200_time_weighted_avg,
+    "q201_activity_streaks": q201_activity_streaks,
 }

@@ -148,6 +148,11 @@ _INTENTIONAL_NLJ = {
     # ONE-ROW revenue total / customer count (q76/q90 stats shape).
     "q117_revenue_concentration",
     "q128_customer_gini",
+    # q197 rides the scalable_row_number rail TWICE (one ranking per
+    # year: two bounded bucket-offset broadcasts) plus two ONE-ROW
+    # per-year count broadcasts for the decile cut — all bounded
+    # small sides; the corpus work is keyed sums + one equi-join.
+    "q197_decile_mobility",
     # q176 rides the same rail (bounded #partitions-row bucket-offset
     # non-equi broadcast) plus the ONE-ROW corpus-count broadcast that
     # turns ranks into equal-frequency bins (q102/q76 stats shape).
