@@ -1727,9 +1727,17 @@ def q70_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     no decimal rounding ties (double→decimal casts round HALF_UP in
     Spark but half-even in DuckDB — hit in testing on an exact-tie
     float, so decimal routing is NOT engine-portable for floats)."""
+    from sparkdiff.session import is_single_split
+
     scale = F.lit(8589934592)  # 2^33
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
+    # single-split input: the scan is one task, so coalesce(1) fuses the
+    # whole query into one stage (q31's round-9 pattern — the post-scan
+    # exchange adds no parallelism at this input class); multi-split
+    # inputs keep the two-phase shuffle
+    if is_single_split(sf_dir, "embeddings"):
+        ex = ex.coalesce(1)
     return ex.groupBy("label", "dim_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         (
@@ -2024,6 +2032,8 @@ def q78_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id serves all three frames."""
     from pyspark.sql import Window
 
+    from sparkdiff.session import is_single_split
+
     vscale = F.lit(1048576)  # 2^20
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -2031,6 +2041,11 @@ def q78_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         F.floor(F.col("value") * vscale).alias("val_s"),
     )
+    # single-split input: SinglePartition satisfies the windows'
+    # ClusteredDistribution(user_id), so coalesce(1) drops the hash
+    # exchange and the query fuses to one stage (q31's round-9 pattern)
+    if is_single_split(sf_dir, "events"):
+        e = e.coalesce(1)
     hour = (
         Window.partitionBy("user_id")
         .orderBy("us")
@@ -2687,6 +2702,15 @@ def q95_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.gram").alias("gram"))
+    from sparkdiff.session import is_single_split
+
+    # single-split corpus: every downstream distribution (two count
+    # aggregates, two key joins, the final doc rollup) is satisfied by
+    # one partition, collapsing this 5-exchange plan to ONE stage — the
+    # registry's most stage-dense tiny query (q31's round-9 pattern).
+    # Multi-split corpora keep the AQE-planned shuffles.
+    if is_single_split(sf_dir, "documents"):
+        bi = bi.coalesce(1)
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
     cp = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
     ratio = F.expr(f"(cb * {SCALE}) div cp")
