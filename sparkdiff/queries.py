@@ -7427,12 +7427,14 @@ def q197_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marketing-touch attribution — every purchase credited to the
-    user's nearest preceding view/click (last-touch) AND their first
-    one ever (first-touch), ``direct`` when no touch precedes; per
-    channel the purchase count and the exact 1024-scaled purchase
-    value.  The funnel family's revenue-assignment twin (q192 counts
-    steps; this assigns credit).
+    """First-vs-last touch attribution comparison — every purchase
+    credited BOTH to the user's nearest preceding view/click
+    (last-touch) and to their first one ever (first-touch), ``direct``
+    when none precedes; per channel the purchase count and the exact
+    1024-scaled value under each model side by side.  Complements
+    q115 (single-model last-touch with a 60-minute lookback cap):
+    this is the unrestricted-lookback two-model report an attribution
+    analyst diffs to see how much credit moves between models.
 
     Scale shape: ONE keyed window per user over (ts, event_id) with
     two ignore-nulls frame scans (strictly-preceding rows), then a

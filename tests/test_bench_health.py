@@ -155,6 +155,9 @@ def test_bench_retime_wiring_end_to_end(tmp_path):
     with open(tmp_path / "BENCH_DETAIL.json") as fh:
         detail = json.load(fh)
     assert detail["host_health"]["available"] is True
+    # the retime pass re-probes the floor at retime time (the verdict
+    # comparator must be measured WITH the isolated re-times)
+    assert detail["floor_probe_retime_sec"] > 0
     assert set(detail["retimes"]) == {
         "q01_pricing_summary", "q46_lineitem_diff",
     }
