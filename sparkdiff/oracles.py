@@ -6754,3 +6754,16 @@ ORACLES["q201_activity_streaks"] = """
            CAST(COUNT(*) AS BIGINT) AS n_streaks
     FROM streaks GROUP BY user_id
 """
+
+
+# q202: the salted-join certificate — the oracle is the PLAIN join the
+# salted path must reproduce row-for-row.
+ORACLES["q202_salted_join_audit"] = """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+"""

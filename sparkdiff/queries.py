@@ -7592,6 +7592,39 @@ def q201_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q202_salted_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join under the value-hash oracle — the registry-level
+    certificate that `operators/workload.salted_join` (differential
+    salting: hot keys spread over 16 sub-keys on the skewed side,
+    replicated on the build side; cold keys join exactly once) produces
+    EXACTLY the rows of a plain equi-join: orders⋈customer through the
+    salted path with an explicit literal hot-key list, rolled up per
+    nation, must hash-match the oracle's plain JOIN.  (Unit tests pin
+    the operator on synthetic skew; this pins it against an independent
+    engine on the workload tables.)
+
+    Scale shape: the salted join IS the scale story — no reduce task
+    ever holds a hot key's full row set; the hot list is bounded
+    (≤41 literal keys here, ≤100 from `detect_hot_keys` in production);
+    the rollup is map-side combined onto the 25-nation domain."""
+    from sparkdiff.operators.workload import salted_join
+
+    hot = list(range(1, 1500, 37))  # valid custkeys at every test sf
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    j = salted_join(o, c, "c_custkey", how="inner", salt=16, hot_keys=hot)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+    )
+
+
 QUERIES: dict[str, callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_presence_diff": q02_presence_diff,
@@ -7794,4 +7827,5 @@ QUERIES: dict[str, callable] = {
     "q199_relational_division": q199_relational_division,
     "q200_time_weighted_avg": q200_time_weighted_avg,
     "q201_activity_streaks": q201_activity_streaks,
+    "q202_salted_join_audit": q202_salted_join_audit,
 }
