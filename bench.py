@@ -324,6 +324,13 @@ def main() -> None:
     for name, fn in selected:
         # One broken query must cost ONE null entry, never the whole
         # bench: round 2 lost all 68 timings to a single failing scan.
+        # per-query host-state watchdog (round-9: a degradation window
+        # that opens MID-RUN inflates a contiguous block of officials
+        # while the start-of-run probes read healthy — /proc/stat costs
+        # microseconds, so each query records the steal%% of its own
+        # measurement window and the artifact shows exactly which
+        # officials ran degraded)
+        q_jiffies = _cpu_jiffies()
         try:
             df = fn(spark, sf_dir)
             # untimed warm-up: absorbs codegen/JIT, parquet footer and
@@ -342,6 +349,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             continue
+        q_health = _host_health(q_jiffies, _cpu_jiffies(), 0.0)
         timings[name] = med
         detail[name] = {
             "runs": runs,
@@ -349,6 +357,7 @@ def main() -> None:
             "min": round(min(runs), 4),
             "rows": rows,
             "rows_per_sec": round(rows / med, 1) if med > 0 else None,
+            "steal_pct": q_health.get("steal_pct"),
         }
         # several queries persist() bounded intermediates; drop them so
         # cached tables don't accumulate across the 133-query run
