@@ -273,60 +273,69 @@ def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     salting both need exactly this number).  ``top_key`` names the
     culprit.
 
-    Shapes: one map-side-combined groupBy per column (the only
-    corpus-sized pass), then all statistics run on the KEY table.  The
-    p99 rank walks a window over the group-size DOMAIN (distinct sizes
-    — bounded like q103's quantized-domain precedent, never row- or
-    key-sized).  Every output is exact integer arithmetic, so the
-    whole report value-hash oracles; ``top_key`` ties break to the
-    largest key string via struct-max (deterministic, unlike max_by).
-    NULL keys count as a key — a skewed NULL is the classic silent
-    straggler."""
+    Shapes: ONE corpus scan for every column — the candidate keys melt
+    into ``(key_col, key)`` rows via ``stack`` and a single map-side-
+    combined groupBy counts all columns' groups together (round-9: the
+    per-column formulation re-ran the corpus groupBy for each of its
+    three consumers, 3·|cols| scans).  The persisted key table then
+    feeds all statistics; the p99 rank walks a window over the
+    group-size DOMAIN per column (distinct sizes — bounded like q103's
+    quantized-domain precedent, never row- or key-sized).  Every output
+    is exact integer arithmetic, so the whole report value-hash
+    oracles; ``top_key`` ties break to the largest key string via
+    struct-max (deterministic, unlike max_by).  NULL keys count as a
+    key — a skewed NULL is the classic silent straggler."""
     from pyspark.sql import Window
 
-    outs = []
+    stack_args: list = []
     for c in cols:
-        gs = df.groupBy(F.col(c).cast("string").alias("_k")).agg(
-            F.count(F.lit(1)).cast("long").alias("_n")
-        )
-        sizes = gs.groupBy("_n").agg(F.count(F.lit(1)).cast("long").alias("_keys"))
-        w = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
-        ranked = sizes.select(
-            "_n", F.sum("_keys").over(w).alias("_cum")
-        )
-        totals = gs.agg(
-            F.sum("_n").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.max("_n").cast("long").alias("max_n"),
-            F.max(F.struct(F.col("_n"), F.col("_k"))).alias("_top"),
-        )
-        p99 = (
-            ranked.crossJoin(F.broadcast(totals.select("n_keys")))
-            .filter(
-                F.col("_cum") * 100 >= F.lit(99) * F.col("n_keys")
-            )
-            .agg(F.min("_n").cast("long").alias("p99_n"))
-        )
-        outs.append(
-            totals.crossJoin(F.broadcast(p99)).select(
-                F.lit(c).alias("key_col"),
-                "n_rows",
-                "n_keys",
-                "max_n",
-                "p99_n",
-                F.expr("CAST(1000 * n_rows DIV n_keys AS BIGINT)").alias(
-                    "mean_milli"
-                ),
-                F.expr(
-                    "CAST(1000 * max_n * n_keys DIV n_rows AS BIGINT)"
-                ).alias("skew_milli"),
-                F.expr(
-                    "CAST((max_n * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
-                ).alias("salt"),
-                F.col("_top._k").alias("top_key"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        stack_args.append(F.lit(c))
+        stack_args.append(F.col(c).cast("string"))
+    melt = df.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias("key_col", "_k")
+    )
+    # key-table-sized; feeds sizes AND totals (callers' registry entries
+    # carry the PERSISTS_BY_DESIGN annotation)
+    gs = (
+        melt.groupBy("key_col", "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist()
+    )
+    sizes = gs.groupBy("key_col", "_n").agg(
+        F.count(F.lit(1)).cast("long").alias("_keys")
+    )
+    w = (
+        Window.partitionBy("key_col")
+        .orderBy("_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = sizes.select(
+        "key_col", "_n", F.sum("_keys").over(w).alias("_cum")
+    )
+    totals = gs.groupBy("key_col").agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_n").cast("long").alias("max_n"),
+        F.max(F.struct(F.col("_n"), F.col("_k"))).alias("_top"),
+    )
+    p99 = (
+        ranked.join(F.broadcast(totals.select("key_col", "n_keys")), "key_col")
+        .filter(F.col("_cum") * 100 >= F.lit(99) * F.col("n_keys"))
+        .groupBy("key_col")
+        .agg(F.min("_n").cast("long").alias("p99_n"))
+    )
+    return totals.join(F.broadcast(p99), "key_col").select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_n",
+        "p99_n",
+        F.expr("CAST(1000 * n_rows DIV n_keys AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST(1000 * max_n * n_keys DIV n_rows AS BIGINT)").alias(
+            "skew_milli"
+        ),
+        F.expr(
+            "CAST((max_n * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+        ).alias("salt"),
+        F.col("_top._k").alias("top_key"),
+    )

@@ -116,7 +116,16 @@ def kmeans_assign(
     )
     assigned = None
     cents_used = cents
-    for _ in range(iters):
+    for _it in range(iters):
+        if _it == iters - 1 and with_centroids:
+            # round-9: the returned codebook and the returned assignment
+            # are SEPARATE DataFrames over the same Lloyd lineage — an
+            # unpersisted final centroid table makes every (codes,
+            # codebook) consumer pair re-run all prior rounds (q152's
+            # per-subspace chains executed twice each).  k×d rows —
+            # configuration-sized at any corpus scale (callers' registry
+            # entries carry the PERSISTS_BY_DESIGN annotation).
+            cents = cents.persist()
         cents_used = cents
         best = F.min(
             F.struct(F.col("dist"), F.col("cluster"), F.col("_v"))
@@ -436,16 +445,32 @@ def ivf_topk_deterministic(
     assigned = None
     probe_cents = cents
     for it in range(iters):
+        if it == iters - 1:
+            # round-9: the final centroid table feeds BOTH the corpus
+            # assignment (broadcast side of `lists`) and the query
+            # probe — unpersisted, each consumer re-ran every prior
+            # Lloyd round.  k×d rows, configuration-sized (callers'
+            # registry entries carry PERSISTS_BY_DESIGN).
+            cents = cents.persist()
         probe_cents = cents
-        rn = F.row_number().over(
-            Window.partitionBy("_id").orderBy("dist", "cluster")
-        )
+        # per-row argmin as a map-side-combined min(struct) — the
+        # kmeans_assign formulation (bit-identical tie-break to
+        # row_number over (dist, cluster)); the window form shuffled
+        # the full n×k expansion.
+        best = F.min(
+            F.struct(F.col("dist"), F.col("cluster"), F.col("_v"))
+        ).alias("_best")
         assigned = (
             e.crossJoin(F.broadcast(cents))
             .withColumn("dist", squared_l2("_v", "_c"))
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("_id", "cluster", "dist", "_v")
+            .groupBy("_id")
+            .agg(best)
+            .select(
+                "_id",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best.dist").alias("dist"),
+                F.col("_best._v").alias("_v"),
+            )
         )
         if it < iters - 1:
             sums = (

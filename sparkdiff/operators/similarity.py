@@ -553,6 +553,7 @@ def semdedup(
     iters: int = 2,
     threshold: float = 0.99,
     dim: int | None = None,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, compare
@@ -645,6 +646,19 @@ def semdedup(
         .select("_id", "cluster", "_v", "_n")
         .persist()
     )
+    # ``pair_salt`` B > 1 parallelizes the within-cluster pair scan when
+    # the CLUSTER DOMAIN caps reducer parallelism (guide §2.5's
+    # too-few-distinct-keys hazard: q88's oracle-pinned k=4 puts ALL
+    # pair work on 4 reducers regardless of core count).  One-sided
+    # salting: each b-row keeps its deterministic bucket
+    # pmod(xxhash64(id), B); each a-row replicates to every target
+    # bucket, so any (a, b) pair meets exactly once — on b's bucket —
+    # and the join output (and thus the value hash) is unchanged.
+    # Parallelism k·B, a-side shuffle ×B (bounded, B is a constant);
+    # the scale-default k ∝ n already yields enough clusters, so B=1
+    # (plan unchanged) is the default and salting is for pinned-small-k
+    # callers.
+    join_keys = ["cluster"]
     a = withn.select(
         F.col("cluster"),
         F.col("_id").alias("_ida"),
@@ -657,8 +671,18 @@ def semdedup(
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    if pair_salt > 1:
+        join_keys = ["cluster", "_bk"]
+        a = a.withColumn(
+            "_bk",
+            F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1))),
+        )
+        b = b.withColumn(
+            "_bk",
+            F.pmod(F.xxhash64(F.col("_idb")), F.lit(pair_salt)).cast("int"),
+        )
     near = (
-        a.join(b, "cluster")
+        a.join(b, join_keys)
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
             (

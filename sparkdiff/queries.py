@@ -2459,9 +2459,12 @@ def q88_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.similarity import semdedup
 
     corpus = _semdedup_corpus(spark, sf_dir)
+    # pair_salt=16: k is oracle-pinned at 4, so without salting the
+    # whole within-cell pair scan lands on 4 reducers (guide §2.5);
+    # the salt fans it to 64 blocks with the identical pair set.
     return semdedup(
         corpus, "vec_id", "v", k=4, iters=2, threshold=0.95,
-        dim=testkit.EMBED_DIM,
+        dim=testkit.EMBED_DIM, pair_salt=16,
     )
 
 
@@ -3058,12 +3061,26 @@ def q102_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("wu"), F.col("dst").alias("wv")
     )
     tri = wedges.join(closing, ["wu", "wv"])
+    # n_wedges WITHOUT executing the wedge join a second time: the
+    # (deg,id) struct order is total, so of each unordered out-neighbor
+    # pair exactly one orientation survives the filter — the wedge count
+    # is exactly sum C(out_deg, 2) over the persisted oriented edges
+    # (one key-sized aggregate instead of a full self-join execution).
+    n_wedges = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("od * (od - 1) DIV 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
     return (
         deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(
-            wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
-        )
+        .crossJoin(n_wedges)
         .crossJoin(
             tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         )
@@ -4042,6 +4059,10 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", rn)
         .filter(F.col("rn") <= 3)
         .select(F.col("_qid").alias("query_id"), F.col("vec_id").alias("ex_id"))
+        # 15-row result of the one corpus-sized ranking scan; feeds the
+        # hit semi-join AND the per-query denominator — persisted so the
+        # exact scan runs once (PERSISTS_BY_DESIGN)
+        .persist()
     )
     hits = exact.join(
         ivf,
@@ -4904,13 +4925,32 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-shingle pair fan-out WITHOUT the shingle self-join (round-9,
+    # q164's rewrite): group by shingle, sort the source list (bounded
+    # by the SOURCE DOMAIN), expand ordered (i < j) pairs map-side —
+    # identical counts to the (a.source < b.source) join, one exchange
+    # instead of two shuffled join sides.
+    _sl = F.sort_array(F.collect_list("source"))
+    _pl = F.flatten(
+        F.transform(
+            F.col("_sl"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_sl"),
+                    i + F.lit(2),
+                    F.size(F.col("_sl")) - i - F.lit(1),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        ss.alias("a")
-        .join(ss.alias("b"), "t")
-        .filter(F.col("a.source") < F.col("b.source"))
+        ss.groupBy("t")
+        .agg(_sl.alias("_sl"))
+        .select(F.explode(_pl).alias("_p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("_p.a").alias("source_a"),
+            F.col("_p.b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
@@ -5735,13 +5775,33 @@ def q164_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact pair join (q147's persisted-shingle convention)
     st = occ.distinct().persist()
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    # exact intersections WITHOUT the token self-join (round-9): group
+    # the distinct table by token, sort the per-token source list
+    # (bounded by the SOURCE DOMAIN, not the corpus), and fan out its
+    # ordered pairs map-side — one exchange instead of the join's two
+    # shuffled sides, and the (a.source < b.source) pair set is the
+    # sorted list's (i < j) pairs, so the counts are identical.
+    _ss = F.sort_array(F.collect_list("source"))
+    _pairs = F.flatten(
+        F.transform(
+            F.col("_ss"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ss"),
+                    i + F.lit(2),
+                    F.size(F.col("_ss")) - i - F.lit(1),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     common = (
-        st.alias("a")
-        .join(st.alias("b"), "token")
-        .filter(F.col("a.source") < F.col("b.source"))
+        st.groupBy("token")
+        .agg(_ss.alias("_ss"))
+        .select(F.explode(_pairs).alias("_p"))
         .groupBy(
-            F.col("a.source").alias("key_a"),
-            F.col("b.source").alias("key_b"),
+            F.col("_p.a").alias("key_a"),
+            F.col("_p.b").alias("key_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
     )

@@ -155,6 +155,10 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q102_triangle_count": "degree-ordered edge list is joined to itself 3x",
     "q107_profile_drift": "profile base feeds both drift sides",
     "q113_dup_families": "CC loop survivors (large-star/small-star rounds)",
+    "q121_ivf_ann": "final IVF centroid table feeds corpus assignment "
+    "AND query probe (k×d rows, retrieval.ivf_topk_deterministic)",
+    "q126_ann_recall": "IVF centroid persist (q121 machinery) + the "
+    "15-row exact top-3 feeds hit semi-join AND denominator",
     "q124_dist_drift": "histogram base feeds both snapshot sides",
     "q136_semdedup_auto": "auto-k cells feed centroid AND refine passes",
     "q141_repeated_substrings": "suffix-window table feeds span AND rollup",
@@ -162,11 +166,15 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
     "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
     "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
+    "q152_pq_adc_recall": "per-subspace final PQ codebook feeds codes "
+    "AND ADC lookup (k×sub_dim rows, retrieval.kmeans_assign)",
     "q156_keep_best_dedup": "near-dup shingle table feeds bands AND verify",
     "q161_blocking_recall": "LSH branch is q25 machinery (shingle table "
     "feeds bands AND verify); the SNM branch adds no persist",
     "q162_containment_join": "containment_join persists the distinct-set "
     "table (feeds freq, prefix, index and both verify sides)",
+    "q163_skew_report": "melted (key_col, key) group-size table feeds "
+    "sizes AND totals (operators/profile.skew_report one-scan form)",
     "q164_kmv_set_ops": "distinct (source, shingle) table feeds exact "
     "sizes AND both sides of the exact pair join",
     "q170_ingest_novelty": "distinct (batch, shingle) table feeds the "
