@@ -49,9 +49,14 @@ def sorted_neighborhood_pairs(
         key.alias("_snm_key"),
         F.col(payload_col).alias("_snm_p"),
     )
+    # persisted: BOTH pairing sides (probe fan-out and rank-keyed right
+    # side) consume the ranked table — unpersisted, each side re-runs
+    # the whole key-normalization + range-rank rail over the corpus
+    # (round 9; guide §5).  One row per input record; released by the
+    # session owner's clearCache (PERSISTS_BY_DESIGN convention).
     ranked = scalable_row_number(
         base, [F.col("_snm_key"), F.col("_snm_id")], out_col="_snm_rn"
-    )
+    ).persist()
     probes = ranked.select(
         F.col("_snm_id").alias("id_a"),
         F.col("_snm_p").alias(f"{payload_col}_a"),

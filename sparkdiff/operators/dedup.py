@@ -239,7 +239,11 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, tokens_col, num_perm, hash_method)
-    band_keys = _band_keys(sig, bands, rows)
+    # BOTH self-join sides consume the band-key table — unpersisted,
+    # each side re-ran the whole signature aggregation (64 min-aggs
+    # over the exploded token table).  n×bands rows, ~50 B each
+    # (round-9; callers are the PERSISTS_BY_DESIGN near-dup family).
+    band_keys = _band_keys(sig, bands, rows).persist()
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "key")
     return (
@@ -260,6 +264,7 @@ def near_dup_pairs(
     bands: int = 16,
     hash_method: str = "xxhash64",
     tokens_col: str | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification:
     ``(id_a, id_b, jaccard)`` for shingle-Jaccard ≥ threshold.
@@ -268,7 +273,14 @@ def near_dup_pairs(
     shingle from, skipping the tokenizer — the hook that lets a
     multi-branch pipeline (e.g. q68) tokenize its corpus ONCE and share
     the projection across dedup/decontamination/quality branches.
-    """
+
+    ``parallelism``: repartition the doc projection before the
+    tokenize→shingle→64-hash-signature fan-out — when the input is a
+    FEW splits (one small parquet file), that per-row work otherwise
+    serializes into one task (the substring.py convention; round 9).
+    Leave None when the input already has scan parallelism."""
+    if parallelism:
+        df = df.repartition(parallelism)
     if tokens_col is not None:
         shingled = df.withColumn(
             "_shg", word_shingles_from_tokens(F.col(tokens_col), k)
@@ -758,9 +770,14 @@ def setsim_join(
         )
         # one shuffle on the sorted-set key yields both the membership
         # table and the representative rows (rep = min id of the group)
+        # — persisted: the table feeds the core pipeline (via reps),
+        # both expansion joins (ma/mb) and both within-group sides, so
+        # unpersisted the corpus-wide sorted-set window would recompute
+        # for every consumer (round 9; guide §5).  One row per input
+        # set; released by the session owner's clearCache.
         mem = canon.withColumn(
             "_rep", F.min("_id").over(Window.partitionBy("_cs"))
-        ).select("_rep", "_id", "_cs")
+        ).select("_rep", "_id", "_cs").persist()
         reps = mem.filter(F.col("_id") == F.col("_rep"))
         core = setsim_join(
             reps.select("_id", F.col("_cs").alias("_s")),
@@ -813,9 +830,14 @@ def setsim_join(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
     )
     # prefix length ⌊(1−t)|x|⌋+1 = ⌊(q−p)·|x| / q⌋ + 1, exact integers
+    # persisted: BOTH candidate self-join sides read the prefix table —
+    # unpersisted, each side re-runs the explode → frequency join →
+    # ranking window chain (round 9; guide §5).  ⌊(1−t)|x|⌋+1 rows per
+    # set (a small fraction of the exploded tokens); released by the
+    # session owner's clearCache.
     prefix = sized.filter(
         F.col("pos") <= F.floor((F.col("sz") * (q - p)) / q) + 1
-    ).select("_id", "w", "pos", "sz")
+    ).select("_id", "w", "pos", "sz").persist()
     a = prefix.select(
         F.col("_id").alias("id_a"), "w",
         F.col("pos").alias("pa"), F.col("sz").alias("sz_a"),

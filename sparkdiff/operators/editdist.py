@@ -95,11 +95,17 @@ def edit_distance_join(
     )
     if parallelism:
         base = base.repartition(parallelism)
+    # persisted: BOTH candidate self-join sides consume the variant
+    # table — unpersisted, each side re-runs the ~len^d-amplified
+    # deletion-neighborhood explode over the corpus (round 9; guide
+    # §5).  len^d rows per record, ids + hashes + the short key string;
+    # released by the session owner's clearCache (PERSISTS_BY_DESIGN
+    # convention).
     v = base.select(
         "_edj_id",
         "_edj_s",
         F.explode(deletion_neighborhood(F.col("_edj_s"), d)).alias("_edj_var"),
-    ).select("_edj_id", "_edj_s", F.xxhash64("_edj_var").alias("_edj_vh"))
+    ).select("_edj_id", "_edj_s", F.xxhash64("_edj_var").alias("_edj_vh")).persist()
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
         b,

@@ -3,9 +3,11 @@
 frame, restricted to the pair level that dominates real co-occurrence
 analytics).
 
-Scale shape: the pair generator is a self-equi-join ON THE BASKET KEY,
-so the fan-out is Σ_b C(|b|, 2) — quadratic in the (bounded) basket
-size, linear in baskets; it never materializes item × item.  Counts are
+Scale shape: baskets collapse to ONE sorted distinct-item array per
+basket key (map-side-combined collect_set), and pairs fan out map-side
+from each array — the fan-out is Σ_b C(|b|, 2), quadratic in the
+(bounded) basket size, linear in baskets; it never materializes
+item × item and never self-joins the item table.  Counts are
 map-side-combined integer aggregates; the basket total rides as a
 one-row broadcast (the q76/q90 stats shape).  Everything is exact
 int64 — support/confidence/lift leave as per-mille integers, so the
@@ -34,19 +36,42 @@ def pair_association_rules(
     (basket, item) rows are collapsed first, so counts are
     presence-based, as the support definition requires."""
     b, i = F.col(basket_col), F.col(item_col)
-    items = baskets.select(b.alias("_b"), i.alias("_i")).distinct()
-    n_baskets = items.select(
-        F.countDistinct("_b").cast("long").alias("_n_baskets")
+    # Round 9 (guide §2.3/§2.4): one groupBy(basket) collect_set replaces
+    # the old distinct + self-equi-join-on-basket pair generator — the
+    # q164 sorted-array map-side pair fan-out.  The basket-array table is
+    # ONE row per basket (arrays bounded by basket size) and feeds three
+    # consumers (basket total, item counts, pair fan-out), so it is
+    # persisted (PERSISTS_BY_DESIGN convention; released by the session
+    # owner's clearCache).  Pair semantics are unchanged: sort_array +
+    # (index i < j) enumerates exactly the distinct unordered item pairs
+    # with item_a < item_b the old join produced.
+    arrs = (
+        baskets.select(b.alias("_b"), i.alias("_i"))
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("_arr"))
+        .persist()
     )
-    item_n = items.groupBy(F.col("_i").alias("_it")).agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
+    n_baskets = arrs.agg(F.count(F.lit(1)).cast("long").alias("_n_baskets"))
+    item_n = (
+        arrs.select(F.explode("_arr").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_arr"),
+            lambda x, ix: F.transform(
+                F.slice(
+                    F.col("_arr"), ix + 2, F.size(F.col("_arr"))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        items.alias("x")
-        .join(items.alias("y"), "_b")
-        .filter(F.col("x._i") < F.col("y._i"))
+        arrs.select(F.explode(pair_arr).alias("_p"))
         .groupBy(
-            F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b")
+            F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)

@@ -130,9 +130,23 @@ def _dist_quantiles(
     # partition ≤ #buckets rows), joined back by equi-key.  Same _cum/_n
     # values bit-for-bit; all consumers of the range exchange reuse one
     # materialized shuffle (see scalable_row_number).
-    part = counts.repartitionByRange(
+    #
+    # TWO persists (round 9; guide §5), each load-bearing:
+    # - `counts`: repartitionByRange's boundary SAMPLING job executes
+    #   the child once more than the shuffle itself, so unpersisted the
+    #   whole scan→melt→groupBy chain runs twice per call.
+    # - `part`: every consumer below reads `_pid = spark_partition_id()`
+    #   and correctness requires ONE bucket assignment.  Un-cached, that
+    #   consistency came from ReuseExchange deduping the identical range
+    #   exchanges; with `counts` cached, the exchanges stopped
+    #   canonical-matching and the sides sampled boundaries
+    #   INDEPENDENTLY — caught by the sf0.1 oracle (wrong deciles).
+    #   Caching `part` pins one materialized assignment for everyone.
+    # Both are the distinct-(key, column, value) table, MEMORY_AND_DISK,
+    # released by the session owner's clearCache (PERSISTS_BY_DESIGN).
+    part = counts.persist().repartitionByRange(
         *[F.col(c) for c in gb], F.col("_v")
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).persist()
     w_local = Window.partitionBy(*gb, "_pid").orderBy("_v")
     local = part.withColumn("_lcum", F.sum("_c").over(w_local))
     bsums = part.groupBy(*gb, "_pid").agg(F.sum("_c").alias("_bc"))
@@ -293,10 +307,14 @@ def weighted_quantile_cuts(
     comparison exact."""
     vw = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.sum(weight_col).cast("long").alias("_w")
-    )
+    # persisted for the same reasons as _dist_quantiles' ranged path
+    # (round 9): `vw` so the boundary sampler does not re-run the
+    # scan→groupBy chain, `part` so every `_pid` consumer reads ONE
+    # materialized bucket assignment (see the comment there)
+    ).persist()
     part = vw.repartitionByRange(F.col("_v")).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     w_local = Window.partitionBy("_pid").orderBy("_v")
     local = part.withColumn("_lcum", F.sum("_w").over(w_local))
     bsums = part.groupBy("_pid").agg(F.sum("_w").alias("_bc"))

@@ -53,6 +53,20 @@ def squared_l2_flat(a: Column | str, b: Column | str, dim: int) -> Column:
     (0.0 + x == x), but whole-stage-codegen'd instead of the
     CodegenFallback HOF — the difference between ~9 s and ~2 s on a
     500-query × 2000-vector × 64-dim neighbor scan (q127)."""
+    if dim <= 0:
+        return F.lit(0.0)
+    if isinstance(a, str) and isinstance(b, str):
+        # ONE parsed SQL expression instead of ~3·dim py4j Column calls:
+        # building the 64-term tree operator-by-operator cost ~0.7 s of
+        # DRIVER time per q127 plan construction (round 9; measured).
+        # `x + y + z` parses left-associative, and `arr[i]` resolves to
+        # the same GetArrayItem as Column indexing, so the analyzed
+        # expression — and the bit-exact addition order — is unchanged.
+        terms = " + ".join(
+            f"((`{a}`[{i}] - `{b}`[{i}]) * (`{a}`[{i}] - `{b}`[{i}]))"
+            for i in range(dim)
+        )
+        return F.expr(terms)
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     out: Column | None = None
@@ -69,6 +83,8 @@ def kmeans_assign(
     k: int = 4,
     iters: int = 2,
     with_centroids: bool = False,
+    dim: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd: seeds are the k smallest ids,
     runs ``iters`` assignment/update rounds, returns the final
@@ -102,6 +118,19 @@ def kmeans_assign(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    # ``parallelism``: repartition before the Lloyd rounds — every
+    # round's broadcast-assignment map work runs wherever the scan put
+    # the rows, and a single-file vector table serializes it into one
+    # task (round 9; the substring.py convention).  ``dim``: when the
+    # dimension is known, use the whole-stage-codegen'd flat distance
+    # (bit-identical fold order) instead of the CodegenFallback HOF.
+    if parallelism:
+        e = e.repartition(parallelism)
+    _dist = (
+        (lambda a, b: squared_l2_flat(a, b, dim))
+        if dim
+        else (lambda a, b: squared_l2(a, b))
+    )
     # seeds = the k smallest-id rows, fully LAZY (TakeOrderedAndProject
     # inside the plan — no driver collect, so building the operator
     # launches zero jobs; the registry's lazy-construction contract)
@@ -132,7 +161,7 @@ def kmeans_assign(
         ).alias("_best")
         assigned = (
             e.crossJoin(F.broadcast(cents))
-            .withColumn("dist", squared_l2("_v", "_c"))
+            .withColumn("dist", _dist("_v", "_c"))
             .groupBy("_id")
             .agg(best)
             .select(
@@ -409,6 +438,8 @@ def ivf_topk_deterministic(
     n_probe: int = 2,
     top_k: int = 3,
     query_pred=None,
+    dim: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Oracle-replayable IVF nearest-neighbor search: the
     :func:`kmeans_assign` Lloyd loop partitions the corpus into
@@ -431,6 +462,16 @@ def ivf_topk_deterministic(
     e = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # same two knobs as kmeans_assign (round 9): repartition a
+    # single-file vector table before the per-round map work; use the
+    # codegen'd flat distance when the dimension is known
+    if parallelism:
+        e = e.repartition(parallelism)
+    _dist = (
+        (lambda a, b: squared_l2_flat(a, b, dim))
+        if dim
+        else (lambda a, b: squared_l2(a, b))
     )
     # Lloyd loop — identical to kmeans_assign, but keeping the
     # centroid table that produced the FINAL assignment for probing.
@@ -462,7 +503,7 @@ def ivf_topk_deterministic(
         ).alias("_best")
         assigned = (
             e.crossJoin(F.broadcast(cents))
-            .withColumn("dist", squared_l2("_v", "_c"))
+            .withColumn("dist", _dist("_v", "_c"))
             .groupBy("_id")
             .agg(best)
             .select(
@@ -500,13 +541,13 @@ def ivf_topk_deterministic(
     probes = (
         q.select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"))
         .crossJoin(F.broadcast(probe_cents))
-        .withColumn("qdist", squared_l2("_qv", "_c"))
+        .withColumn("qdist", _dist("_qv", "_c"))
         .withColumn("prn", probe_rn)
         .filter(F.col("prn") <= n_probe)
         .select("_qid", "_qv", "cluster")
     )
     cand = probes.join(lists, "cluster").withColumn(
-        "dist", squared_l2("_qv", "_cv")
+        "dist", _dist("_qv", "_cv")
     )
     final_rn = F.row_number().over(
         Window.partitionBy("_qid").orderBy("dist", "corpus_id")
@@ -531,6 +572,7 @@ def pq_encode(
     sub_dim: int = 16,
     k: int = 4,
     iters: int = 2,
+    parallelism: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (Jégou et al. 2011, TPAMI): split each
     vector into ``m`` contiguous ``sub_dim``-dim subvectors and cluster
@@ -562,8 +604,17 @@ def pq_encode(
             F.col("_pqid").alias(id_col),
             F.slice("_pqv", s * sub_dim + 1, sub_dim).alias("_sv"),
         )
+        # sub_dim is known -> codegen'd flat distance; parallelism
+        # forwarded so a single-file vector table trains wide (round 9)
         a, c = kmeans_assign(
-            sub, id_col, "_sv", k=k, iters=iters, with_centroids=True
+            sub,
+            id_col,
+            "_sv",
+            k=k,
+            iters=iters,
+            with_centroids=True,
+            dim=sub_dim,
+            parallelism=parallelism,
         )
         cs = a.select(
             id_col, F.lit(s).alias("sub"), F.col("cluster").alias("code")

@@ -465,7 +465,11 @@ def embedding_near_dup_pairs(
         F.posexplode(
             _srp_band_keys_udf(planes, bands, rows_per_band)(F.col("_v"))
         ).alias("band", "key"),
-    )
+    ).persist()
+    # persisted: BOTH self-join sides consume the key table — without
+    # it each side re-runs the ArrowEvalPython band-keyer over the
+    # corpus (guide §4: don't pay the Python boundary twice).  n×bands
+    # integer rows (callers carry PERSISTS_BY_DESIGN).
     a = keys.select(F.col("_id").alias("id_a"), "band", "key")
     b = keys.select(F.col("_id").alias("id_b"), "band", "key")
     cands = (
@@ -629,9 +633,11 @@ def semdedup(
             base, "_id", "_v", k=k, iters=iters
         ).select("_id", "cluster")
     else:
-        assigned = kmeans_assign(base, "_id", "_v", k=k, iters=iters).select(
-            "_id", "cluster"
-        )
+        # dim -> the codegen'd flat distance in the Lloyd rounds
+        # (bit-identical fold order; round 9)
+        assigned = kmeans_assign(
+            base, "_id", "_v", k=k, iters=iters, dim=dim
+        ).select("_id", "cluster")
     withnorm = base.select(
         "_id", "_v", norm_flat(F.col("_v"), dim).alias("_n")
     )

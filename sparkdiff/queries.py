@@ -16,6 +16,8 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -500,7 +502,16 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" extra suffix words")))
     )
     corpus = d.unionByName(dups)
-    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.6, hash_method="md5")
+    return near_dup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold=0.6,
+        hash_method="md5",
+        # single-file corpus scan -> one task for the whole
+        # tokenize+shingle+signature fan-out without this (round 9)
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,18 +1376,55 @@ def q62_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tokenized_docs(d: DataFrame, extra: tuple = ()) -> DataFrame:
+def _corpus_parallelism(d: DataFrame) -> int:
+    """Fan-out parallelism for the documents corpus (round 9).
+
+    The local testdata ships each table as ONE small parquet file (one
+    row group — `maxPartitionBytes` cannot split it), so every
+    tokenize/gram/shingle fan-out downstream of the scan serializes
+    into one task at any core count.  A tiny doc-projection shuffle
+    buys full-width map parallelism for every consumer.
+
+    Parameterised per the scale rules: `SPARKDIFF_CORPUS_PARALLELISM`
+    overrides (0 disables — the production setting, because a real
+    multi-file corpus already has scan parallelism and the extra
+    full-corpus text shuffle would be pure cost); the local default is
+    the session's defaultParallelism, which also keeps the driver's
+    lower-core-count bench runs honest (parallelism follows the core
+    budget, never a constant).
+
+    Opt-in PER CALL SITE (``_tokenized_docs(..., parallel=True)``):
+    the back-to-back A/B (round 9) showed the repartition pays only
+    for the heavy fan-out queries (q68 2.07→1.29 s, q83 1.31→0.64 s,
+    q79, q66) while the lighter consumers each lose ~0.1–0.25 s of
+    stage overhead — so the heavy sites opt in and the rest keep the
+    scan layout."""
+    v = os.environ.get("SPARKDIFF_CORPUS_PARALLELISM")
+    if v is not None:
+        return int(v)
+    return d.sparkSession.sparkContext.defaultParallelism
+
+
+def _tokenized_docs(
+    d: DataFrame, extra: tuple = (), parallel: bool = False
+) -> DataFrame:
     """THE shared corpus projection: doc_id/text/n_chars plus the
     materialized lowercase token array every corpus-level pass (corpus
     stats, funnel gates, decontamination grams, dedup shingles) derives
     from.  One tokenizer definition -> branches computed from one scan
     (and, in q68, one cached projection) stay bit-identical.  ``extra``
-    carries additional source columns (e.g. ``source``) through."""
-    return d.select(
-        "doc_id",
-        "text",
-        "n_chars",
-        *extra,
+    carries additional source columns (e.g. ``source``) through.
+
+    ``parallel=True`` repartitions BEFORE tokenizing (shuffle carries
+    raw text, not token arrays) so the tokenizer and every downstream
+    explode run wide — see :func:`_corpus_parallelism` for the knob and
+    for which call sites opt in."""
+    base = d.select("doc_id", "text", "n_chars", *extra)
+    par = _corpus_parallelism(d) if parallel else 0
+    if par:
+        base = base.repartition(par)
+    return base.select(
+        "*",
         F.filter(
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
         ).alias("_toks"),
@@ -1500,7 +1548,7 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation; grams travel as md5-derived 60-bit longs, not
     strings, so the aggregation shuffle carries one long per hit."""
     d = load_table(spark, sf_dir, "documents")
-    return _contamination_hits(_tokenized_docs(d))
+    return _contamination_hits(_tokenized_docs(d, parallel=True))
 
 
 def _contamination_hits(base: DataFrame, k: int = 8) -> DataFrame:
@@ -1647,7 +1695,7 @@ def q68_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — AQE converts them to broadcast anti-joins whenever they fit,
     and they carry only doc_id either way."""
     d = load_table(spark, sf_dir, "documents")
-    base = _tokenized_docs(d).persist()
+    base = _tokenized_docs(d, parallel=True).persist()
     flags = _funnel_flags(base)
     keep = flags.filter(
         F.col("f_lang")
@@ -1940,7 +1988,13 @@ def q75_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    return kmeans_assign(e, "vec_id", "v", k=4, iters=2)
+    # dim -> codegen'd flat distance in the Lloyd rounds (round 9).
+    # Deliberately NO repartition here: with the flat distance the
+    # per-round map work at this n is milliseconds, and the A/B showed
+    # the extra exchange + wide stages cost more than they buy.
+    return kmeans_assign(
+        e, "vec_id", "v", k=4, iters=2, dim=testkit.EMBED_DIM
+    )
 
 
 def q76_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2080,7 +2134,7 @@ def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.retrieval import posting_lists
 
     d = load_table(spark, sf_dir, "documents")
-    t = _tokenized_docs(d)
+    t = _tokenized_docs(d, parallel=True)
     n = F.size("_toks")
     toks = t.select(
         "doc_id",
@@ -2263,7 +2317,7 @@ def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 8
     d = load_table(spark, sf_dir, "documents")
-    t = _tokenized_docs(d)
+    t = _tokenized_docs(d, parallel=True)
     n = F.size("_toks")
     grams = t.select(
         "doc_id",
@@ -2403,6 +2457,9 @@ def q86_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_shipdate",
         ],
+        # NO parallelism: the same-host A/B (round 9) showed the extra
+        # repartition costs ~0.3 s more than the wide aggregate saves
+        # at this scan size
     )
 
 
@@ -3109,9 +3166,14 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per-type distinct values are domain-bounded at any corpus size
     # — the one case where the single-window cumulative is both safe
     # and ~1s/call cheaper than the ranged rail at sf0.1
+    # the per-type median table is tiny (one row per event_type) but its
+    # lineage is the whole distinct+window+interpolate quantile chain,
+    # and `dev` (which embeds it) feeds BOTH the MAD pass and the final
+    # join — persisted, the median chain runs once instead of twice
+    # (round 9; guide §5)
     med = grouped_quantiles(
         e, ["event_type"], [("med", "vs", 0.5)], cum="window"
-    ).select("event_type", "med")
+    ).select("event_type", "med").persist()
     dev = e.join(med, "event_type").select(
         "event_id",
         "event_type",
@@ -3122,7 +3184,7 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = grouped_quantiles(
         dev, ["event_type"], [("mad2", "dev2", 0.5)], cum="window"
-    ).select("event_type", "mad2")
+    ).select("event_type", "mad2").persist()
     return (
         dev.join(mad, "event_type")
         .filter(F.col("dev2").cast("double") > 3 * F.col("mad2"))
@@ -3147,11 +3209,16 @@ def q104_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     W = 200
     d = load_table(spark, sf_dir, "documents")
+    # narrow (id, x, y) projection persisted: the quality_score text
+    # scan otherwise re-runs for each consumer of the candidate chain
+    # (bucket maxima, candidate filter, both dominance sides) — 3
+    # corpus-sized text passes for one 24-byte/row table
+    # (PERSISTS_BY_DESIGN)
     pts = d.select(
         "doc_id",
         F.col("n_chars").alias("x"),
         quality_score("text").alias("y"),
-    )
+    ).persist()
     bkt = pts.withColumn("b", F.floor(F.col("x") / W).cast("long"))
     bmax = bkt.groupBy("b").agg(F.max("y").alias("ymax"))
     w = Window.orderBy(F.desc("b")).rowsBetween(
@@ -3836,6 +3903,8 @@ def q121_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         top_k=3,
         query_pred=lambda c: c < 5,
+        # codegen'd flat distance (round 9); no repartition — see q75
+        dim=testkit.EMBED_DIM,
     )
 
 
@@ -3875,7 +3944,7 @@ def q123_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a labels×d table (q75 shape); per-vector silhouettes are pure
     row expressions, so the result is hash-stable — no cross-row
     double aggregation anywhere."""
-    from sparkdiff.operators.retrieval import DYADIC_SCALE, squared_l2
+    from sparkdiff.operators.retrieval import DYADIC_SCALE, squared_l2_flat
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -3897,7 +3966,7 @@ def q123_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dists = (
         e.crossJoin(F.broadcast(cents))
-        .withColumn("dist", squared_l2("v", "c"))
+        .withColumn("dist", squared_l2_flat("v", "c", testkit.EMBED_DIM))
         .groupBy("vec_id", "label")
         .agg(
             F.min(
@@ -3946,20 +4015,21 @@ def q124_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def hist(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.selectExpr(stack_expr)
-            .groupBy("column", "bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{side}"))
-        )
+    # round 9 (guide §2.4): the two per-side histograms + full-outer
+    # join (2 groupBy exchanges + a sort-merge join over them) collapse
+    # into ONE conditional aggregation over the tagged union — a single
+    # exchange on (column, bucket), map-side combined; a bucket absent
+    # on one side yields a 0 count exactly as the old coalesce did
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        return df.selectExpr(stack_expr, f"'{side}' AS _side")
 
     j = (
-        hist(hive, "h")
-        .join(hist(sf, "s"), ["column", "bucket"], "full_outer")
-        .select(
-            "column",
-            F.coalesce("c_h", F.lit(0)).alias("c1"),
-            F.coalesce("c_s", F.lit(0)).alias("c2"),
+        tagged(hive, "h")
+        .unionByName(tagged(sf, "s"))
+        .groupBy("column", "bucket")
+        .agg(
+            F.count(F.when(F.col("_side") == "h", 1)).alias("c1"),
+            F.count(F.when(F.col("_side") == "s", 1)).alias("c2"),
         )
     )
     contrib = F.expr(
@@ -4037,7 +4107,7 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 lists is trivially small."""
     from sparkdiff.operators.retrieval import (
         ivf_topk_deterministic,
-        squared_l2,
+        squared_l2_flat,
     )
     from pyspark.sql import Window
 
@@ -4055,7 +4125,7 @@ def q126_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         e.crossJoin(F.broadcast(q))
-        .withColumn("dist", squared_l2("v", "_qv"))
+        .withColumn("dist", squared_l2_flat("v", "_qv", testkit.EMBED_DIM))
         .withColumn("rn", rn)
         .filter(F.col("rn") <= 3)
         .select(F.col("_qid").alias("query_id"), F.col("vec_id").alias("ex_id"))
@@ -4125,8 +4195,15 @@ def q127_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("_qid").orderBy("dist", "vec_id")
     )
+    # repartition the corpus side before the ×256 broadcast fan-out
+    # (round 9; the substring.py `parallelism` convention): the
+    # embeddings scan is one tiny file → ONE task otherwise computes
+    # all n×256 distances (measured: the whole timed run was a single
+    # 2 s task).  One tiny n-row shuffle buys 32-way distance compute;
+    # a real multi-file corpus already has scan parallelism.
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
     nn = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("_qid"))
         .withColumn("dist", squared_l2_flat("v", "_qv", dim))
         .withColumn("rn", rn)
@@ -5169,7 +5246,7 @@ def q152_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.retrieval import (
         pq_adc_topk,
         pq_encode,
-        squared_l2,
+        squared_l2_flat,
     )
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -5178,6 +5255,8 @@ def q152_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # flat sub_dim distance rides inside pq_encode (round 9); no
+    # repartition — see q75
     codes, codebook = pq_encode(e, "vec_id", "v", m=4, sub_dim=16, k=4, iters=2)
     pq_top = pq_adc_topk(
         codes,
@@ -5195,7 +5274,7 @@ def q152_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         e.crossJoin(F.broadcast(q))
-        .withColumn("dist", squared_l2("v", "qv"))
+        .withColumn("dist", squared_l2_flat("v", "qv", testkit.EMBED_DIM))
         .withColumn("rnk", exact_rn)
         .filter(F.col("rnk") <= 5)
         .select("query_id", "vec_id")
@@ -5609,7 +5688,12 @@ def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(dups)
 
     lsh = near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.6, hash_method="md5"
+        corpus,
+        "doc_id",
+        "text",
+        threshold=0.6,
+        hash_method="md5",
+        parallelism=spark.sparkContext.defaultParallelism,
     ).select(
         F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
     )
@@ -6012,6 +6096,9 @@ def q168_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique(["l_orderkey", "l_linenumber"]),
         unique(["l_orderkey"]),
     ]
+    # NO parallelism: the same-host A/B (round 9) measured the
+    # repartitioned form neutral-to-worse — the distinct-count shuffle
+    # already parallelizes the heavy half
     return expectation_report(li, checks)
 
 
@@ -7421,6 +7508,10 @@ def q196_hits_link_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
         )
         .distinct()
+        # persisted: the distinct edge table feeds all three power-
+        # iteration consumers (a1, h1's join, a2's join) — unpersisted,
+        # the scan+distinct ran once per round (round 9; guide §5)
+        .persist()
     )
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a1"))
     h1 = (

@@ -72,18 +72,22 @@ def test_q50_plan_has_no_buffering_percentile(spark):
 
 def test_q50_single_scan(spark):
     """All value columns are melted through one posexplode, so the whole
-    query reads lineitem exactly once.  Checked on the POST-execution
-    adaptive plan: the rail's range exchange feeds multiple consumers
-    (local prefix sums, bucket totals), which duplicates the scan
-    subtree in the pre-AQE text, but at runtime every extra consumer is
-    a ReusedExchange leaf over ONE materialized shuffle — exactly one
-    live FileScan remains."""
+    query reads lineitem exactly once.  Since round 9 the rail persists
+    the distinct-value table (the range-boundary sampler would otherwise
+    execute the scan→melt→groupBy chain a second time), so the one
+    FileScan lives inside the cached InMemoryRelation and every
+    consumer — the boundary sampler, the range shuffle, and the rail's
+    fan-out — reads the cache: exactly one FileScan anywhere in the
+    post-execution plan text, and at least one InMemoryTableScan
+    consuming it."""
+    spark.catalog.clearCache()
     df = q50_quantiles(spark, SF_DIR_ORACLE)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.lower().count("filescan parquet") == 1
-    assert "ReusedExchange" in final
+    assert "InMemoryTableScan" in final
+    spark.catalog.clearCache()
 
 
 def test_scalable_row_number_matches_global_window(spark):

@@ -146,6 +146,10 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q25_minhash_neardup": "signature table feeds band keys AND verify join",
     "q26_ngram_jaccard_dups": "shingle table feeds bucket join AND verify",
     "q46_lineitem_diff": "canonical pair base feeds presence AND cell diff",
+    "q50_quantiles": "quantile rail distinct-value table is executed by "
+    "the range-boundary sampler AND the range shuffle itself",
+    "q51_embedding_neardup": "SRP band-key table feeds both self-join "
+    "sides (one ArrowEvalPython pass instead of two)",
     "q65_dedup_clusters": "CC loop survivors (eager fixpoint checkpoints)",
     "q68_curated_corpus": "one tokenized projection feeds the whole funnel",
     "q72_incremental_neardup": "batch signatures feed gate AND admit append",
@@ -153,10 +157,21 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q88_semdedup": "cell assignments feed centroid AND refine passes",
     "q90_pagerank": "rank iterate persists the live frontier per round",
     "q102_triangle_count": "degree-ordered edge list is joined to itself 3x",
+    "q103_mad_outliers": "tiny per-type median/MAD tables persisted — "
+    "`dev` embeds the median chain and feeds the MAD pass AND final join",
+    "q105_rfm_segments": "quantile rail distinct-value table feeds the "
+    "range sampler AND shuffle (q50 machinery)",
+    "q109_equidepth_histogram": "quantile rail distinct-value table feeds "
+    "the range sampler AND shuffle (q50 machinery)",
+    "q104_skyline": "scored (id, x, y) projection feeds bucket maxima, "
+    "candidate filter and both dominance sides (one quality_score pass)",
     "q107_profile_drift": "profile base feeds both drift sides",
     "q113_dup_families": "CC loop survivors (large-star/small-star rounds)",
     "q121_ivf_ann": "final IVF centroid table feeds corpus assignment "
     "AND query probe (k×d rows, retrieval.ivf_topk_deterministic)",
+    "q125_setsim_prefix_join": "dup-group membership table feeds core "
+    "pipeline, both expansion joins and both within-group sides; prefix "
+    "table feeds both candidate self-join sides (dedup.setsim_join)",
     "q126_ann_recall": "IVF centroid persist (q121 machinery) + the "
     "15-row exact top-3 feeds hit semi-join AND denominator",
     "q124_dist_drift": "histogram base feeds both snapshot sides",
@@ -169,18 +184,34 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q152_pq_adc_recall": "per-subspace final PQ codebook feeds codes "
     "AND ADC lookup (k×sub_dim rows, retrieval.kmeans_assign)",
     "q156_keep_best_dedup": "near-dup shingle table feeds bands AND verify",
+    "q158_edit_distance_join": "deletion-variant table feeds both "
+    "candidate self-join sides (editdist.edit_distance_join)",
+    "q159_sorted_neighborhood": "ranked table feeds probe fan-out AND "
+    "rank-keyed right side (blocking.sorted_neighborhood_pairs)",
+    "q160_record_linkage": "deletion-variant table feeds both candidate "
+    "sides (q158 machinery)",
     "q161_blocking_recall": "LSH branch is q25 machinery (shingle table "
-    "feeds bands AND verify); the SNM branch adds no persist",
+    "feeds bands AND verify); SNM branch persists its ranked table",
     "q162_containment_join": "containment_join persists the distinct-set "
     "table (feeds freq, prefix, index and both verify sides)",
     "q163_skew_report": "melted (key_col, key) group-size table feeds "
     "sizes AND totals (operators/profile.skew_report one-scan form)",
     "q164_kmv_set_ops": "distinct (source, shingle) table feeds exact "
     "sizes AND both sides of the exact pair join",
+    "q166_association_rules": "basket-array table feeds basket total, "
+    "item counts AND pair fan-out (itemsets.pair_association_rules)",
+    "q169_sample_quantiles": "exact side rides the q50 quantile rail "
+    "(distinct-value table feeds the range sampler AND shuffle)",
     "q170_ingest_novelty": "distinct (batch, shingle) table feeds the "
     "first-arrival MIN AND the per-batch size rollup",
     "q172_packing_tradeoff": "tokenized doc projection feeds the pack "
     "rail AND the shard/pad aggregates for every candidate capacity",
+    "q186_weighted_quantiles": "distinct-(value, weight-sum) table feeds "
+    "the range sampler AND shuffle (quantiles.weighted_quantile_cuts)",
+    "q196_hits_link_analysis": "distinct edge table feeds all three "
+    "power-iteration consumers (a1, h1 join, a2 join)",
+    "q189_conversion_lag": "quantile rail distinct-value table feeds the "
+    "range sampler AND shuffle (q50 machinery)",
 }
 
 
