@@ -271,6 +271,90 @@ def profile_table(
     )
 
 
+def profile_pair(
+    left: DataFrame,
+    right: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Both sides of a table pair profiled through ONE fused pass per
+    stage (round 9; guide §2.4): one side-tagged union feeds one base
+    aggregation (2 rows) and one hash-encoded melt-NDV chain, instead
+    of two independent :func:`profile_table` pipelines joined at the
+    end — half the jobs for the same values.  Returns one row per
+    column: ``(column, nn_l, nn_r, ndv_l, ndv_r, min_l, max_l, min_r,
+    max_r)``, value-identical to two ``profile_table(...,
+    ndv_encoding='hash')`` calls joined on ``column`` (same per-side
+    non-null counts, the same xxhash64 distinct-count contract, the
+    same canonical min/max rendering).  Sides must share the profiled
+    columns' names and types."""
+    dtypes = dict(
+        zip(left.schema.names, [f.dataType for f in left.schema.fields])
+    )
+    u = left.select(F.lit("l").alias("_side"), *columns).unionByName(
+        right.select(F.lit("r").alias("_side"), *columns)
+    )
+    aggs: list[Column] = []
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"_nn_{c}"),
+            _canon(F.min(F.col(c)), dtypes[c]).alias(f"_min_{c}"),
+            _canon(F.max(F.col(c)), dtypes[c]).alias(f"_max_{c}"),
+        ]
+    one = u.groupBy("_side").agg(*aggs)
+    parts = ", ".join(f"'{c}', _nn_{c}, _min_{c}, _max_{c}" for c in columns)
+    base = one.selectExpr(
+        "_side",
+        f"stack({len(columns)}, {parts}) as "
+        "(column, n_nonnull, min_str, max_str)",
+    )
+
+    def _norm(c: str) -> Column:
+        col = F.col(c)
+        if isinstance(dtypes[c], (T.DoubleType, T.FloatType)):
+            col = col + F.lit(0.0)
+        return col
+
+    melted = u.select(
+        "_side",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(_norm(c).isNotNull(), F.xxhash64(_norm(c)))
+                    for c in columns
+                ]
+            )
+        ).alias("_cid", "_v"),
+    ).filter(F.col("_v").isNotNull())
+    ndvs = (
+        melted.groupBy("_side", "_cid", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_side", "_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+        .select(
+            "_side",
+            F.element_at(
+                F.array(*[F.lit(c) for c in columns]), F.col("_cid") + 1
+            ).alias("column"),
+            "ndv",
+        )
+    )
+    both = base.join(F.broadcast(ndvs), ["_side", "column"])
+
+    def _side(col: str, s: str) -> Column:
+        return F.max(F.when(F.col("_side") == s, F.col(col)))
+
+    return both.groupBy("column").agg(
+        _side("n_nonnull", "l").cast("long").alias("nn_l"),
+        _side("n_nonnull", "r").cast("long").alias("nn_r"),
+        _side("ndv", "l").cast("long").alias("ndv_l"),
+        _side("ndv", "r").cast("long").alias("ndv_r"),
+        _side("min_str", "l").alias("min_l"),
+        _side("max_str", "l").alias("max_l"),
+        _side("min_str", "r").alias("min_r"),
+        _side("max_str", "r").alias("max_r"),
+    )
+
+
 def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """Join/aggregation-key skew diagnosis: one row per candidate key
     column with the group-size distribution facts that decide a 100 TB

@@ -47,6 +47,7 @@ def grouped_quantiles(
     method: str = "dist",
     accuracy: int = 10_000,
     cum: str = "ranged",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-key percentiles: one output row per key group with a column
     per spec plus ``n`` (group row count).
@@ -58,8 +59,16 @@ def grouped_quantiles(
     ONLY when the value domain is provably bounded — quantized/
     categorical — so a group's distinct values fit one task at any
     corpus size).  Both produce bit-identical results.
+
+    ``count_col`` (``method='dist'`` only, round 9): the input is
+    ALREADY value-aggregated — one row per (keys, value) carrying its
+    row count — so the rail sums that column instead of counting rows.
+    Lets a caller that needs the distinct-value table for other work
+    (q109 shares it with its binning pass) build it once.
     """
     keys = list(keys)
+    if count_col is not None and method != "dist":
+        raise ValueError("count_col requires method='dist'")
     if method == "exact":
         aggs = [
             F.percentile(vcol, F.lit(p)).alias(out) for out, vcol, p in specs
@@ -75,12 +84,12 @@ def grouped_quantiles(
         raise ValueError(f"unknown method {method!r}; use dist|approx|exact")
     if cum not in ("ranged", "window"):
         raise ValueError(f"unknown cum {cum!r}; use ranged|window")
-    return _dist_quantiles(df, keys, list(specs), cum)
+    return _dist_quantiles(df, keys, list(specs), cum, count_col)
 
 
 def _dist_quantiles(
     df: DataFrame, keys: list[str], specs: list[QuantileSpec],
-    cum: str = "ranged",
+    cum: str = "ranged", count_col: str | None = None,
 ) -> DataFrame:
     """Distribution-based exact interpolated percentiles.
 
@@ -102,11 +111,16 @@ def _dist_quantiles(
     vcols = list(dict.fromkeys(vcol for _, vcol, _ in specs))
     melted = df.select(
         *keys,
+        *([count_col] if count_col else []),
         F.posexplode(
             F.array(*[F.col(c).cast("double") for c in vcols])
         ).alias("_cid", "_v"),
     ).filter(F.col("_v").isNotNull())
-    counts = melted.groupBy(*keys, "_cid", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    # pre-aggregated input: sum the carried counts; otherwise count rows
+    _c_agg = (
+        F.sum(count_col).cast("long") if count_col else F.count(F.lit(1))
+    )
+    counts = melted.groupBy(*keys, "_cid", "_v").agg(_c_agg.alias("_c"))
     gb = [*keys, "_cid"]
     if cum == "window":
         w_cum = Window.partitionBy(*gb).orderBy("_v")

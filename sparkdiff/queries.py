@@ -3390,45 +3390,29 @@ def q107_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-diff sanity probe a re-validation pipeline runs BEFORE the
     row-level diff: per column, both sides' non-null count, exact NDV
     and canonical min/max joined on column name, with drift flags.
-    Two q86-style profiles (one base-agg scan + one melt-NDV scan per
-    side — no multi-distinct Expand, no per-column jobs) + one 6-row
-    join; catches schema-level
-    regressions (truncation, re-rounding, lost rows) at a fraction of
-    the full-diff cost."""
-    from sparkdiff.operators.profile import profile_table
+    Round 9 (guide §2.4): the two per-side q86-style profiles + final
+    join fused into ONE side-tagged pipeline
+    (`operators/profile.profile_pair`) — one base aggregation and one
+    hash-melt NDV chain over the tagged union instead of two of each,
+    value-identical per side.  The hash NDV encoding keeps the
+    quantified 64-bit-collision contract the drift probe opted into
+    (the exact injective default stays on q86)."""
+    from sparkdiff.operators.profile import profile_pair
 
     hive, sf = testkit.lineitem_pair(spark, sf_dir)
     cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
-    # ndv_encoding='hash': the drift probe tolerates the quantified
-    # 64-bit-collision NDV contract in exchange for a long-typed melt
-    # shuffle (the q107 5.5 s -> 1.4 s win); the exact default stays
-    # injective for oracle-checked profiling (q86).
-    ph = profile_table(hive, cols, ndv_encoding="hash").select(
+    pp = profile_pair(hive, sf, cols)
+    return pp.select(
         "column",
-        F.col("n_nonnull").alias("nn_h"),
-        F.col("ndv").alias("ndv_h"),
-        F.col("min_str").alias("min_h"),
-        F.col("max_str").alias("max_h"),
-    )
-    ps = profile_table(sf, cols, ndv_encoding="hash").select(
-        "column",
-        F.col("n_nonnull").alias("nn_s"),
-        F.col("ndv").alias("ndv_s"),
-        F.col("min_str").alias("min_s"),
-        F.col("max_str").alias("max_s"),
-    )
-    # one row per profiled column on each side — always broadcast
-    return ph.join(F.broadcast(ps), "column").select(
-        "column",
-        "nn_h",
-        "nn_s",
-        "ndv_h",
-        "ndv_s",
-        (F.col("nn_h") != F.col("nn_s")).alias("count_drift"),
-        (F.col("ndv_h") != F.col("ndv_s")).alias("ndv_drift"),
+        F.col("nn_l").alias("nn_h"),
+        F.col("nn_r").alias("nn_s"),
+        F.col("ndv_l").alias("ndv_h"),
+        F.col("ndv_r").alias("ndv_s"),
+        (F.col("nn_l") != F.col("nn_r")).alias("count_drift"),
+        (F.col("ndv_l") != F.col("ndv_r")).alias("ndv_drift"),
         (
-            (F.col("min_h") != F.col("min_s"))
-            | (F.col("max_h") != F.col("max_s"))
+            (F.col("min_l") != F.col("min_r"))
+            | (F.col("max_l") != F.col("max_r"))
         ).alias("range_drift"),
     )
 
@@ -3481,22 +3465,34 @@ def q109_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v")
     )
+    # ONE distinct-value table serves BOTH halves (round 9; guide
+    # §2.3): the quantile rail consumes it pre-aggregated (count_col),
+    # and the binning pass aggregates (value, count) rows instead of
+    # re-scanning the corpus — a row's bin depends only on its value,
+    # so SUM(count) per bin equals the old per-row COUNT bit-for-bit.
+    # Persisted: the rail's sampler+shuffle and the bin pass are three
+    # consumers (PERSISTS_BY_DESIGN).
+    vc = (
+        li.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
     specs = [
         (f"c{int(p * 10)}", "v", p)
         for p in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     ]
     cuts = grouped_quantiles(
-        li.withColumn("_g", F.lit(1)), ["_g"], specs
+        vc.withColumn("_g", F.lit(1)), ["_g"], specs, count_col="c"
     ).drop("_g", "n")
-    binned = li.crossJoin(F.broadcast(cuts))
+    binned = vc.crossJoin(F.broadcast(cuts))
     b = F.lit(1)
     for p in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         b = b + (F.col("v") > F.col(f"c{p}")).cast("int")
     return (
-        binned.select(b.alias("bin"), "v")
+        binned.select(b.alias("bin"), "v", "c")
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c").cast("long").alias("n_rows"),
             F.floor(F.min("v") * 100).cast("long").alias("min_cents"),
             F.floor(F.max("v") * 100).cast("long").alias("max_cents"),
         )
@@ -5031,8 +5027,11 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    # estimate: per-source MinHash signatures (min over shingle rows)
-    sig = minhash_signatures(sh, "_id", F.col("_sh"), 64, "md5")
+    # estimate: per-source MinHash signatures (min over shingle rows).
+    # Persisted (one row per source × 64 columns): BOTH sides of the
+    # signature pair join consume it, and unpersisted the 64-min-agg
+    # over the exploded shingle table ran twice (round 9; guide §5)
+    sig = minhash_signatures(sh, "_id", F.col("_sh"), 64, "md5").persist()
     agree = sum(
         (F.col(f"x.m{j}") == F.col(f"y.m{j}")).cast("long") for j in range(64)
     )
@@ -5908,11 +5907,15 @@ def q164_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the persisted distinct (source, token) table IS the sketch input —
-    # hash it directly and skip the internal distinct shuffle
+    # hash it directly and skip the internal distinct shuffle.  The
+    # sketch itself is persisted (sources×k rows of longs): the pair
+    # estimator consumes it twice (group enumeration + the broadcast
+    # fan-out side), and unpersisted the two-window top-k rail ran
+    # twice (round 9; guide §5)
     sk = kmv_sketch(
         st, "token", keys=["source"], k=256, salt="kmv-q164",
         assume_distinct=True,
-    )
+    ).persist()
     est = kmv_pair_overlap(sk, "source", k=256)
     return (
         exact.join(est, ["key_a", "key_b"])

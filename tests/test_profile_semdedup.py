@@ -5,7 +5,7 @@ quantization error bounds."""
 import pytest
 from pyspark.sql import functions as F
 
-from sparkdiff.operators.profile import profile_table
+from sparkdiff.operators.profile import profile_pair, profile_table
 from sparkdiff.operators.sampling import stratified_sample
 from sparkdiff.operators.similarity import (
     cosine,
@@ -37,6 +37,34 @@ def test_profile_exact_matches_groundtruth(spark):
     lo, hi = li.agg(F.min("l_quantity"), F.max("l_quantity")).first()
     assert prof["l_quantity"]["min_str"] == str(int(lo * 10000))
     assert prof["l_quantity"]["max_str"] == str(int(hi * 10000))
+
+
+def test_profile_pair_matches_two_single_profiles(spark):
+    """The round-9 fused pair profile must be value-identical, per
+    side, to two independent hash-encoded profile_table runs — the
+    fusion (one tagged union, one base agg, one melt) changes the plan
+    shape only."""
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 3 != 0)
+    b = li.filter(F.col("l_orderkey") % 5 != 0)
+    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
+    fused = {
+        r["column"]: r.asDict()
+        for r in profile_pair(a, b, cols).collect()
+    }
+    for side_df, sfx in ((a, "l"), (b, "r")):
+        single = {
+            r["column"]: r.asDict()
+            for r in profile_table(
+                side_df, cols, ndv_encoding="hash"
+            ).collect()
+        }
+        for c in cols:
+            assert fused[c][f"nn_{sfx}"] == single[c]["n_nonnull"], (c, sfx)
+            assert fused[c][f"ndv_{sfx}"] == single[c]["ndv"], (c, sfx)
+            assert fused[c][f"min_{sfx}"] == single[c]["min_str"], (c, sfx)
+            assert fused[c][f"max_{sfx}"] == single[c]["max_str"], (c, sfx)
+    spark.catalog.clearCache()
 
 
 def test_profile_hll_twin_within_rtol(spark):

@@ -30,6 +30,35 @@ def test_dist_equals_exact_bitwise(spark):
     assert dist == exact  # identical doubles, not just close
 
 
+def test_dist_count_col_equals_raw_rows_bitwise(spark):
+    """The round-9 pre-aggregated input mode (``count_col``): feeding
+    the rail one row per (keys, value) with its row count must produce
+    the SAME doubles as feeding it the raw rows — the mode exists so a
+    caller (q109) can share one distinct-value table between the rail
+    and other consumers."""
+    l = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    raw = _rows(
+        grouped_quantiles(
+            l,
+            ["l_returnflag"],
+            [("p50", "l_quantity", 0.5), ("p90", "l_quantity", 0.9)],
+        )
+    )
+    vc = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pre = _rows(
+        grouped_quantiles(
+            vc,
+            ["l_returnflag"],
+            [("p50", "l_quantity", 0.5), ("p90", "l_quantity", 0.9)],
+            count_col="c",
+        )
+    )
+    spark.catalog.clearCache()
+    assert raw == pre  # identical doubles AND identical n
+
+
 def test_dist_handles_nulls_and_tiny_groups(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 3.0), ("b", 7.0)], "g string, v double"

@@ -161,8 +161,9 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "`dev` embeds the median chain and feeds the MAD pass AND final join",
     "q105_rfm_segments": "quantile rail distinct-value table feeds the "
     "range sampler AND shuffle (q50 machinery)",
-    "q109_equidepth_histogram": "quantile rail distinct-value table feeds "
-    "the range sampler AND shuffle (q50 machinery)",
+    "q109_equidepth_histogram": "one distinct-(value, count) table feeds "
+    "the quantile rail (count_col) AND the binning pass; the rail's "
+    "internal persists ride along (q50 machinery)",
     "q104_skyline": "scored (id, x, y) projection feeds bucket maxima, "
     "candidate filter and both dominance sides (one quality_score pass)",
     "q107_profile_drift": "profile base feeds both drift sides",
@@ -179,7 +180,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q141_repeated_substrings": "suffix-window table feeds span AND rollup",
     "q142_substring_selfdedup": "span table feeds excision AND digest",
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
-    "q147_source_overlap": "shingle+distinct tables feed 3 consumers each",
+    "q147_source_overlap": "shingle+distinct tables feed 3 consumers "
+    "each; the per-source signature table feeds both pair-join sides",
     "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
     "q152_pq_adc_recall": "per-subspace final PQ codebook feeds codes "
     "AND ADC lookup (k×sub_dim rows, retrieval.kmeans_assign)",
@@ -197,7 +199,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q163_skew_report": "melted (key_col, key) group-size table feeds "
     "sizes AND totals (operators/profile.skew_report one-scan form)",
     "q164_kmv_set_ops": "distinct (source, shingle) table feeds exact "
-    "sizes AND both sides of the exact pair join",
+    "sizes AND the pair fan-out; the KMV sample feeds group enumeration "
+    "AND the broadcast overlap fan-out",
     "q166_association_rules": "basket-array table feeds basket total, "
     "item counts AND pair fan-out (itemsets.pair_association_rules)",
     "q169_sample_quantiles": "exact side rides the q50 quantile rail "
