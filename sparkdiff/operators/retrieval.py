@@ -742,6 +742,26 @@ def bm25_score_expr(
     return score
 
 
+def bm25_tf_base(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "_toks",
+) -> DataFrame:
+    """The narrow per-doc BM25 input projection: ``(id, dl, tf0..tfn)``
+    — a handful of longs per document.  Exposed so callers that rank
+    the SAME terms with a second scorer (q93's lexical leg) can share
+    one persisted projection instead of re-tokenizing the corpus."""
+    return docs.select(
+        id_col,
+        F.size(tokens_col).cast("long").alias("dl"),
+        *[
+            term_frequency(tokens_col, w).alias(f"tf{j}")
+            for j, w in enumerate(terms)
+        ],
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     terms: Sequence[str],
@@ -750,18 +770,20 @@ def bm25_rank(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 20,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Full BM25 ranking for one query: tf/dl projection → one-row
     stats broadcast → codegen score → top-k (TakeOrderedAndProject —
-    never a global sort)."""
-    base = docs.select(
-        id_col,
-        F.size(tokens_col).cast("long").alias("dl"),
-        *[
-            term_frequency(tokens_col, w).alias(f"tf{j}")
-            for j, w in enumerate(terms)
-        ],
-    )
+    never a global sort).
+
+    The tf/dl projection feeds TWO consumers (the one-row corpus-stats
+    aggregate and the scored scan), so it is persisted for the returned
+    DAG's lifetime — unpersisted, the tokenize + per-term filter pass
+    executes twice (round-9 batch-7; the projection is a few longs per
+    doc).  Callers that already hold the projection (q93) pass it via
+    ``base`` — persisted or not is then the caller's call."""
+    if base is None:
+        base = bm25_tf_base(docs, terms, id_col, tokens_col).persist()
     stats = bm25_corpus_stats(base, len(terms))
     scored = base.crossJoin(F.broadcast(stats)).select(
         id_col,

@@ -17,12 +17,17 @@ so marking every position whose seed gram repeats, then merging
 overlapping/adjacent ``[p, p+L)`` intervals per document, yields
 exactly the maximal regions in which EVERY length-``L`` window is
 repeated (any repeated span of length >= L is covered end-to-end by
-its own repeated seeds).  Grams are compared by the portable 60-bit
-md5 hash (``dedup.token_hash(..., 'md5')``): a collision would mark a
-non-repeated position, with probability ~ n^2 / 2^61 over n corpus
-positions — negligible below ~10^8 positions per hash domain and
-bit-reproducible in any engine, which is what lets a SQL oracle replay
-the whole pipeline (q141/q142).
+its own repeated seeds).  Grams are compared by hash as a pure
+IDENTITY PROXY — no output value ever carries a hash, so each engine
+may use its cheapest 64-bit hash: Spark uses ``xxhash64`` (codegen'd,
+measured ~7x cheaper per row than the md5+hex+conv chain — round-9
+optimization, guide §1.2-2 per-task work), while the DuckDB oracle
+replays with its portable 60-bit md5.  Both sides mark a position iff
+its gram text repeats, so results agree exactly; a collision would
+mark a non-repeated position with probability ~ n^2 / 2^64 (Spark) /
+n^2 / 2^61 (oracle) over n corpus positions — negligible below ~10^8
+positions per hash domain (q141/q142 value-hash green certifies the
+agreement at every tested scale).
 
 Plan shape, sized for 100 TB:
 
@@ -62,10 +67,10 @@ def _seed_positions(
     parallelism: int | None = None,
 ) -> DataFrame:
     """One row per stride-1 seed position: ``(_id, _p, _h)`` with
-    ``_h`` the 60-bit md5 hash of the length-``min_len`` gram starting
-    at 1-based ``_p``.  Documents shorter than ``min_len`` contribute
-    nothing (the guard matters: Spark's ``sequence(1, 0)`` would count
-    DOWN, not return empty).
+    ``_h`` the xxhash64 of the length-``min_len`` gram starting at
+    1-based ``_p`` (identity proxy only — see module doc).  Documents
+    shorter than ``min_len`` contribute nothing (the guard matters:
+    Spark's ``sequence(1, 0)`` would count DOWN, not return empty).
 
     ``parallelism``: the explode amplifies each doc row into ~doc_len
     position rows and each position pays an md5 — when the input is a
@@ -85,7 +90,7 @@ def _seed_positions(
         .select(
             "_id",
             "_p",
-            token_hash(t.substr(F.col("_p"), F.lit(min_len)), "md5").alias("_h"),
+            token_hash(t.substr(F.col("_p"), F.lit(min_len)), "xxhash64").alias("_h"),
         )
     )
 

@@ -1443,9 +1443,13 @@ def q63_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the token key otherwise — forcing the broadcast would
     be a driver OOM at web-corpus vocabulary sizes."""
     d = load_table(spark, sf_dir, "documents")
+    # persisted: the exploded token table feeds BOTH the frequency
+    # aggregation and the join-back side — unpersisted, the tokenize +
+    # explode lineage executes once per consumer (round-9 batch-7;
+    # corpus-token-sized, MEMORY_AND_DISK spills rather than OOMs)
     toks = _tokenized_docs(d).select(
         "doc_id", F.explode("_toks").alias("token")
-    )
+    ).persist()
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_freq"))
     joined = toks.join(freq, "token")
     return joined.groupBy("doc_id").agg(
@@ -1474,7 +1478,10 @@ def q64_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokenized_docs(d).select(
         "doc_id", F.explode("_toks").alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: tf feeds BOTH the document-frequency aggregate and the
+    # join-back side — unpersisted, tokenize + explode + groupBy run
+    # twice (round-9 batch-7; (doc, token)-sized, smaller than toks)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.asc("df"), F.desc("tf"), F.asc("token")
@@ -1545,8 +1552,11 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the test side of the join is a benchmark suite (MBs)
     against a TB-scale corpus, so the distinct test grams BROADCAST and
     the corpus is scanned once with zero shuffle before the final
-    per-doc aggregation; grams travel as md5-derived 60-bit longs, not
-    strings, so the aggregation shuffle carries one long per hit."""
+    per-doc aggregation; grams travel as xxhash64 longs (identity
+    proxy only — no output carries a hash value, so Spark uses its
+    cheapest codegen'd hash while the oracle replays with md5; the
+    value-hash certifies the agreement), not strings, so the
+    aggregation shuffle carries one long per hit."""
     d = load_table(spark, sf_dir, "documents")
     return _contamination_hits(_tokenized_docs(d, parallel=True))
 
@@ -1570,10 +1580,10 @@ def _contamination_hits(base: DataFrame, k: int = 8) -> DataFrame:
     )
     test_grams = test.select(
         "test_id", F.explode(F.array_distinct(grams(F.col("_toks")))).alias("g")
-    ).select("test_id", token_hash("g", "md5").alias("gh")).distinct()
+    ).select("test_id", token_hash("g", "xxhash64").alias("gh")).distinct()
     train_grams = base.select(
         "doc_id", F.explode(F.array_distinct(grams(F.col("_toks")))).alias("g")
-    ).select("doc_id", token_hash("g", "md5").alias("gh"))
+    ).select("doc_id", token_hash("g", "xxhash64").alias("gh"))
     hits = train_grams.join(F.broadcast(test_grams), "gh")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("gh").cast("long").alias("n_hit_grams"),
@@ -2153,7 +2163,11 @@ def q79_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.array().cast("array<string>"))
             )
         ).alias("token"),
-    )
+    # persisted: posting_lists consumes the term rows TWICE (df
+    # aggregate + semi-join side) — unpersisted, the tokenize + bigram
+    # transform + explode lineage executes per consumer (round-9
+    # batch-7; distinct (doc, bigram) rows, MEMORY_AND_DISK)
+    ).persist()
     return posting_lists(toks, "doc_id", "token", min_df=2, max_df=8)
 
 
@@ -2185,7 +2199,11 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
-    )
+    # persisted: the bigram rows feed BOTH the top-50 aggregate and the
+    # membership-join side — unpersisted, tokenize + bigram transform +
+    # explode execute twice (round-9 batch-7; corpus-bigram-sized,
+    # MEMORY_AND_DISK)
+    ).persist()
     # top-50 via orderBy+limit = TakeOrderedAndProject (each partition
     # keeps its local 50, the driver merges 50*P rows) — NOT a global
     # rank window, which would single-partition-sort the whole bigram
@@ -2257,8 +2275,10 @@ def q82_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every source pair, how many
     distinct 20-token passages they share — the dataset-governance
     report that catches one web source mirroring another before both
-    are sampled into a training mix.  Passages hash to 60-bit longs
-    (q69's rail); the per-(passage, source) projection is distinct-ed
+    are sampled into a training mix.  Passages hash to 64-bit longs
+    (q69's rail, xxhash64 here — identity proxy only, q69's own output
+    carries its hash so IT keeps md5); the per-(passage, source)
+    projection is distinct-ed
     BEFORE the pair join, and passages present in > 10 sources are
     dropped first (same stop-cap argument as q74: the pair fan-out is
     bounded at 10·9/2 per passage, never quadratic in source count)."""
@@ -2281,7 +2301,16 @@ def q82_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("passage"),
-    ).select("source", token_hash("passage", "md5").alias("ph")).distinct()
+    ).select("source", token_hash("passage", "xxhash64").alias("ph")).distinct()
+    # identity-proxy hash (round-9): ph never reaches the output — only
+    # pair counts do — so Spark uses codegen'd xxhash64; the oracle
+    # counts shared passages on its own md5 domain (q69, whose output
+    # DOES carry the hash, keeps md5)
+    # persisted: the distinct (source, passage-hash) table feeds THREE
+    # consumers (source-spread aggregate + both pair-join sides) —
+    # unpersisted, the passage transform + md5 + distinct execute once
+    # per consumer (round-9 batch-7; distinct pairs only, ~16 B/row)
+    p = p.persist()
     spread = p.groupBy("ph").agg(
         F.countDistinct("source").alias("ns")
     )
@@ -2670,16 +2699,22 @@ def q93_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms add in fixed ranker order (hash-portable)."""
     from pyspark.sql import Window
 
-    from sparkdiff.operators.retrieval import bm25_rank, rrf_fuse, term_frequency
+    from sparkdiff.operators.retrieval import bm25_rank, bm25_tf_base, rrf_fuse
 
     terms = ["merge", "scan", "window"]
     d = load_table(spark, sf_dir, "documents")
     t = _tokenized_docs(d)
-    bm = bm25_rank(t, terms, top_k=50).select("doc_id", "rank")
-    lex_scored = t.select(
+    # ONE persisted (id, dl, tf0..tf2) projection feeds all three
+    # consumers (BM25 stats, BM25 scoring, the lexical leg) — before,
+    # each leg re-tokenized the corpus (round-9 batch-7).  The lexical
+    # score Σ tf_j is exactly the sum of the projection's tf columns.
+    base = bm25_tf_base(t, terms).persist()
+    bm = bm25_rank(t, terms, top_k=50, base=base).select("doc_id", "rank")
+    lex_scored = base.select(
         "doc_id",
         sum(
-            [term_frequency("_toks", w) for w in terms], F.lit(0).cast("long")
+            [F.col(f"tf{j}") for j in range(len(terms))],
+            F.lit(0).cast("long"),
         ).alias("score"),
     )
     # top-50 via TakeOrderedAndProject, then rank the bounded 50-row
@@ -2771,6 +2806,11 @@ def q95_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-split corpora keep the AQE-planned shuffles.
     if is_single_split(sf_dir, "documents"):
         bi = bi.coalesce(1)
+    # persisted: the bigram rows feed THREE consumers (both count
+    # aggregates + the join-back side) — unpersisted, tokenize + the
+    # struct transform + explode execute once per consumer (round-9
+    # batch-7; corpus-bigram-sized, MEMORY_AND_DISK)
+    bi = bi.persist()
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
     cp = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
     ratio = F.expr(f"(cb * {SCALE}) div cp")
@@ -2989,23 +3029,29 @@ def q100_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the matched docs."""
     d = load_table(spark, sf_dir, "documents")
     t = _tokenized_docs(d)
-    pos = t.select(
-        "doc_id", F.posexplode("_toks").alias("pos", "w")
+    # Adjacency counted in ONE pass over the materialized token array:
+    # position i matches when _toks[i] = 'hash' and _toks[i+1] = 'value'
+    # — exactly the (p2 = p1 + 1) postings join (positions are unique
+    # per doc), without posexplode-ing the corpus twice and shuffling
+    # the two postings sides (round-9 batch-7: 2 tokenize passes +
+    # 1 join → 1 scan, zero pre-top-k exchanges).  The lambda binds the
+    # materialized _toks column, so per-element work is two array
+    # lookups — no re-tokenization (the HOF CSE trap needs an inlined
+    # EXPRESSION, not a column reference).
+    toks = F.col("_toks")
+    # sequence(1, 0) counts DOWN (the substring.py guard) — docs with
+    # fewer than 2 tokens must yield an empty index list explicitly
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    n_hits = F.size(
+        F.filter(
+            idx, lambda i: (toks[i - 1] == "hash") & (toks[i] == "value")
+        )
     )
-    left = pos.filter(F.col("w") == "hash").select(
-        "doc_id", F.col("pos").alias("p1")
-    )
-    right = pos.filter(F.col("w") == "value").select(
-        "doc_id", F.col("pos").alias("p2")
-    )
-    hits = left.join(
-        right,
-        (left["doc_id"] == right["doc_id"])
-        & (right["p2"] == left["p1"] + 1),
-    ).select(left["doc_id"].alias("doc_id"))
     return (
-        hits.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        t.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") >= 1)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(20)
     )
@@ -4689,8 +4735,9 @@ def q141_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus char — the honest linear cost), skew-safe
     ``groupBy(hash)`` with map-side combine (never a window over the
     gram hash), HAVING-filtered join back, per-doc island merge.  The
-    oracle replays seeds → gram counts → islands in SQL on the same
-    60-bit md5 grams, so spans match bit-for-bit."""
+    oracle replays seeds → gram counts → islands in SQL; each engine
+    hashes grams with its own identity proxy (Spark xxhash64, DuckDB
+    md5 — see substring.py), so spans match bit-for-bit."""
     from sparkdiff.operators.substring import repeated_spans
 
     d = load_table(spark, sf_dir, "documents")
@@ -4841,7 +4888,11 @@ def q144_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(quality_score("text") * F.lit(1_000_000.0))
         .cast("long")
         .alias("q"),
-    )
+    # persisted: the scored projection feeds THREE consumers (global
+    # rank rail, corpus count, per-source rank window) — unpersisted,
+    # the quality_score text pass executes once per consumer for a
+    # ~24 B/row table (round-9 batch-7; the q104 defect class)
+    ).persist()
     # global sorted table: g-th smallest score (g = 1..N)
     glob = scalable_row_number(d, [F.col("q"), F.col("doc_id")], "g").select(
         F.col("g").alias("_g"), F.col("q").alias("q_cal")
@@ -5697,7 +5748,14 @@ def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
     )
 
-    sh = with_word_shingles(corpus, "text", 3, out="sh").select("doc_id", "sh")
+    # persisted: the shingle table feeds BOTH verify-join sides (sa and
+    # sb) — unpersisted, the corpus re-shingles once per side (round-9
+    # batch-9; the q25/q26 multi-consumer convention)
+    sh = (
+        with_word_shingles(corpus, "text", 3, out="sh")
+        .select("doc_id", "sh")
+        .persist()
+    )
     bkey = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 32
     )
@@ -5786,19 +5844,24 @@ def q162_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition BEFORE the shingle projection (the corpus arrives as
     # 2 file splits and the interpreted shingle lambdas would
     # serialize into 2 tasks — everything between two exchanges runs
-    # at the UPSTREAM exchange's width), and hash shingles to the
-    # md5-60-bit long (q125 convention) as a TOP-LEVEL projection on
-    # the exploded element rows — codegen — never as an array-lambda
-    # transform (higher-order lambdas evaluate interpreted per
-    # element; the in-array md5 variant alone cost ~2 s).  The
-    # collect_set shuffle that rebuilds the hashed arrays moves 265k
-    # narrow rows.  The oracle replays the same hash.
+    # at the UPSTREAM exchange's width), and hash shingles to a 64-bit
+    # long as a TOP-LEVEL projection on the exploded element rows —
+    # codegen — never as an array-lambda transform (higher-order
+    # lambdas evaluate interpreted per element; the in-array hash
+    # variant alone cost ~2 s).  The collect_set shuffle that rebuilds
+    # the hashed arrays moves 265k narrow rows.  The hash is an
+    # IDENTITY PROXY only (no output column carries it; the exact
+    # verify intersects full hashed sets, and the prefix filter is
+    # lossless for ANY element order), so Spark uses xxhash64 (round-9:
+    # ~7x cheaper per row than md5+hex+conv) while the oracle replays
+    # set containment on its own md5 domain — the value-hash certifies
+    # the agreement.
     corpus = d.unionByName(quotes).repartition(
         spark.sparkContext.defaultParallelism
     )
     elems = with_word_shingles(corpus, "text", 3, out="sh").select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("_e")
-    ).select("doc_id", token_hash(F.col("_e"), "md5").alias("h"))
+    ).select("doc_id", token_hash(F.col("_e"), "xxhash64").alias("h"))
     sets = elems.groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
     out = containment_join(sets, 4, 5, id_col="doc_id", set_col="sh")
     return out.select(

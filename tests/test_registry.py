@@ -150,12 +150,28 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "the range-boundary sampler AND the range shuffle itself",
     "q51_embedding_neardup": "SRP band-key table feeds both self-join "
     "sides (one ArrowEvalPython pass instead of two)",
+    "q63_rare_tokens": "exploded token table feeds the frequency "
+    "aggregate AND the join-back side",
+    "q64_distinctive_terms": "per-doc tf table feeds the document-"
+    "frequency aggregate AND the join-back side",
     "q65_dedup_clusters": "CC loop survivors (eager fixpoint checkpoints)",
+    "q76_bm25_rank": "tf/dl projection feeds corpus stats AND scoring "
+    "(retrieval.bm25_rank)",
+    "q79_posting_lists": "distinct bigram rows feed the df aggregate "
+    "AND the semi-join side (posting_lists)",
+    "q80_boilerplate": "bigram rows feed the top-50 aggregate AND the "
+    "membership-join side",
+    "q82_cross_source_overlap": "distinct (source, passage-hash) table "
+    "feeds spread AND both pair-join sides",
     "q68_curated_corpus": "one tokenized projection feeds the whole funnel",
     "q72_incremental_neardup": "batch signatures feed gate AND admit append",
     "q74_winnow_fingerprints": "winnow window table feeds pairs AND counts",
     "q88_semdedup": "cell assignments feed centroid AND refine passes",
     "q90_pagerank": "rank iterate persists the live frontier per round",
+    "q93_rrf_fusion": "one (id, dl, tf0..tf2) projection feeds BM25 "
+    "stats, BM25 scoring AND the lexical leg",
+    "q95_lm_score": "bigram rows feed both count aggregates AND the "
+    "join-back side",
     "q102_triangle_count": "degree-ordered edge list is joined to itself 3x",
     "q103_mad_outliers": "tiny per-type median/MAD tables persisted — "
     "`dev` embeds the median chain and feeds the MAD pass AND final join",
@@ -179,6 +195,9 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q136_semdedup_auto": "auto-k cells feed centroid AND refine passes",
     "q141_repeated_substrings": "suffix-window table feeds span AND rollup",
     "q142_substring_selfdedup": "span table feeds excision AND digest",
+    "q144_quantile_calibration": "scored projection feeds the global "
+    "rank rail, the corpus count AND the per-source rank window (one "
+    "quality_score pass — the q104 class)",
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
     "q147_source_overlap": "shingle+distinct tables feed 3 consumers "
     "each; the per-source signature table feeds both pair-join sides",
@@ -193,7 +212,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q160_record_linkage": "deletion-variant table feeds both candidate "
     "sides (q158 machinery)",
     "q161_blocking_recall": "LSH branch is q25 machinery (shingle table "
-    "feeds bands AND verify); SNM branch persists its ranked table",
+    "feeds bands AND verify); SNM branch persists its ranked table; the "
+    "verify shingle table feeds both Jaccard join sides",
     "q162_containment_join": "containment_join persists the distinct-set "
     "table (feeds freq, prefix, index and both verify sides)",
     "q163_skew_report": "melted (key_col, key) group-size table feeds "
