@@ -64,6 +64,28 @@ def test_bm25_orders_by_term_frequency(spark):
     assert out[2][1] == 1 and out[3][0] == 0.0
 
 
+def test_bm25_precomputed_base_is_value_identical(spark):
+    """Round-9 batch 7: ``bm25_rank`` persists its tf/dl projection and
+    accepts it precomputed (``base=``, the q93 shared-projection path).
+    Both paths must produce identical rows, and ``bm25_tf_base`` must
+    carry exactly the (id, dl, tf_j) columns the scorer reads."""
+    from sparkdiff.operators.retrieval import bm25_tf_base
+
+    rows = [
+        (1, ["alpha", "beta", "gamma", "pad"]),
+        (2, ["alpha", "alpha", "beta", "pad"]),
+        (3, ["delta", "pad", "pad", "pad"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, _toks array<string>")
+    terms = ["alpha", "beta"]
+    base = bm25_tf_base(docs, terms)
+    assert base.columns == ["doc_id", "dl", "tf0", "tf1"]
+    direct = sorted(bm25_rank(docs, terms, top_k=10).collect())
+    via_base = sorted(bm25_rank(docs, terms, top_k=10, base=base).collect())
+    assert direct == via_base
+    spark.catalog.clearCache()
+
+
 def test_posting_lists_df_band_and_sorted(spark):
     rows = [
         (10, "common"), (11, "common"), (12, "common"), (13, "common"),
