@@ -73,7 +73,7 @@ def _seed_positions(
     Spark's ``sequence(1, 0)`` would count DOWN, not return empty).
 
     ``parallelism``: the explode amplifies each doc row into ~doc_len
-    position rows and each position pays an md5 — when the input is a
+    position rows and each position pays a substr+hash — when the input is a
     FEW splits (one small parquet file), that work serializes into one
     task unless the doc projection is repartitioned first.  Leave None
     when the input already has scan parallelism (any real multi-file
