@@ -331,6 +331,10 @@ def main() -> None:
         # measurement window and the artifact shows exactly which
         # officials ran degraded)
         q_jiffies = _cpu_jiffies()
+        # guide §1.5: label every job with its query so any attached UI /
+        # event-log reader maps stages back to queries (set OUTSIDE the
+        # timed region; ~one py4j call per query)
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         try:
             df = fn(spark, sf_dir)
             # untimed warm-up: absorbs codegen/JIT, parquet footer and
@@ -370,6 +374,7 @@ def main() -> None:
         # GC every 20 queries keeps the session state flat.
         if len(timings) % 20 == 0:
             spark.sparkContext._jvm.System.gc()
+    spark.sparkContext.setJobDescription(None)
 
     total = round(sum(t for t in timings.values() if t is not None), 4)
     # artifact directory override: lets tests (and local experiments)

@@ -3020,37 +3020,37 @@ def q99_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q100_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional phrase search over the distributed inverted index:
-    documents containing the exact phrase "hash value", ranked by hit
-    count — the positional-postings extension of q79's posting lists.
-    Both term filters push down BEFORE the position join, so the join
-    touches only the two terms' postings (each ≪ corpus); adjacency is
-    an equi-join on (doc_id, pos+1).  Top-20 is TakeOrderedAndProject
-    over the matched docs."""
-    d = load_table(spark, sf_dir, "documents")
-    t = _tokenized_docs(d)
-    # Adjacency counted in ONE pass over the materialized token array:
-    # position i matches when _toks[i] = 'hash' and _toks[i+1] = 'value'
-    # — exactly the (p2 = p1 + 1) postings join (positions are unique
-    # per doc), without posexplode-ing the corpus twice and shuffling
-    # the two postings sides (round-9 batch-7: 2 tokenize passes +
-    # 1 join → 1 scan, zero pre-top-k exchanges).  The lambda binds the
-    # materialized _toks column, so per-element work is two array
-    # lookups — no re-tokenization (the HOF CSE trap needs an inlined
-    # EXPRESSION, not a column reference).
-    toks = F.col("_toks")
-    # sequence(1, 0) counts DOWN (the substring.py guard) — docs with
-    # fewer than 2 tokens must yield an empty index list explicitly
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    n_hits = F.size(
-        F.filter(
-            idx, lambda i: (toks[i - 1] == "hash") & (toks[i] == "value")
-        )
+    """Positional phrase search: documents containing the exact phrase
+    "hash value" (token-adjacency on the normalized token stream),
+    ranked by hit count — the positional extension of q79's posting
+    lists.  Computed in one codegen'd scan (see the shape note below);
+    the oracle keeps the explicit positional-postings form (posexplode
+    twice + equi-join on (doc_id, pos+1)), so the value-hash certifies
+    the regexp form IS the adjacency join.  Top-20 is
+    TakeOrderedAndProject over the matched docs."""
+    # Adjacency counted in ONE pass, fully codegen'd: the normalized
+    # token stream re-joined on single spaces is exactly
+    # `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))` (same
+    # separator class the tokenizer splits on; empty tokens collapse
+    # into one space, leading/trailing separators trim away), so
+    # "token i = 'hash' AND token i+1 = 'value'" ⇔ one occurrence of
+    # the space-delimited phrase — counted with a ZERO-WIDTH lookahead
+    # so overlapping occurrences ("hash value hash value") all count,
+    # exactly like the (p2 = p1 + 1) postings join this replaces
+    # (round-9: 2 tokenize passes + a shuffle join → 1 scan, zero
+    # pre-top-k exchanges; isolated 0.49 s → 0.22 s).  A first attempt
+    # filtered per-element array indexes through a HOF — the projection
+    # collapsed the tokenizer INTO the lambda (SCALE.md hazard #1/#6,
+    # measured 5.0 s); the regexp form has no per-element expressions.
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+        F.lit(" "),
     )
+    n_hits = F.regexp_count(s, F.lit("(?= hash value )"))
+    d = load_table(spark, sf_dir, "documents")
     return (
-        t.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        d.select("doc_id", n_hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") >= 1)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(20)
