@@ -30,10 +30,16 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.array_intersect(F.array_distinct(toks), m)).cast("long")
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     """Predict language by distinct marker-word hits; ties break by the
-    declaration order in ``LANG_MARKERS``; no hits → 'und'."""
-    toks = raw_tokens(text)
+    declaration order in ``LANG_MARKERS``; no hits → 'und'.
+
+    ``toks``: an already-materialized token-array column to score instead
+    of re-splitting ``text`` (value-identical: marker words are non-empty,
+    so the empty-string tokens a raw split keeps and a filtered array
+    drops can never hit)."""
+    if toks is None:
+        toks = raw_tokens(text)
     hits = [(lang, _marker_hits(toks, mk)) for lang, mk in LANG_MARKERS]
     best = None
     for lang, h in hits:
@@ -55,19 +61,39 @@ def alnum_len(text: Column | str) -> Column:
     return F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Composite quality in [0,1]: length saturation + alnum cleanliness +
     stopword naturalness (the length/punct/stopword-ratio class of
     heuristics).  Expression structure is mirrored verbatim in the oracle
     so the IEEE evaluation order matches.
+
+    ``toks``: an already-materialized NON-EMPTY token array (the
+    `_tokenized_docs` `_toks` column — ``filter(split(lower(text),
+    '[^a-z0-9]+'), length > 0)``) to count from instead of re-splitting
+    ``text`` twice; value-identical because ``n_toks`` counted exactly
+    the non-empty raw tokens and ``tokens(c)``'s length≥3 + stopword
+    filter subsumes the non-empty filter.
     """
+    from sparkdiff.functions.text import MIN_TOKEN_LEN, STOPWORDS
+
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c).cast("double")
     length_score = F.least(F.lit(1.0), n / F.lit(500.0))
     clean_ratio = alnum_len(c).cast("double") / F.greatest(n, F.lit(1.0))
-    toks = raw_tokens(c)
-    n_toks = F.size(F.filter(toks, lambda t: F.length(t) > 0)).cast("double")
-    n_content = F.size(tokens(c)).cast("double")
+    if toks is None:
+        raw = raw_tokens(c)
+        n_toks = F.size(F.filter(raw, lambda t: F.length(t) > 0)).cast("double")
+        n_content = F.size(tokens(c)).cast("double")
+    else:
+        stop = F.array(*[F.lit(s) for s in STOPWORDS])
+        n_toks = F.size(toks).cast("double")
+        n_content = F.size(
+            F.filter(
+                toks,
+                lambda t: (F.length(t) >= MIN_TOKEN_LEN)
+                & ~F.array_contains(stop, t),
+            )
+        ).cast("double")
     stop_ratio = F.lit(1.0) - n_content / F.greatest(n_toks, F.lit(1.0))
     return (
         F.lit(0.4) * length_score

@@ -548,6 +548,7 @@ def incremental_near_dup_pairs(
     persist_batch: bool = True,
     batch_shingles: DataFrame | None = None,
     batch_band_keys: DataFrame | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: which NEW-batch docs near-duplicate the
     EXISTING corpus — the ingest-time dedup gate every continuously-fed
@@ -584,6 +585,16 @@ def incremental_near_dup_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
+    if parallelism:
+        # repartition BEFORE the shingle→MinHash fan-out (the shuffle
+        # carries raw text/token arrays once; the per-row signature work
+        # then runs wide — the near_dup_pairs convention; round 9).
+        # Only inline-built inputs: a caller-supplied corpus_index /
+        # batch_shingles owns its own layout.
+        if corpus is not None and corpus_index is None:
+            corpus = corpus.repartition(parallelism)
+        if batch_shingles is None:
+            batch = batch.repartition(parallelism)
     if corpus_index is None:
         if corpus is None:
             raise ValueError("need either corpus or corpus_index")
@@ -640,6 +651,7 @@ def simhash64(
     id_col: str,
     tokens_col: Column,
     hash_method: str = "xxhash64",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document: ``(id, simhash long)``.
 
@@ -648,7 +660,15 @@ def simhash64(
     with no tokens get simhash 0.  With ``hash_method='md5'`` the token
     hash carries 60 bits, so bits 60-63 are always 0 — an
     oracle-checkable fingerprint with marginally coarser locality.
+
+    ``parallelism``: repartition ``df`` before the explode → per-token
+    hash fan-out — on a single-split scan that per-token work (64 bit
+    probes per token, and the md5 mode's digest+conv chain) otherwise
+    serializes into one task (the near_dup_pairs convention; round 9).
+    Leave None when the input already has scan parallelism.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens_col).alias("_t"))
     h = token_hash("_t", hash_method)
     votes = toks.groupBy("_id").agg(

@@ -264,20 +264,23 @@ def scalable_row_number(
     ``counts`` both derive from the same ``part`` reference, and
     correctness REQUIRES both to see the same ``_pid`` assignment —
     i.e. the range exchange must be materialized once, not recomputed
-    with freshly-sampled boundaries.  Spark guarantees this here via
-    canonical-subtree exchange reuse (``ReuseExchange`` matches the two
-    identical exchange subtrees; pinned in test_quantiles'
-    shuffle-invariance tests), and ``repartitionByRange``'s boundary
-    sampling is additionally seed-deterministic per plan.  If this
-    rail is ever ported to an engine without exchange reuse, persist
-    ``part`` before fanning out.  The same pattern (and the same
-    guarantee) underlies ``_dist_quantiles`` and
-    ``sampling.systematic_weighted_sample``.
+    with freshly-sampled boundaries.  ``part`` is therefore PERSISTED
+    (round 9): the rail originally leaned on canonical-subtree exchange
+    reuse (``ReuseExchange`` matching the two identical exchange
+    subtrees), which holds for plain scans but BROKE the moment a
+    caller persisted the rail's input (q143: the two range exchanges
+    over the InMemoryRelation stopped canonical-matching, sampled
+    boundaries independently, and the offsets keyed to the wrong
+    assignment — caught by the sf0.1 value-hash).  One cached
+    ``(_pid, row)`` table pins the assignment for both consumers under
+    any input, exactly like ``_dist_quantiles``' ``part`` persist.
+    Callers therefore show up in the persist-lifecycle audit
+    (PERSISTS_BY_DESIGN).
     """
     order_cols = list(order_cols)
     part = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = part.withColumn("_lrn", F.row_number().over(w))
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))

@@ -323,9 +323,14 @@ def systematic_weighted_sample(
     )
     wv = F.col(weight_col).cast("long")
     base = df.withColumn("_u", unit_hash(key, seed))
+    # persisted: `local` and `sums` both read `part` and correctness
+    # REQUIRES one materialized `_pid` assignment.  ReuseExchange
+    # canonical-matching provided that for plain scans, but breaks when
+    # a caller persists the input (the q143 scalable_row_number lesson,
+    # round 9) — one cached table pins the assignment under any input.
     part = base.repartitionByRange(F.col("_u"), F.col(key)).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).persist()
     lw = (
         Window.partitionBy("_pid")
         .orderBy("_u", key)

@@ -323,17 +323,28 @@ def q16_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.functions.text import jaccard, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), tokens("text").alias("toks_a")
-    )
+    # Join RAW texts first, tokenize after (round-9 batch-10): the join
+    # carries strings instead of token arrays (the broadcast side ships
+    # fewer bytes), and both tokenizations + the Jaccard set ops run in
+    # the post-join projection — which the raw-text repartition widens
+    # to full parallelism on a single-split scan (same jaccard∘tokens
+    # expressions over the same pairs, so values are identical).
+    par = _corpus_parallelism(d)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    if par:
+        a = a.repartition(par)
     b = d.select(
         (F.col("doc_id") - 250).alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
-        tokens("text").alias("toks_b"),
+        F.col("text").alias("text_b"),
     )
     return (
         a.join(b, "doc_a", "inner")
-        .select("doc_a", "doc_b", jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(tokens("text_a"), tokens("text_b")).alias("jaccard"),
+        )
     )
 
 
@@ -348,6 +359,9 @@ def q17_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.functions.text import raw_tokens, tokens
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE: the single-split repartition opt-in was A/B'd here and
+    # REJECTED (round-9 batch-10: interleaved 0.48/0.51 vs 0.46/0.52 —
+    # a wash; four per-row splits are lighter than they look).
     n_raw = F.size(F.filter(raw_tokens("text"), lambda t: F.length(t) > 0))
     return d.select(
         "doc_id",
@@ -423,6 +437,12 @@ def q21_relevance_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # tokenize + Jaccard + substring term-hits per row: heavy enough for
+    # the single-split repartition opt-in (round-9 batch-10 A/B).
+    d = d.select("doc_id", "source", "text")
+    par = _corpus_parallelism(d)
+    if par:
+        d = d.repartition(par)
     query_toks = F.array(*[F.lit(t) for t in SEARCH_TERMS])
     semantic = jaccard(tokens("text"), query_toks)
     keyword = term_hits("text", SEARCH_TERMS).cast("double") / F.lit(
@@ -580,6 +600,11 @@ def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.dedup import simhash64
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE: simhash64's `parallelism` repartition was A/B'd here and
+    # REJECTED (round-9 batch-10: interleaved 1.25/1.47/1.28 vs
+    # 1.22/1.16/1.06 — the exchange + wider 64-agg partial state cost
+    # more than the wide md5 bought on this input; the hook stays for
+    # genuinely large single-file corpora).
     return simhash64(d, "doc_id", tokens("text"), hash_method="md5")
 
 
@@ -1164,12 +1189,11 @@ def q55_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.functions.textstats import dup_fraction, word_ngrams
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-        ).alias("_toks"),
-    )
+    # parallel=True: two word_ngrams HOF fan-outs + two dup_fractions per
+    # row is the heavy per-row class — the raw-text repartition buys
+    # full-width map parallelism on a single-split scan (round-9 batch-10
+    # A/B; `_toks` here is exactly _tokenized_docs' definition).
+    toks = _tokenized_docs(d, parallel=True).select("doc_id", "_toks")
     grams = toks.select(
         "doc_id",
         word_ngrams(F.col("_toks"), 2).alias("_g2"),
@@ -1601,7 +1625,7 @@ def _funnel_flags(base: DataFrame) -> DataFrame:
     inlining the tokenizer into word_ngrams re-splits the text once per
     gram index — measured 11 s vs 0.4 s at sf0.1 (see word_ngrams /
     SCALE.md)."""
-    from sparkdiff.functions.pii import PII_PATTERNS, pii_count
+    from sparkdiff.functions.pii import PII_PATTERNS
     from sparkdiff.functions.textstats import (
         dup_fraction,
         lang_id,
@@ -1610,20 +1634,32 @@ def _funnel_flags(base: DataFrame) -> DataFrame:
         ws_token_count,
     )
 
-    pii_total = sum(
-        (pii_count("text", pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
+    # f_pii only needs "any pattern matches" — one alternation rlike scan
+    # (first-match short-circuit) instead of four regexp_extract_all
+    # passes that build match arrays just to test Σ size == 0.  The
+    # boolean is identical: Σ counts == 0 ⟺ no pattern matches ⟺ the
+    # alternation never matches (round-9; guide §1.2-2).
+    pii_any = F.col("text").rlike(
+        "|".join(f"(?:{pat})" for _, pat, _ in PII_PATTERNS)
     )
+    # lang_id / quality_score read the materialized `_toks` instead of
+    # re-splitting text (3 fewer lower+regex-split passes per row;
+    # value-identical — see their docstrings).
     grams = base.select(
-        "doc_id", "text", "n_chars", word_ngrams(F.col("_toks"), 3).alias("_g3")
+        "doc_id",
+        "text",
+        "n_chars",
+        "_toks",
+        word_ngrams(F.col("_toks"), 3).alias("_g3"),
     )
     return grams.select(
         "doc_id",
         ws_token_count("text").alias("n_tok"),
-        (lang_id("text") == "en").alias("f_lang"),
+        (lang_id("text", toks=F.col("_toks")) == "en").alias("f_lang"),
         F.col("n_chars").between(100, 100_000).alias("f_len"),
-        (quality_score("text") >= 0.45).alias("f_quality"),
+        (quality_score("text", toks=F.col("_toks")) >= 0.45).alias("f_quality"),
         (dup_fraction(F.col("_g3")) <= 0.05).alias("f_rep"),
-        (pii_total == 0).alias("f_pii"),
+        (~pii_any).alias("f_pii"),
     )
 
 
@@ -1640,7 +1676,11 @@ def q67_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row out to one row per stage — aggregate state is a dozen longs, so
     the shape is identical at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    flags = _funnel_flags(_tokenized_docs(d)).drop("doc_id")
+    # parallel=True: the funnel's per-row work (PII regexes, quality
+    # heuristics, trigram dup-fraction) is the q68 class — heavy enough
+    # that the raw-text repartition pays for itself when the scan is a
+    # single split (measured round-9 batch-10; same opt-in as q68).
+    flags = _funnel_flags(_tokenized_docs(d, parallel=True)).drop("doc_id")
     surv = flags.select(
         "n_tok",
         F.col("f_lang").alias("s1"),
@@ -1875,6 +1915,11 @@ def q72_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         hash_method="md5",
         tokens_col="_toks",
+        # NOTE: the `parallelism` repartition was A/B'd here and
+        # REJECTED (round-9 batch-10: interleaved 1.38/1.45/1.43 vs
+        # 1.07/0.96/1.01 — with tokens_col set the shuffle carries the
+        # materialized token ARRAYS, which costs more than the wide
+        # signature fan-out buys; the hook stays for raw-text callers).
     )
 
 
@@ -2442,9 +2487,12 @@ def q85_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE decides) -> join back on token -> per-doc rollup."""
     SCALE = 1 << 20
     d = load_table(spark, sf_dir, "documents")
+    # persisted: the exploded token table feeds the vocabulary
+    # aggregate AND the join-back side — unpersisted, tokenize +
+    # explode ran twice (the q63 defect; round-9, guide §5)
     toks = _tokenized_docs(d, extra=("lang",)).select(
         "doc_id", "lang", F.explode("_toks").alias("token")
-    )
+    ).persist()
     vocab = toks.groupBy("token").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("tf_t"),
         F.count(F.lit(1)).alias("tf_s"),
@@ -3784,9 +3832,13 @@ def q117_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.quantiles import scalable_row_number
 
     o = load_table(spark, sf_dir, "orders")
+    # persisted: per_cust feeds the rank rail (whose range exchange
+    # executes its child for boundary sampling AND the shuffle) plus
+    # the one-row denominator — 3 executions of the orders rollup
+    # otherwise (round-9; guide §5).  Customer-count rows.
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents")
-    )
+    ).persist()
     rn = scalable_row_number(
         per_cust, [F.desc("cents"), F.asc("o_custkey")], "rn"
     )
@@ -4298,9 +4350,12 @@ def q128_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.quantiles import scalable_row_number
 
     o = load_table(spark, sf_dir, "orders")
+    # persisted: the rank rail's range exchange executes its child for
+    # boundary sampling AND the shuffle — 2 executions of the orders
+    # rollup otherwise (round-9; guide §5).
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents")
-    )
+    ).persist()
     ranked = scalable_row_number(
         per_cust, [F.asc("cents"), F.asc("o_custkey")], "i"
     ).select("cents", "i")
@@ -4832,6 +4887,10 @@ def q143_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_day").alias("d_min"),
         F.max("o_day").alias("d_max"),
     )
+    # persisted: z feeds TWO independent sort rails (linear + zorder),
+    # and each rail's repartitionByRange executes its child once for
+    # boundary sampling and once for the shuffle — unpersisted, the
+    # scan + Morton-key chain ran ~4x (round-9; guide §5).  32 B/row.
     z = o.crossJoin(F.broadcast(rng)).select(
         "o_orderkey",
         "o_custkey",
@@ -4840,7 +4899,7 @@ def q143_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale16(F.col("o_custkey"), F.col("ck_min"), F.col("ck_max")),
             scale16(F.col("o_day"), F.col("d_min"), F.col("d_max")),
         ).alias("zkey"),
-    )
+    ).persist()
     lo_ck, hi_ck = 100, 400
     lo_d, hi_d = 10_408, 10_499  # 1998-07-01 .. 1998-09-30
     rep = skipping_report(
@@ -6606,11 +6665,14 @@ def q176_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("pos", F.lit(1).cast("long"))
     )
+    # persisted: labeled feeds the rank rail (boundary sampler + range
+    # shuffle each execute the child) AND the one-row denominator —
+    # 3 executions of the join otherwise (round-9; guide §5).
     labeled = c.join(urgent, "c_custkey", "left").select(
         "c_custkey",
         _cents("c_acctbal").alias("bal_cents"),
         F.coalesce("pos", F.lit(0)).alias("pos"),
-    )
+    ).persist()
     ranked = scalable_row_number(
         labeled, [F.col("bal_cents"), F.col("c_custkey")], out_col="rn"
     )
@@ -7622,13 +7684,21 @@ def q197_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def year_deciles(yr: int, out: str) -> DataFrame:
+        # persisted: the per-year spend table feeds the rank rail —
+        # whose range exchange executes its child once for boundary
+        # sampling and once for the shuffle — AND the decile
+        # denominator n (round-9; guide §5).  Customer-count rows.
         spend = (
             o.filter(F.col("yr") == yr)
             .groupBy("o_custkey")
             .agg(F.sum("cents").alias("spend"))
+            .persist()
         )
         ranked = scalable_row_number(spend, ["spend", "o_custkey"], "rn")
-        n = ranked.agg(F.count(F.lit(1)).alias("n"))
+        # row_number never changes cardinality, so the denominator is
+        # spend's count — one cache-read aggregate instead of a second
+        # execution of the whole rank rail (value-identical).
+        n = spend.agg(F.count(F.lit(1)).alias("n"))
         return ranked.crossJoin(F.broadcast(n)).select(
             "o_custkey",
             F.expr("(rn - 1) * 10 DIV n").cast("long").alias(out),
@@ -7668,6 +7738,9 @@ def q198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch = F.when(
         F.col("event_type").isin("view", "click"), F.col("event_type")
     )
+    # persisted: both model rollups read the attributed purchases —
+    # unpersisted, the full per-user window pass ran twice (round-9;
+    # guide §5).  Purchase-count rows (post-filter), 3 narrow columns.
     attributed = e.select(
         "event_type",
         F.floor(F.col("value") * 1024).cast("long").alias("vs"),
@@ -7675,7 +7748,7 @@ def q198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_touch"),
         F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("direct"))
         .alias("first_touch"),
-    ).filter(F.col("event_type") == "purchase")
+    ).filter(F.col("event_type") == "purchase").persist()
     last = attributed.groupBy(F.col("last_touch").alias("channel")).agg(
         F.count(F.lit(1)).cast("long").alias("n_last"),
         F.sum("vs").cast("long").alias("value_last_scaled"),

@@ -166,6 +166,8 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q68_curated_corpus": "one tokenized projection feeds the whole funnel",
     "q72_incremental_neardup": "batch signatures feed gate AND admit append",
     "q74_winnow_fingerprints": "winnow window table feeds pairs AND counts",
+    "q85_dsir_weights": "exploded token table feeds the vocabulary "
+    "aggregate AND the join-back side (the q63 shape)",
     "q88_semdedup": "cell assignments feed centroid AND refine passes",
     "q90_pagerank": "rank iterate persists the live frontier per round",
     "q93_rrf_fusion": "one (id, dl, tf0..tf2) projection feeds BM25 "
@@ -184,6 +186,12 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "candidate filter and both dominance sides (one quality_score pass)",
     "q107_profile_drift": "profile base feeds both drift sides",
     "q113_dup_families": "CC loop survivors (large-star/small-star rounds)",
+    "q117_revenue_concentration": "per-customer spend feeds the rank "
+    "rail (boundary sampler + range shuffle) AND the ntile denominator",
+    "q128_customer_gini": "per-customer spend feeds the rank rail "
+    "(boundary sampler + range shuffle execute the child twice)",
+    "q176_equifreq_binning": "labeled balance table feeds the rank rail "
+    "(boundary sampler + range shuffle) AND the bin denominator",
     "q121_ivf_ann": "final IVF centroid table feeds corpus assignment "
     "AND query probe (k×d rows, retrieval.ivf_topk_deterministic)",
     "q125_setsim_prefix_join": "dup-group membership table feeds core "
@@ -192,9 +200,15 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "q126_ann_recall": "IVF centroid persist (q121 machinery) + the "
     "15-row exact top-3 feeds hit semi-join AND denominator",
     "q124_dist_drift": "histogram base feeds both snapshot sides",
+    "q135_pps_sample": "systematic-sample range rail persists its "
+    "(_pid, row) assignment — local prefix sums AND bucket totals must "
+    "read ONE materialization (the q143 rail lesson)",
     "q136_semdedup_auto": "auto-k cells feed centroid AND refine passes",
     "q141_repeated_substrings": "suffix-window table feeds span AND rollup",
     "q142_substring_selfdedup": "span table feeds excision AND digest",
+    "q143_zorder_skipping": "zkey projection feeds two independent sort "
+    "rails, each of whose range exchange samples boundaries (executes "
+    "the child) before shuffling it",
     "q144_quantile_calibration": "scored projection feeds the global "
     "rank rail, the corpus count AND the per-source rank window (one "
     "quality_score pass — the q104 class)",
@@ -233,6 +247,10 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "the range sampler AND shuffle (quantiles.weighted_quantile_cuts)",
     "q196_hits_link_analysis": "distinct edge table feeds all three "
     "power-iteration consumers (a1, h1 join, a2 join)",
+    "q197_decile_mobility": "per-year spend tables feed the rank rail "
+    "(range-boundary sampler + shuffle) AND the decile denominator",
+    "q198_touch_attribution": "attributed purchases feed both model "
+    "rollups — one per-user window pass instead of two",
     "q189_conversion_lag": "quantile rail distinct-value table feeds the "
     "range sampler AND shuffle (q50 machinery)",
 }
