@@ -546,8 +546,17 @@ def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: BOTH self-join sides read the shingle sets, and their
     # differing downstream projections (the b side explodes two block
     # keys) defeat exchange reuse — one tokenize+shingle pass instead
-    # of two, 1.62s -> 1.12s at sf0.1; MEMORY_AND_DISK spills
-    sh = with_char_shingles(d.select("doc_id", "text"), "text", 3, out="shg").select(
+    # of two, 1.62s -> 1.12s at sf0.1; MEMORY_AND_DISK spills.
+    # repartition BEFORE the char-shingle fan-out (q162's convention):
+    # one shingle per corpus CHARACTER otherwise built in one task
+    sh = with_char_shingles(
+        d.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "text",
+        3,
+        out="shg",
+    ).select(
         "doc_id", F.array_distinct("shg").alias("sh")
     ).persist()
     # Equi-join on a block key instead of a pure range condition: a range
@@ -5097,6 +5106,9 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.dedup import _shingle_sets, minhash_signatures
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE: a pre-shingle repartition was A/B'd here and REJECTED
+    # (round-9 batch-11: interleaved wash — the signature/pair stages
+    # dominate, not the shingle fan-out)
     sh = _shingle_sets(d, "source", "text", 3).persist()
     # exact: distinct (source, shingle) -> per-shingle pair fan-out
     # distinct (source, shingle) feeds three consumers (sizes + both
@@ -5974,6 +5986,9 @@ def q164_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdiff.operators.sketch import kmv_pair_overlap, kmv_sketch
 
     d = load_table(spark, sf_dir, "documents")
+    # NOTE: a pre-shingle repartition was A/B'd here and REJECTED
+    # (round-9 batch-11: interleaved wash — the distinct + pair stages
+    # dominate, not the shingle fan-out)
     sh = _shingle_sets(d, "source", "text", 3)
     occ = sh.select(F.col("_id").alias("source"), F.explode("_sh").alias("token"))
     # distinct (source, token) feeds the exact sizes AND both sides of
