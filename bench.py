@@ -16,6 +16,29 @@ discarding the first run: q134 runs were [3.93, 0.44, 0.41] and q107
 deciding medians, making round-over-round comparison noise-bound.  The
 warm-up run is NOT included in any reported number.
 
+COLD-CACHE TIMED REGION (round-9 verdict #1, round 10): the warm-up
+used to materialize every ``persist()`` in the query, so the timed runs
+of the ~61 persist-carrying queries read cache and never paid
+materialization — a persist that honestly turns "compute twice" into
+"compute once" was measured as "compute ~zero".  Every timed run now
+starts from a COLD Spark cache: ``spark.catalog.clearCache()`` is
+called before each run and the query plan is REBUILT (a fresh
+``fn(spark, sf_dir)`` call re-registers its persists — clearCache
+alone would leave the old plan's cache registrations gone, silently
+timing a never-caching plan that re-executes shared subtrees per
+consumer, which is colder than any honest production run).  Each timed
+run therefore pays persist materialization exactly once and reuses it
+within the run — the honest cold-run cost.  JIT/page-cache/broadcast
+warmth is retained (the warm-up still runs first); plan CONSTRUCTION
+stays untimed as it always was (eager probes included).  Archived
+medians recorded under the old warm-cache convention are NOT comparable
+for persist-carrying queries, so BENCH_DETAIL now carries
+``timed_cache: "cold"`` and the best-known-median comparator only uses
+archives recorded under the same convention (the job-submission floor
+probe involves no caching and stays comparable across all archives).
+The same-host A/B of this harness change at identical code is committed
+in OPTIMIZATION_r10.md.
+
 SELF-QUALIFYING ARTIFACT (round-6 verdict #1): the official record is
 the driver's only perf signal, and round 6's official run was recorded
 on a host with ~10^4 s of accumulated CPU steal — 86.3 s total and
@@ -71,6 +94,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkdiff.queries import QUERIES  # noqa: E402
 from sparkdiff.session import get_spark  # noqa: E402
+
+#: Timed-region cache convention of THIS harness version.  "warm" (all
+#: archives through round 9): one warm-up materialized every persist and
+#: the timed runs read cache.  "cold" (round 10+): clearCache + fresh
+#: plan per timed run, so persist materialization is paid inside the
+#: timed region.  Medians are only comparable within one convention.
+TIMED_CACHE = "cold"
+
+#: Upper bound for the one-line stdout JSON.  The driver keeps only the
+#: LAST ~2000 bytes of output (BENCH_r02/r03 were lost to an 18 KB
+#: line whose head — metric/value — fell outside the captured tail), so
+#: the per-query map is truncated to the LARGEST medians until the line
+#: fits; the full map is always in BENCH_DETAIL.json.
+COMPACT_LINE_BUDGET = 1900
+
+
+def _timed_cold_runs(spark, fn, sf_dir: str, n_runs: int) -> list[float]:
+    """The round-10 timed region: per run, drop every cached table and
+    rebuild the plan (re-registering its persists), then time one noop
+    save.  Construction stays untimed — the convention every archived
+    round used (eager probes included); only the action is measured."""
+    runs: list[float] = []
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return runs
 
 
 def _cpu_jiffies() -> dict[str, int] | None:
@@ -175,9 +227,18 @@ def _best_known_medians(
     anomalously fast archived median would pin a query as a permanent
     mover.  With >= 3 archived medians the base is therefore the MEDIAN
     OF THE 3 SMALLEST (one lucky outlier cannot dominate alone); with
-    fewer it stays the plain minimum."""
+    fewer it stays the plain minimum.
+
+    TIMED-CACHE GATE (round 10): only archives recorded under the SAME
+    timed-region cache convention as this harness are comparable — a
+    warm-cache archive's median excludes persist materialization that a
+    cold-cache run pays, so using it as the base would brand every
+    persist-carrying query a permanent regression.  Archives without a
+    ``timed_cache`` field are "warm" (all rounds through 9)."""
     samples: dict[str, list[tuple[float, int]]] = {}
     for arch_rnd, arch in _archive_rounds(here, rnd, sf):
+        if arch.get("timed_cache", "warm") != TIMED_CACHE:
+            continue
         for q, d in arch.get("queries_detail", {}).items():
             med = d.get("median")
             if med:
@@ -192,15 +253,26 @@ def _best_known_medians(
 def _best_known_floor(
     here: str, rnd: int, sf: float | None = None
 ) -> tuple[float, int | None]:
-    """Minimum archived `floor_probe_sec` across rounds before ``rnd``
-    as (floor, round); falls back to the measured FLOOR_BASELINE_SEC
-    (round None) while no archive carries a probe yet."""
-    best: tuple[float, int | None] = (FLOOR_BASELINE_SEC, None)
+    """Best-known archived `floor_probe_sec` across rounds before
+    ``rnd`` as (floor, round); falls back to the FLOOR_BASELINE_SEC
+    bootstrap (round None) while no archive carries a probe yet.  The
+    floor probe involves no caching, so ALL archives are comparable
+    regardless of their timed_cache convention.
+
+    Robust base (round-9 verdict #8): same rule as the medians — with
+    >= 3 archived probes the base is the median of the 3 smallest, so
+    one anomalously fast probe (the r09 retime probe read 0.017 s on a
+    fully-JIT-warm session) cannot pin the floor ratio high forever;
+    with fewer it is the plain minimum."""
+    probes: list[tuple[float, int]] = []
     for arch_rnd, arch in _archive_rounds(here, rnd, sf):
         probe = arch.get("floor_probe_sec")
-        if probe and probe < best[0]:
-            best = (probe, arch_rnd)
-    return best
+        if probe:
+            probes.append((probe, arch_rnd))
+    if not probes:
+        return (FLOOR_BASELINE_SEC, None)
+    probes.sort()
+    return probes[1] if len(probes) >= 3 else probes[0]
 
 
 def _median_ratio_vs_base(
@@ -340,12 +412,10 @@ def main() -> None:
             # untimed warm-up: absorbs codegen/JIT, parquet footer and
             # page-cache state, and broadcast builds (see module doc)
             df.write.format("noop").mode("overwrite").save()
-            runs = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                # noop sink forces full evaluation without driver collect cost
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(round(time.perf_counter() - t0, 4))
+            # cold-cache timed runs (round-9 verdict #1): each run pays
+            # its persists' materialization; noop sink forces full
+            # evaluation without driver collect cost (guide §1.4)
+            runs = _timed_cold_runs(spark, fn, sf_dir, n_runs)
             med = round(statistics.median(runs), 4)
             rows = df.count()
         except Exception as exc:  # noqa: BLE001 — harness must survive
@@ -433,11 +503,10 @@ def main() -> None:
             try:
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()  # warm-up
-                runs = []
-                for _ in range(n_runs):
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    runs.append(round(time.perf_counter() - t0, 4))
+                # same cold-cache convention as the official runs —
+                # an isolated re-time must be comparable to the median
+                # it adjudicates
+                runs = _timed_cold_runs(spark, QUERIES[name], sf_dir, n_runs)
                 iso = round(statistics.median(runs), 4)
             except Exception as exc:  # noqa: BLE001 — harness must survive
                 retimes[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
@@ -483,6 +552,7 @@ def main() -> None:
         "adjudicated_value": adjudicated,
         "unit": "sec",
         "queries": timings,
+        "timed_cache": TIMED_CACHE,
         "n_runs": n_runs,
         "queries_detail": detail,
         "sf": sf,
@@ -515,6 +585,15 @@ def main() -> None:
         "adjudicated_value": adjudicated,
         "unit": "sec",
         "sf": sf,
+        # Per-query medians IN the one-line JSON (round-9 verdict #2: the
+        # driver's per-query comparator reads this key; its absence left
+        # PERF_r09.per_query empty).  The full 202-entry map serializes
+        # to ~6 KB — over the driver's ~2 KB tail capture, which is how
+        # rounds 2/3 lost their whole record — so the map is trimmed to
+        # the LARGEST medians that keep the line under COMPACT_LINE_BUDGET
+        # (additions-only vs round 9, which emitted no map at all; the
+        # complete map is always in BENCH_DETAIL.json "queries").
+        "queries": {},
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_runs": n_runs,
@@ -537,6 +616,17 @@ def main() -> None:
         ),
         "detail": "BENCH_DETAIL.json",
     }
+    qmap = {
+        n: round(t, 3) for n, t in timings.items() if t is not None
+    }
+    compact["queries"] = qmap
+    compact["n_queries_in_line"] = len(qmap)  # placeholder at max width
+    # trim smallest-median entries until the line fits the tail budget
+    for n in sorted(qmap, key=qmap.get):
+        if len(json.dumps(compact)) <= COMPACT_LINE_BUDGET:
+            break
+        del qmap[n]
+    compact["n_queries_in_line"] = len(qmap)
     print(json.dumps(compact))
     spark.stop()
 

@@ -185,12 +185,33 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens_col)).alias("_t"),
     )
-    h = F.pmod(token_hash("_t", hash_method), F.lit(MERSENNE_PRIME))
+    return minhash_signatures_from_exploded(
+        toks, "_id", "_t", num_perm, hash_method
+    )
+
+
+def minhash_signatures_from_exploded(
+    toks: DataFrame,
+    id_col: str,
+    token_col: str,
+    num_perm: int = 64,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures from an ALREADY-EXPLODED ``(id, token)``
+    frame — the shared-scan entry point for callers that also need the
+    exploded token rows for other consumers (q147 feeds the same
+    distinct ``(source, shingle)`` table to the exact-Jaccard pair
+    fan-out, the per-source sizes AND the signatures).  ``min`` is
+    idempotent over duplicate rows, so aggregating a DEDUPED frame is
+    value-identical to re-exploding the per-document shingle sets —
+    round 10, guide §5/§2.4: one explode+hash pass instead of two.
+    :func:`minhash_signatures` is exactly explode → this."""
+    h = F.pmod(token_hash(token_col, hash_method), F.lit(MERSENNE_PRIME))
     aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"m{j}")
         for j, (a, b) in enumerate(_lcg_coefficients(num_perm))
     ]
-    return toks.groupBy("_id").agg(*aggs)
+    return toks.groupBy(F.col(id_col).alias("_id")).agg(*aggs)
 
 
 def _band_keys(sig: DataFrame, bands: int, rows: int) -> DataFrame:

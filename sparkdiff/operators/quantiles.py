@@ -276,6 +276,17 @@ def scalable_row_number(
     any input, exactly like ``_dist_quantiles``' ``part`` persist.
     Callers therefore show up in the persist-lifecycle audit
     (PERSISTS_BY_DESIGN).
+
+    CACHE LIFECYCLE (round-9 advisor finding): the persist has no
+    unpersist handle — under the bench/oracle convention the session
+    owner calls ``spark.catalog.clearCache()`` between queries, which
+    bounds it.  A long-lived driver invoking this rail (or
+    ``systematic_weighted_sample``) repeatedly in one session — e.g.
+    ``layout.skipping_report`` looping over layouts, or ``blocking``'s
+    two calls — accumulates one bounded cache entry per call until the
+    owner clears; callers that need scoped lifetimes should pass a
+    pre-persisted input and manage it themselves (the
+    ``batch_shingles`` pattern in ``dedup.incremental_near_dup_pairs``).
     """
     order_cols = list(order_cols)
     part = df.repartitionByRange(*order_cols).withColumn(

@@ -548,11 +548,16 @@ def q26_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys) defeat exchange reuse — one tokenize+shingle pass instead
     # of two, 1.62s -> 1.12s at sf0.1; MEMORY_AND_DISK spills.
     # repartition BEFORE the char-shingle fan-out (q162's convention):
-    # one shingle per corpus CHARACTER otherwise built in one task
+    # one shingle per corpus CHARACTER otherwise built in one task.
+    # Width routes through _corpus_parallelism so the
+    # SPARKDIFF_CORPUS_PARALLELISM=0 production off-switch disables
+    # this shuffle like every other opt-in (round-9 advisor finding).
+    pre = d.select("doc_id", "text")
+    par = _corpus_parallelism(d)
+    if par:
+        pre = pre.repartition(par)
     sh = with_char_shingles(
-        d.select("doc_id", "text").repartition(
-            spark.sparkContext.defaultParallelism
-        ),
+        pre,
         "text",
         3,
         out="shg",
@@ -1647,7 +1652,12 @@ def _funnel_flags(base: DataFrame) -> DataFrame:
     # (first-match short-circuit) instead of four regexp_extract_all
     # passes that build match arrays just to test Σ size == 0.  The
     # boolean is identical: Σ counts == 0 ⟺ no pattern matches ⟺ the
-    # alternation never matches (round-9; guide §1.2-2).
+    # alternation never matches (round-9; guide §1.2-2).  NULL text:
+    # rlike(NULL) is NULL where the old Σ-counts form gave false (size
+    # of a NULL match array is -1), so f_pii is coalesced to false —
+    # pinning the boolean identity over the FULL input domain (round-9
+    # advisor finding; tests/test_textstats_equivalence.py has the
+    # NULL row).
     pii_any = F.col("text").rlike(
         "|".join(f"(?:{pat})" for _, pat, _ in PII_PATTERNS)
     )
@@ -1668,7 +1678,7 @@ def _funnel_flags(base: DataFrame) -> DataFrame:
         F.col("n_chars").between(100, 100_000).alias("f_len"),
         (quality_score("text", toks=F.col("_toks")) >= 0.45).alias("f_quality"),
         (dup_fraction(F.col("_g3")) <= 0.05).alias("f_rep"),
-        (~pii_any).alias("f_pii"),
+        F.coalesce(~pii_any, F.lit(False)).alias("f_pii"),
     )
 
 
@@ -5103,17 +5113,25 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path (signatures are 64 ints per SOURCE — constant-size —
     while the exact path scales with vocabulary); reporting both pins
     the estimator's error on real data.  All-integer output."""
-    from sparkdiff.operators.dedup import _shingle_sets, minhash_signatures
+    from sparkdiff.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures_from_exploded,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     # NOTE: a pre-shingle repartition was A/B'd here and REJECTED
     # (round-9 batch-11: interleaved wash — the signature/pair stages
     # dominate, not the shingle fan-out)
-    sh = _shingle_sets(d, "source", "text", 3).persist()
-    # exact: distinct (source, shingle) -> per-shingle pair fan-out
-    # distinct (source, shingle) feeds three consumers (sizes + both
-    # sides of the pair join) — persist so the explode+distinct shuffle
-    # runs once (lazy marking; q26's persisted-shingle-table convention)
+    sh = _shingle_sets(d, "source", "text", 3)
+    # ONE distinct (source, shingle) table feeds ALL FOUR consumers —
+    # sizes, both pair-fan-out stages, and (round 10) the MinHash
+    # signature aggregation, which previously re-exploded + re-md5'd
+    # the full per-document shingle stream: component-wise min is
+    # idempotent over duplicates, so min over the per-SOURCE distinct
+    # rows is bit-identical to min over the raw stream (guide §5/§2.4:
+    # one explode+hash pass instead of two; the `sh` persist is gone
+    # with its second consumer).  Persisted: lazy marking, q26's
+    # persisted-shingle-table convention.
     ss = (
         sh.select(F.col("_id").alias("source"), F.explode("_sh").alias("t"))
         .distinct()
@@ -5149,11 +5167,13 @@ def q147_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    # estimate: per-source MinHash signatures (min over shingle rows).
-    # Persisted (one row per source × 64 columns): BOTH sides of the
-    # signature pair join consume it, and unpersisted the 64-min-agg
-    # over the exploded shingle table ran twice (round 9; guide §5)
-    sig = minhash_signatures(sh, "_id", F.col("_sh"), 64, "md5").persist()
+    # estimate: per-source MinHash signatures — the 64-min-agg now runs
+    # over the SAME persisted distinct (source, shingle) rows as the
+    # exact path (md5 domain unchanged; see ss note above).  Persisted
+    # (one row per source × 64 columns): BOTH sides of the signature
+    # pair join consume it, and unpersisted the 64-min-agg ran twice
+    # (round 9; guide §5)
+    sig = minhash_signatures_from_exploded(ss, "source", "t", 64, "md5").persist()
     agree = sum(
         (F.col(f"x.m{j}") == F.col(f"y.m{j}")).cast("long") for j in range(64)
     )

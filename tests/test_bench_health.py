@@ -51,7 +51,8 @@ def test_best_known_medians_takes_minimum_across_archives(tmp_path):
     for rnd, med in ((5, 1.0), (6, 2.0)):
         with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
             json.dump(
-                {"queries_detail": {"q01": {"median": med},
+                {"timed_cache": "cold",
+                 "queries_detail": {"q01": {"median": med},
                                     "q02": {"median": None}}}, fh,
             )
     # with < 3 archives the base is the plain MINIMUM, with its round
@@ -71,7 +72,8 @@ def test_best_known_medians_robust_to_one_lucky_outlier(tmp_path):
     meds = {1: 0.1, 2: 2.0, 3: 2.1, 4: 2.0}  # r1 is the fluke
     for rnd, med in meds.items():
         with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
-            json.dump({"queries_detail": {"q_x": {"median": med}}}, fh)
+            json.dump({"timed_cache": "cold",
+                       "queries_detail": {"q_x": {"median": med}}}, fh)
     # 3 smallest = [0.1, 2.0(r2), 2.0(r4)] -> median = 2.0, set in r2
     assert _best_known_medians(str(tmp_path), 5) == {"q_x": (2.0, 2)}
     # a steady 2.2 s run is NOT a mover against the robust base
@@ -86,7 +88,8 @@ def test_select_movers_catches_creeping_regression(tmp_path):
     creep = [1.0, 1.3, 1.69]  # r1..r3 medians, 1.3x per round
     for rnd, med in enumerate(creep, start=1):
         with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
-            json.dump({"queries_detail": {"q_creep": {"median": med}}}, fh)
+            json.dump({"timed_cache": "cold",
+                       "queries_detail": {"q_creep": {"median": med}}}, fh)
     base = _best_known_medians(str(tmp_path), 4)
     # robust base with 3 archives = median of the 3 smallest = r2's 1.3
     assert base == {"q_creep": (1.3, 2)}
@@ -122,6 +125,7 @@ def test_bench_retime_wiring_end_to_end(tmp_path):
     import subprocess
 
     prev = {
+        "timed_cache": "cold",
         "queries_detail": {
             "q01_pricing_summary": {"median": 0.0001},
             "q46_lineitem_diff": {"median": 0.0001},
@@ -242,3 +246,87 @@ def test_best_known_floor_fallback_and_minimum(tmp_path):
         json.dump({"floor_probe_sec": 0.01}, fh)
     assert _best_known_floor(str(tmp_path), 9) == (0.08, 8)
     assert _best_known_floor(str(tmp_path), 10) == (0.01, 9)
+
+
+def test_best_known_medians_timed_cache_gate(tmp_path):
+    """Round-10: warm-cache archives (rounds <= 9, no ``timed_cache``
+    field) exclude persist materialization that a cold-cache run pays,
+    so they must NOT seed the comparison base — else every
+    persist-carrying query reads as a permanent regression."""
+    with open(tmp_path / "BENCH_DETAIL_r08.json", "w") as fh:
+        json.dump({"queries_detail": {"q_p": {"median": 0.1}}}, fh)  # warm
+    with open(tmp_path / "BENCH_DETAIL_r09.json", "w") as fh:
+        json.dump({"timed_cache": "warm",
+                   "queries_detail": {"q_p": {"median": 0.1}}}, fh)
+    assert _best_known_medians(str(tmp_path), 10) == {}
+    with open(tmp_path / "BENCH_DETAIL_r10.json", "w") as fh:
+        json.dump({"timed_cache": "cold",
+                   "queries_detail": {"q_p": {"median": 0.4}}}, fh)
+    assert _best_known_medians(str(tmp_path), 11) == {"q_p": (0.4, 10)}
+
+
+def test_best_known_floor_robust_to_one_fast_probe(tmp_path):
+    """Round-9 verdict #8: floor_ratio must be ~probe/base, and one
+    anomalously fast archived probe (r09's fully-JIT-warm retime read
+    0.017 s) must not pin the base once >= 3 probes exist — same
+    median-of-3-smallest rule as the query medians.  The floor probe
+    involves no caching, so warm archives still count."""
+    from bench import _best_known_floor
+
+    probes = {6: 0.017, 7: 0.08, 8: 0.075, 9: 0.081}  # r6 is the fluke
+    for rnd, p in probes.items():
+        with open(tmp_path / f"BENCH_DETAIL_r{rnd:02d}.json", "w") as fh:
+            json.dump({"floor_probe_sec": p}, fh)
+    base, base_rnd = _best_known_floor(str(tmp_path), 10)
+    # 3 smallest = [0.017, 0.075, 0.08] -> median 0.075 (r8)
+    assert (base, base_rnd) == (0.075, 8)
+    # a healthy 0.08 s probe now reads ~1.07, not 4.7 (vs the fluke)
+    assert 1.0 < round(0.08 / base, 2) < 1.25
+    # with < 3 probes the plain minimum still applies
+    with open(tmp_path / "BENCH_DETAIL_r08.json", "w") as fh:
+        json.dump({}, fh)
+    with open(tmp_path / "BENCH_DETAIL_r09.json", "w") as fh:
+        json.dump({}, fh)
+    assert _best_known_floor(str(tmp_path), 8) == (0.017, 6)
+
+
+def test_compact_line_queries_map_fits_tail_budget():
+    """Round-9 verdict #2: the driver's per-query comparator reads the
+    ``queries`` map from the ONE stdout JSON line, but its tail capture
+    keeps only ~2000 bytes — the map must be trimmed to the largest
+    medians until the line fits (the full map lives in BENCH_DETAIL)."""
+    from bench import COMPACT_LINE_BUDGET
+
+    # mirror bench.main()'s trimming logic on a 202-query fleet
+    timings = {f"q{i:03d}_some_operator_name": 0.05 + i * 0.01
+               for i in range(202)}
+    compact = {"metric": "sparkdiff_total_query_time", "value": 123.4,
+               "adjudicated_value": 123.4, "unit": "sec", "sf": 0.1,
+               "queries": {}, "n_queries": 202, "n_errors": 0,
+               "n_runs": 3, "steal_pct": 0.1, "drift_vs_best": 1.0,
+               "floor_probe_sec": 0.07, "floor_ratio": 1.0,
+               "n_retimed": 0, "n_confirmed_regressions": 0,
+               "n_host_shift": 0, "n_floor_shift": 0,
+               "detail": "BENCH_DETAIL.json"}
+    qmap = {n: round(t, 3) for n, t in timings.items()}
+    compact["queries"] = qmap
+    compact["n_queries_in_line"] = len(qmap)
+    assert len(json.dumps(compact)) > COMPACT_LINE_BUDGET  # needs trimming
+    for n in sorted(qmap, key=qmap.get):
+        if len(json.dumps(compact)) <= COMPACT_LINE_BUDGET:
+            break
+        del qmap[n]
+    compact["n_queries_in_line"] = len(qmap)
+    line = json.dumps(compact)
+    assert len(line) <= COMPACT_LINE_BUDGET
+    assert len(qmap) >= 40, "budget should fit at least the heavy tier"
+    # the kept entries are exactly the largest medians
+    kept_min = min(qmap.values())
+    dropped_max = max(
+        (round(t, 3) for n, t in timings.items() if n not in qmap),
+        default=0.0,
+    )
+    assert kept_min >= dropped_max
+    # and the line round-trips with the headline intact
+    parsed = json.loads(line)
+    assert parsed["value"] == 123.4 and parsed["queries"] == qmap

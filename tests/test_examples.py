@@ -1,10 +1,19 @@
-"""Smoke-run the example pipelines (subprocess — they own their session)."""
+"""Smoke-run the example pipelines (subprocess — they own their session).
+
+`full` tier (round-9 verdict #2): each test boots its own JVM/session,
+~0.5-2 min apiece — the other half of the verify-budget overrun beside
+the oracle sweep.  Opt in with `-m full`; the end-of-round verification
+runs them."""
 
 from __future__ import annotations
 
 import os
 import subprocess
 import sys
+
+import pytest
+
+pytestmark = pytest.mark.full
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -213,8 +213,9 @@ PERSISTS_BY_DESIGN: dict[str, str] = {
     "rank rail, the corpus count AND the per-source rank window (one "
     "quality_score pass — the q104 class)",
     "q145_selfdedup_fixpoint": "pass-1 persist is read by pass-2 detection",
-    "q147_source_overlap": "shingle+distinct tables feed 3 consumers "
-    "each; the per-source signature table feeds both pair-join sides",
+    "q147_source_overlap": "ONE distinct (source, shingle) table feeds "
+    "sizes, pair fan-out AND the MinHash 64-min-agg (round 10); the "
+    "per-source signature table feeds both pair-join sides",
     "q149_leakage_safe_split": "near-dup shingle table feeds bands AND verify",
     "q152_pq_adc_recall": "per-subspace final PQ codebook feeds codes "
     "AND ADC lookup (k×sub_dim rows, retrieval.kmeans_assign)",

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 TRICKY_TEXTS = [
+    None,                                      # NULL text (advisor: rlike(NULL) is NULL, not false)
     "",
     "   ",
     "...!!!---",
@@ -83,8 +84,11 @@ def test_pii_alternation_equals_per_pattern_count_sum(tricky):
     pii_any = F.col("text").rlike(
         "|".join(f"(?:{pat})" for _, pat, _ in PII_PATTERNS)
     )
+    # the production form (queries._funnel_flags) coalesces to false on
+    # NULL text, matching the old Σ-counts form's false (size(NULL)=-1)
     rows = tricky.select(
-        (pii_total == 0).alias("a"), (~pii_any).alias("b")
+        (pii_total == 0).alias("a"),
+        F.coalesce(~pii_any, F.lit(False)).alias("b"),
     ).collect()
     assert all(r.a == r.b for r in rows), [
         (r.a, r.b) for r in rows if r.a != r.b
